@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": ...}.
+
+Methodology mirrors BASELINE.md: one shared SparkSession, each query is run
+once to warm (codegen + broadcast + file listing), then timed on the second
+run. Reported seconds are warm wall-clock per query; "value" is their sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def headline_queries() -> list[str]:
+    """Headline subset: flagship plans + the heaviest operator families."""
+    from sealnet_etl_spark.registry import all_queries
+
+    available = all_queries()
+    preferred = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_revenue_by_nation",
+        "wn_sessionize_events",
+        "jn_asof_event_order",
+        "llm_minhash_near_dup_pairs",
+        "llm_topk_cosine",
+        "llm_exact_dedup",
+        "str_tumbling_window",
+        "etl_incremental_merge",
+    ]
+    names = [n for n in preferred if n in available]
+    # Always bench at least the flagships even if the preferred list drifts.
+    return names or sorted(available)[:3]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1)) if match else None
+
+    from sealnet_etl_spark.registry import all_queries
+    from sealnet_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="sealnet-etl-spark-bench")
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in headline_queries():
+        fn = queries[name]
+        try:
+            fn(spark, sf_dir).collect()  # warm: codegen, broadcasts, listing
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # a broken query must not zero the bench
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Flagship multi-operator plans (TPC-H-shaped, adapted to the testdata).
+
+These exercise the full scan → filter → multi-way join → aggregate → sort
+pipeline and are the headline bench queries. Adaptations vs. real TPC-H
+(per FIXTURES.md): no partsupp / shippriority / commitdate columns, and no
+``c_nationkey = s_nationkey`` constraint (customer and supplier nations are
+independent in this data).
+
+Scale design: dimension joins are pinned broadcast (region/nation/supplier
+stay tiny at any SF — a 100 TB fact table still joins them map-side with no
+shuffle of the big side); the fact→orders join shuffles on the join key and
+AQE handles skew/coalescing. Aggregates are partial+final (map-side combine)
+automatically. Float aggregates are rounded per SURVEY.md §5.3 so the
+order-insensitive value-hash matches the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q1_pricing_summary",
+    survey_id="AG-1",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+            ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            ROUND(AVG(l_quantity), 6)                                    AS avg_qty,
+            ROUND(AVG(l_extendedprice), 6)                               AS avg_price,
+            ROUND(AVG(l_discount), 6)                                    AS avg_disc,
+            COUNT(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash group-by with 8 aggregates.
+
+    The filter is sargable so parquet row-group skipping applies; the
+    group-by has 6 groups, so the partial (map-side) aggregate reduces each
+    scan partition to ≤6 rows before the shuffle — at 100 TB the shuffle
+    carries kilobytes.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    charge = _disc_price() * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_disc_price()), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    survey_id="JN-1",
+    oracle="""
+        SELECT
+            l_orderkey,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            o_orderdate,
+            o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-03-15'
+          AND l_shipdate  > TIMESTAMP '1997-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + global top-10.
+
+    ORDER BY ends with the unique l_orderkey tiebreak so the LIMIT is
+    deterministic on both engines (SURVEY.md §5.3). Spark plans the final
+    sort+limit as TakeOrderedAndProject — no global sort materialized.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    survey_id="JN-3",
+    oracle="""
+        SELECT
+            n_name,
+            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey  = o_orderkey
+        JOIN customer ON o_custkey   = c_custkey
+        JOIN supplier ON l_suppkey   = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join + agg + sort (the flagship).
+
+    supplier/nation/region are pinned broadcast — the fact side never
+    shuffles for them; only the lineitem⋈orders equi-join shuffles, on the
+    order key. AQE may further reorder/coalesce at runtime.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
