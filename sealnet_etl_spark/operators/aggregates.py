@@ -1,0 +1,220 @@
+"""Aggregation operators (SURVEY.md §2.4, AG-1..AG-8).
+
+AG-1 (multi-agg hash group-by) is the flagship q1_pricing_summary in
+plans/flagship.py. All group-bys here get automatic partial (map-side)
+aggregation — the shuffle carries one row per (partition, group), which is
+what keeps them viable at 100 TB. Float aggregates are rounded per
+SURVEY.md §5.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "ag_groupby_multi",
+    survey_id="AG-1",
+    oracle="""
+        SELECT event_type,
+               COUNT(*)              AS n_events,
+               ROUND(SUM(value), 2) AS total_value,
+               ROUND(AVG(value), 6) AS avg_value,
+               MIN(value)           AS min_value,
+               MAX(value)           AS max_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def ag_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate hash group-by on the events table (exercises the
+    nanos-timestamp load path plus partial aggregation)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@query(
+    "ag_count_distinct",
+    survey_id="AG-2",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+)
+def ag_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (expand + two-phase agg under the
+    hood; at 100 TB prefer AG-3's HLL sketch when ±2% suffices)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@query("ag_approx_count_distinct", survey_id="AG-3", oracle=None)
+def ag_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — the 100 TB path: fixed-size sketch
+    per group, mergeable map-side, no expand. Rows-only check (±rsd bound
+    asserted in tests against the exact count)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "ag_global",
+    survey_id="AG-4",
+    oracle="""
+        SELECT COUNT(*)                       AS n_rows,
+               ROUND(SUM(l_quantity), 2)      AS total_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               COUNT(DISTINCT l_suppkey)      AS n_suppliers
+        FROM lineitem
+    """,
+)
+def ag_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-group) aggregate — single-row table totals."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
+    "ag_rollup",
+    survey_id="AG-5",
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*)                         AS n_orders,
+               ROUND(SUM(o_totalprice), 2)      AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def ag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup (status → priority → grand total). Subtotal NULLs
+    are coalesced to a sentinel on both engines so the hash compares (the
+    input columns are null-free, so the sentinel is unambiguous)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "ag_cube",
+    survey_id="AG-5",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*)                      AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def ag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two low-cardinality dims (all grouping-set combos)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+        )
+    )
+
+
+@query(
+    "ag_collect_list",
+    survey_id="AG-6",
+    oracle="""
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber)) AS linenumbers,
+               list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+)
+def ag_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set nesting (detections-per-image shape).
+    Lists are sorted on both engines — collect order is otherwise
+    partition-dependent (SURVEY.md §5.3)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+
+
+@query(
+    "ag_percentiles_stddev",
+    survey_id="AG-7",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,
+               ROUND(quantile_cont(l_quantity, 0.9), 6)  AS p90_qty,
+               ROUND(stddev_samp(l_extendedprice), 4)    AS sd_price,
+               ROUND(MIN(l_extendedprice), 2)            AS min_price,
+               ROUND(MAX(l_extendedprice), 2)            AS max_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def ag_percentiles_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling stats: exact interpolated percentiles + sample stddev
+    (the reference's QA value-distribution reports)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "ag_max_by",
+    survey_id="AG-8",
+    oracle="""
+        SELECT user_id,
+               arg_max(event_id, ts)   AS last_event_id,
+               arg_max(event_type, ts) AS last_event_type
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def ag_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-key via max_by/arg_max — latest event per user without a
+    window (single agg pass; the reference's latest-annotation-wins)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max_by("event_type", "ts").alias("last_event_type"),
+    )

@@ -1,0 +1,305 @@
+"""Join operators (SURVEY.md §2.3, JN-1..JN-10), including the custom
+as-of join (JN-8) that Spark lacks natively.
+
+Scale design notes:
+- Equi-joins shuffle both sides on the key unless one side broadcasts.
+  Dimension joins here pin `F.broadcast` (JN-2/3) so the 100 TB fact side
+  never moves; AQE demotes/promotes at runtime for the rest.
+- The theta join (JN-7) is banded — a raw non-equi join is a broadcast
+  nested loop; banding keeps the candidate set bounded.
+- The as-of join (JN-8) is a single shuffle on the join key + one window
+  pass — O(n log n) per key group, no range explosion, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "jn_inner_equi",
+    survey_id="JN-1",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*)                          AS n_lines,
+               ROUND(SUM(l_extendedprice), 2)    AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+)
+def jn_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact↔dim inner equi-join; planner picks SMJ/SHJ, AQE coalesces."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "jn_broadcast_dim",
+    survey_id="JN-2",
+    oracle="""
+        SELECT s_suppkey, s_name, n_name, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def jn_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join: bounded dims ship to every executor, zero
+    shuffle of the probe side — mandatory shape at 100 TB."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "jn_left_outer",
+    survey_id="JN-4",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+)
+def jn_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps unmatched build-side rows (customers with no
+    orders count 0 — the reference's images-without-detections shape)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "jn_full_outer",
+    survey_id="JN-4",
+    oracle="""
+        SELECT r_name, n_name
+        FROM region FULL OUTER JOIN nation ON r_regionkey = n_nationkey
+    """,
+)
+def jn_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join; deliberately key-mismatched (regionkey vs nationkey)
+    so both null sides appear in the result."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.join(
+        nation, F.col("r_regionkey") == F.col("n_nationkey"), "full"
+    ).select("r_name", "n_name")
+
+
+@query(
+    "jn_left_semi",
+    survey_id="JN-5",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+        )
+    """,
+)
+def jn_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS without duplicating the probe side."""
+    orders = load_table(spark, sf_dir, "orders")
+    big_lines = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return orders.join(
+        big_lines, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "jn_left_anti",
+    survey_id="JN-6",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+    """,
+)
+def jn_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — orphan/absence detection (the reference's integrity
+    check: detections without a matching image). Customers with no URGENT
+    order — a non-empty absence set at every scale factor."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "jn_theta_band",
+    survey_id="JN-7",
+    oracle="""
+        SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+               ROUND(a.s_acctbal - b.s_acctbal, 2) AS bal_gap
+        FROM supplier a JOIN supplier b
+          ON a.s_suppkey < b.s_suppkey
+         AND abs(a.s_acctbal - b.s_acctbal) < 10.0
+    """,
+)
+def jn_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) band join: supplier pairs with near-equal balances.
+
+    Spark plans this as a broadcast nested loop — acceptable only because
+    the build side is a bounded dim. At 100 TB, band joins get a bucketed
+    blocking key first (floor(value/band)) to restore an equi prefix.
+    """
+    a = load_table(spark, sf_dir, "supplier").alias("a")
+    b = load_table(spark, sf_dir, "supplier").alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        & (F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 10.0),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.round(F.col("a.s_acctbal") - F.col("b.s_acctbal"), 2).alias("bal_gap"),
+    )
+
+
+@query(
+    "jn_asof_event_order",
+    survey_id="JN-8",
+    oracle="""
+        WITH latest_order AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+               o.o_orderdate AS asof_orderdate
+        FROM events e
+        ASOF LEFT JOIN latest_order o
+          ON e.user_id = o.o_custkey AND e.ts::TIMESTAMP >= o.o_orderdate
+    """,
+)
+def jn_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest ≤ ts): for each event, that user's latest order at
+    or before the event time. Spark has no native ASOF — implemented as the
+    union-window composition: tag both sides, sort within key by (ts, tag),
+    carry the last order value forward with last(ignorenulls), keep events.
+
+    One shuffle on the key, one window pass — no range-join explosion; the
+    reference's thermal↔color pairing-by-timestamp shape. DuckDB's native
+    ASOF JOIN is the oracle. Right side is pre-deduplicated to one row per
+    (key, ts) (max orderkey wins) so ties are deterministic on both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    latest_order = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    left = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("r_orderkey"),
+        F.lit(None).cast("timestamp").alias("r_orderdate"),
+    )
+    right = latest_order.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.col("o_orderdate").alias("r_orderdate"),
+    )
+    # Orders sort before events at equal ts (is_event asc) → "at/before" is
+    # inclusive. The frame carries the most recent order columns forward.
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("asof_orderkey", F.last("r_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_orderdate", F.last("r_orderdate", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "asof_orderkey",
+            "asof_orderdate",
+        )
+    )
+
+
+@query(
+    "jn_cross_bounded",
+    survey_id="JN-9",
+    oracle="""
+        SELECT r_name, seg AS mktsegment
+        FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def jn_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cross join (the all-pairs backbone of similarity search —
+    only ever run after blocking/limiting; never unblocked at scale)."""
+    region = load_table(spark, sf_dir, "region")
+    segments = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return region.crossJoin(segments).select(
+        "r_name", F.col("seg").alias("mktsegment")
+    )
+
+
+@query(
+    "jn_self_pairs",
+    survey_id="JN-10",
+    oracle="""
+        SELECT a.o_custkey AS custkey,
+               COUNT(*) AS n_escalating_pairs
+        FROM orders a JOIN orders b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND b.o_totalprice > a.o_totalprice
+        GROUP BY a.o_custkey
+    """,
+)
+def jn_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: per customer, order pairs where the later order is larger
+    (the reference's re-annotation-round diff shape)."""
+    a = load_table(spark, sf_dir, "orders").alias("a")
+    b = load_table(spark, sf_dir, "orders").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("b.o_totalprice") > F.col("a.o_totalprice")),
+        )
+        .groupBy(F.col("a.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_escalating_pairs"))
+    )

@@ -1,0 +1,144 @@
+"""Sorts / limits / top-k (SURVEY.md §2.6) and set operations (§2.7).
+
+Global sorts are range-partitioned sample sorts in Spark (scalable but a
+full shuffle); `ORDER BY ... LIMIT k` instead plans TakeOrderedAndProject —
+per-partition heaps + driver merge, no global shuffle — which is the only
+top-k shape worth running at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "srt_global_sort",
+    survey_id="SRT-1",
+    oracle="""
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+               ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey) AS overall_rank
+        FROM customer
+    """,
+)
+def srt_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort, made hash-observable via a rank column over
+    the same total order (a bare sort hashes identically to its input)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        customer.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("overall_rank"),
+        )
+    )
+
+
+@query(
+    "srt_global_topk",
+    survey_id="SRT-2",
+    oracle="""
+        SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS retailprice
+        FROM part
+        ORDER BY p_retailprice DESC, p_partkey
+        LIMIT 15
+    """,
+)
+def srt_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrderedAndProject (per-partition top-k heaps,
+    no global sort). Unique-key tiebreak keeps the cut deterministic."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(15)
+        .select(
+            "p_partkey", "p_name", F.round("p_retailprice", 2).alias("retailprice")
+        )
+    )
+
+
+@query("srt_within_partitions", survey_id="SRT-3", oracle=None)
+def srt_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions: per-partition clustering without a global
+    shuffle — the sink-layout primitive (parquet run-length/dictionary
+    pages compress far better on locally sorted data). Rows-only check;
+    content equals the input by construction."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.repartition(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@query(
+    "set_union_by_name",
+    survey_id="SET-1",
+    oracle="""
+        SELECT COUNT(*)               AS n_rows,
+               COUNT(l_quantity)      AS n_qty,
+               COUNT(l_extendedprice) AS n_price
+        FROM (
+            SELECT l_orderkey, l_quantity, NULL::DOUBLE AS l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, NULL::DOUBLE AS l_quantity, l_extendedprice FROM lineitem
+        )
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns — schema-drift-tolerant append
+    (the reference's multi-survey batch union: later batches add columns)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    batch_a = lineitem.select("l_orderkey", "l_quantity")
+    batch_b = lineitem.select("l_orderkey", "l_extendedprice")
+    return batch_a.unionByName(batch_b, allowMissingColumns=True).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.count("l_extendedprice").alias("n_price"),
+    )
+
+
+@query(
+    "set_intersect",
+    survey_id="SET-2",
+    oracle="""
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersect: users who both clicked and purchased."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+@query(
+    "set_except_distinct",
+    survey_id="SET-3",
+    oracle="""
+        SELECT DISTINCT user_id FROM events
+        EXCEPT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 150
+    """,
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference + distinct: users who never made a high-value
+    purchase (threshold chosen so both sides are non-empty at every sf)."""
+    events = load_table(spark, sf_dir, "events")
+    all_users = events.select("user_id").distinct()
+    big_buyers = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id")
+        .distinct()
+    )
+    return all_users.exceptAll(big_buyers)

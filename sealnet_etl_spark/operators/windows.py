@@ -1,0 +1,199 @@
+"""Window-function operators (SURVEY.md §2.5, WN-1..WN-6).
+
+Every window's ORDER BY ends in a unique column so ranking is a total
+order — rank ties are where cross-engine hash comparisons die
+(SURVEY.md §5.3). Windows partitioned by a key scale linearly (one
+shuffle on the key); the two global windows (WN-5) are flagged in their
+docstrings — a global sort is the non-scalable shape, kept only as the
+API demo with the scale alternative noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+@query(
+    "wn_keep_first",
+    survey_id="WN-1",
+    oracle="""
+        SELECT event_id, user_id, ts::TIMESTAMP AS first_ts, event_type
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+    """,
+)
+def wn_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number keep-first per key — the canonical dedup-keep-first
+    (first event per user; event_id tiebreak for determinism)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("first_ts"), "event_type")
+    )
+
+
+@query(
+    "wn_topk_per_group",
+    survey_id="WN-2",
+    oracle="""
+        SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total_price
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 3
+    """,
+)
+def wn_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group as rank-then-filter — written so Spark's
+    InferWindowGroupLimit rule pushes the k-limit below the sort (each
+    partition keeps a k-sized heap instead of fully sorting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "wn_lag_gap",
+    survey_id="WN-3",
+    oracle="""
+        SELECT event_id, user_id,
+               epoch_us(ts::TIMESTAMP)
+                 - LAG(epoch_us(ts::TIMESTAMP)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+        FROM events
+    """,
+)
+def wn_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag: inter-event gap per user in integer microseconds (exact — no
+    float drift; the reference's sequential image pairing shape)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return events.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@query(
+    "wn_rolling_sum",
+    survey_id="WN-4",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_value
+        FROM events
+    """,
+)
+def wn_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling frame aggregate: 6-row trailing sum per user."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_value"),
+    )
+
+
+@query(
+    "wn_ntile_percent_rank",
+    survey_id="WN-5",
+    oracle="""
+        SELECT c_custkey,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)                 AS decile,
+               ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        FROM customer
+    """,
+)
+def wn_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing for split assignment. NOTE: an unpartitioned window
+    forces all rows through one partition — fine for a 15k-row dim, wrong at
+    100 TB, where the scale path is approx-quantile cut points (ETL-3 uses a
+    hash-mod split which needs no sort at all)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+SESSION_GAP_MINUTES = 30
+
+
+@query(
+    "wn_sessionize_events",
+    survey_id="WN-6",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, value,
+                   CASE WHEN ts::TIMESTAMP
+                          - LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS session_value,
+               MIN(ts)              AS session_start
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def wn_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → cumulative sum = session id → per-session agg.
+    One shuffle on user_id; both window passes share the partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("session_id", F.sum(is_new).over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+    )
