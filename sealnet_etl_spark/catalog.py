@@ -3,5 +3,8 @@
 Add one import line per module as operators land (SURVEY.md §7.3 order).
 """
 
-from .operators import aggregates, joins, projections, sorts_sets, windows  # noqa: F401
+from .functions import families  # noqa: F401
+from .operators import aggregates, etl, joins, projections, sorts_sets, windows  # noqa: F401
+from .sources import ingest  # noqa: F401
+from .streaming import queries_str  # noqa: F401
 from .plans import flagship  # noqa: F401

@@ -1,0 +1,293 @@
+"""ETL-pipeline operators (SURVEY.md §2.11, ETL-1..ETL-6) — the reference's
+own surface re-expressed as reusable DataFrame compositions.
+
+The reference (reconstructed, SURVEY §0.3) normalizes per-survey annotation
+formats into one schema, validates rows against constraint rules, assigns
+leak-free train/test splits by group, resolves re-annotation rounds
+latest-wins, and merges incremental batches. Each of those is a generic
+operator here, demonstrated on the testdata star schema.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+
+def conform_schema(df: DataFrame, spec: Mapping[str, tuple[str, str]]) -> DataFrame:
+    """ETL-1 operator: map source columns to a canonical schema.
+
+    ``spec`` maps canonical name → (source column, canonical type). The
+    projection is pure select/cast, so Catalyst prunes unreferenced source
+    columns out of the scan.
+    """
+    return df.select(
+        *[
+            F.col(src).cast(typ).alias(canonical)
+            for canonical, (src, typ) in spec.items()
+        ]
+    )
+
+
+@query(
+    "etl_schema_conform",
+    survey_id="ETL-1",
+    oracle="""
+        SELECT CAST(c_custkey AS BIGINT)    AS id,
+               CAST(c_name AS VARCHAR)      AS name,
+               CAST(c_mktsegment AS VARCHAR) AS segment,
+               ROUND(CAST(c_acctbal AS DOUBLE), 2) AS balance
+        FROM customer
+    """,
+)
+def etl_schema_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-spec-driven schema normalization (per-survey format → canonical
+    schema, the reference's core transform)."""
+    customer = load_table(spark, sf_dir, "customer")
+    conformed = conform_schema(
+        customer,
+        {
+            "id": ("c_custkey", "bigint"),
+            "name": ("c_name", "string"),
+            "segment": ("c_mktsegment", "string"),
+            "balance": ("c_acctbal", "double"),
+        },
+    )
+    return conformed.withColumn("balance", F.round("balance", 2))
+
+
+#: Validation rules for ETL-2: name → violation predicate (True = bad row).
+LINEITEM_RULES: dict[str, Column] = {}
+
+
+def _lineitem_rules() -> dict[str, Column]:
+    return {
+        "qty_gt_30": F.col("l_quantity") > 30,
+        "disc_gt_5pct": F.col("l_discount") > 0.05,
+        "price_ge_50k": F.col("l_extendedprice") >= 50000,
+        "shipped_pre_1996": F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"),
+    }
+
+
+def validate_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """ETL-2 operator: evaluate every rule in ONE scan (no per-rule pass) —
+    each rule becomes a 0/1 column, aggregated in a single partial+final
+    agg. Returns one row per rule: (rule, n_violations)."""
+    counted = df.agg(
+        *[
+            F.sum(F.when(pred, 1).otherwise(0)).alias(name)
+            for name, pred in rules.items()
+        ]
+    )
+    names = list(rules)
+    stack_expr = ", ".join(f"'{n}', {n}" for n in names)
+    return counted.selectExpr(
+        f"stack({len(names)}, {stack_expr}) AS (rule, n_violations)"
+    )
+
+
+@query(
+    "etl_validate_partition",
+    survey_id="ETL-2",
+    oracle="""
+        SELECT 'qty_gt_30' AS rule,
+               SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'disc_gt_5pct',
+               SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) FROM lineitem
+        UNION ALL
+        SELECT 'price_ge_50k',
+               SUM(CASE WHEN l_extendedprice >= 50000 THEN 1 ELSE 0 END) FROM lineitem
+        UNION ALL
+        SELECT 'shipped_pre_1996',
+               SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END)
+        FROM lineitem
+    """,
+)
+def etl_validate_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint validation with per-rule violation counts, one scan total
+    (the reference's bbox-inside-image / status-flag filters)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return validate_rules(lineitem, _lineitem_rules())
+
+
+#: Knuth multiplicative hash constants for the deterministic split. Pure
+#: BIGINT arithmetic → bit-identical on any engine (md5-based alternative
+#: exists but needs hex→int conversions that differ across engines).
+_SPLIT_MULT = 2654435761
+_SPLIT_MOD = 4294967296
+
+
+def train_test_split(df: DataFrame, group_col: str, train_pct: int = 80) -> DataFrame:
+    """ETL-3 operator: leak-free deterministic split BY GROUP — every row of
+    a group (the reference: flight; here: customer) lands in the same split,
+    so correlated rows never straddle train/test. No shuffle, no sort: the
+    split is a pure projection on the group key."""
+    bucket = F.pmod(
+        (F.col(group_col).cast("bigint") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_MOD),
+        F.lit(100),
+    )
+    return df.withColumn(
+        "split", F.when(bucket < train_pct, "train").otherwise("test")
+    )
+
+
+@query(
+    "etl_train_test_split",
+    survey_id="ETL-3",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN ((o_custkey * {_SPLIT_MULT}) % {_SPLIT_MOD}) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM orders
+    """,
+)
+def etl_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-wise 80/20 split on orders, grouped by customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    return train_test_split(orders, "o_custkey").select(
+        "o_orderkey", "o_custkey", "split"
+    )
+
+
+def latest_record(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[Column]
+) -> DataFrame:
+    """ETL-4 operator: latest-record-wins resolution (SCD-ish; the
+    reference's re-annotation rounds). order_cols must end in a unique
+    tiebreak for determinism."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@query(
+    "etl_latest_record",
+    survey_id="ETL-4",
+    oracle="""
+        SELECT o_custkey, o_orderkey AS latest_orderkey,
+               o_orderdate AS latest_orderdate,
+               ROUND(o_totalprice, 2) AS latest_price
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    """,
+)
+def etl_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer wins."""
+    orders = load_table(spark, sf_dir, "orders")
+    resolved = latest_record(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return resolved.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderdate").alias("latest_orderdate"),
+        F.round("o_totalprice", 2).alias("latest_price"),
+    )
+
+
+def incremental_merge(
+    snapshot: DataFrame, batch: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """ETL-5 operator: upsert a new batch into a snapshot — union both with
+    a priority tag, keep the batch row when keys collide. One shuffle on the
+    key; at a real deployment this is the compaction step of an
+    incremental-batch pipeline (Delta/Iceberg MERGE INTO equivalent)."""
+    tagged = snapshot.withColumn("__prio", F.lit(0)).unionByName(
+        batch.withColumn("__prio", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__prio").desc())
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+
+@query(
+    "etl_incremental_merge",
+    survey_id="ETL-5",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END, 4) AS price,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'batch' ELSE 'snapshot' END AS src
+        FROM orders
+    """,
+)
+def etl_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert demo: a batch re-prices every third order (+10%);
+    the merge keeps batch rows on key collision, snapshot rows otherwise.
+    Prices round at 4 decimals (product of a 2-decimal value × 1.1 has
+    exact 3-decimal content — 4 is boundary-free, see pf_project_derive)."""
+    orders = load_table(spark, sf_dir, "orders")
+    snapshot = orders.select(
+        "o_orderkey", "o_totalprice", F.lit("snapshot").alias("src")
+    )
+    batch = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("batch").alias("src"),
+        )
+    )
+    merged = incremental_merge(snapshot, batch, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("price"), "src"
+    )
+
+
+@query(
+    "etl_profile",
+    survey_id="ETL-6",
+    oracle="""
+        SELECT 'l_quantity' AS col_name,
+               COUNT(*) - COUNT(l_quantity)   AS n_nulls,
+               COUNT(DISTINCT l_quantity)     AS n_distinct,
+               ROUND(MIN(l_quantity), 4)      AS min_val,
+               ROUND(MAX(l_quantity), 4)      AS max_val
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*) - COUNT(l_discount), COUNT(DISTINCT l_discount),
+               ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', COUNT(*) - COUNT(l_tax), COUNT(DISTINCT l_tax),
+               ROUND(MIN(l_tax), 4), ROUND(MAX(l_tax), 4) FROM lineitem
+    """,
+)
+def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report: nulls / distincts / min / max per column in a
+    single scan (aggregate-then-stack, not one pass per column — the QA
+    stats the reference computed per species/flight)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    agg_exprs = []
+    for c in cols:
+        agg_exprs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 4).alias(f"{c}__min"),
+            F.round(F.max(c), 4).alias(f"{c}__max"),
+        ]
+    wide = lineitem.agg(*agg_exprs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
+    )

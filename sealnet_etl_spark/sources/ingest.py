@@ -1,0 +1,155 @@
+"""Source/sink operators (SURVEY.md §2.1, SRC-1..SRC-6).
+
+The reference ingests dirty per-survey annotation CSVs and image files and
+loads PostgreSQL; here every ingest path is a typed DataFrame reader with
+explicit schema, quarantine semantics for bad rows, and deterministic
+partitioned parquet sinks.
+
+SRC-6 (JDBC sink) is design-only per SURVEY: the load step of the reference
+maps to ``df.write.jdbc(url, table, properties)`` — same DataFrame, same
+partitioned parallel writers; not graded because no database exists in the
+test environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from .tables import load_table
+
+#: Scratch area for sink round-trips (inside the repo; per-SF subdirs).
+SCRATCH_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SCRATCH_DIR, tag, name)
+
+
+@query(
+    "src_parquet_scan",
+    survey_id="SRC-1",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed parquet scan, schema from the footer — identity check that the
+    vectorized reader surfaces exactly what DuckDB sees."""
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("acctbal", T.DoubleType()),
+        T.StructField("_corrupt", T.StringType()),
+    ]
+)
+
+
+def read_csv_quarantine(spark: SparkSession, path: str) -> DataFrame:
+    """Dirty-CSV ingest: explicit schema, PERMISSIVE mode, bad rows captured
+    in ``_corrupt`` instead of silently dropped (the reference's per-survey
+    annotation-CSV shape)."""
+    return spark.read.csv(
+        path,
+        schema=CSV_SCHEMA,
+        header=True,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+
+
+@query(
+    "src_csv_ingest",
+    survey_id="SRC-2",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer
+    """,
+)
+def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: customer → CSV files → schema-typed ingest. The
+    oracle is the original parquet table, so the hash proves the text
+    round-trip is lossless (2-decimal money survives exactly)."""
+    path = _scratch(sf_dir, "customer_csv")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    customer.write.mode("overwrite").option("header", True).csv(path)
+    return read_csv_quarantine(spark, path).where(F.col("_corrupt").isNull()).select(
+        "c_custkey", "c_name", "c_mktsegment", "acctbal"
+    )
+
+
+@query(
+    "src_json_decode",
+    survey_id="SRC-3",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               event_type
+        FROM events
+    """,
+)
+def src_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column → typed struct column (from_json with explicit
+    schema) — the canonical semi-structured ingest path."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        "event_type",
+    )
+
+
+@query("src_binary_files", survey_id="SRC-4", oracle=None)
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal/binary file source: files → (path, length, content:binary)
+    rows with filename-derived metadata — the reference's imagery ingest
+    (flight/camera/timestamp encoded in filenames). Rows-only check: content
+    bytes and mtimes aren't SQL-comparable. LLM-10 builds on this."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table_name"),
+        F.col("length").alias("n_bytes"),
+        F.substring(F.col("content"), 1, 4).cast("string").alias("magic"),
+    )
+
+
+@query(
+    "src_parquet_sink_partitioned",
+    survey_id="SRC-5",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def src_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + re-scan: write lineitem partitioned by
+    l_returnflag, read it back, aggregate per partition value. Hash-matching
+    the original table proves the write→read round trip loses nothing and
+    partition values survive directory encoding. At scale this layout gives
+    static partition pruning on the filter column for free."""
+    path = _scratch(sf_dir, "lineitem_by_flag")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    (
+        lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

@@ -1,0 +1,321 @@
+"""Streaming operators (SURVEY.md §2.9, STR-1..STR-8).
+
+Strategy per SURVEY §2.9: every streaming operator has a batch-equivalent
+formulation (Spark's window/session_window functions are identical in batch
+mode), graded with a full DuckDB oracle; the true ``readStream`` micro-batch
+pipelines run over the deterministic chunk replay (replay.py) with
+``Trigger.AvailableNow``, so even watermark semantics produce a
+deterministic, oracle-checkable result.
+
+Scale notes: all streaming state (window aggs, dedup sets, per-key
+counters) lives in the executor StateStore backed by the checkpoint dir —
+sized by keys-in-state, not input volume. Watermarks bound state: without
+one, a 100 TB/day stream grows state forever.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import query
+from ..sources import load_table
+from ..sources.ingest import _scratch
+from .replay import events_replay_dir, read_events_stream, run_available_now
+
+WATERMARK = "10 minutes"
+
+
+@query(
+    "str_tumbling_window",
+    survey_id="STR-1",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP)  AS window_start,
+               CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP)
+                 + INTERVAL 1 HOUR                                   AS window_end,
+               event_type,
+               COUNT(*)                                              AS n_events,
+               ROUND(SUM(value), 2)                                  AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def str_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregate (batch formulation —
+    byte-identical logical plan to the streaming one in
+    str_streaming_tumbling; Spark's window() is mode-agnostic)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "str_sliding_window",
+    survey_id="STR-2",
+    oracle="""
+        WITH shifted AS (
+            SELECT value,
+                   make_timestamp(
+                       ((epoch_us(ts::TIMESTAMP) // 1000000 // 900) * 900
+                          - s.j * 900) * 1000000
+                   ) AS window_start
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(j)
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM shifted
+        GROUP BY window_start
+    """,
+)
+def str_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1 hour long, sliding every 15 minutes — each event
+    lands in 4 overlapping windows (the oracle materializes the same 4
+    epoch-aligned starts per event)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "str_session_window",
+    survey_id="STR-3",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts::TIMESTAMP AS ts,
+                   CASE WHEN ts::TIMESTAMP
+                          - LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts)                       AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+               COUNT(*)                      AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+)
+def str_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) — cross-checked against the
+    lag+cumsum sessionization (WN-6): both define session_end as
+    last-event + gap."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "str_dedup",
+    survey_id="STR-5",
+    oracle="""
+        SELECT DISTINCT event_id, event_type FROM (
+            SELECT event_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, event_type FROM events
+        )
+    """,
+)
+def str_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup by key over a doubled input (batch dropDuplicates — the
+    streaming twin dropDuplicatesWithinWatermark runs in
+    str_streaming_late_drop's pipeline; within-watermark bounds the dedup
+    state at scale)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = events.unionByName(events)
+    return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "str_streaming_tumbling",
+    survey_id="STR-1/STR-4/SRC-7",
+    oracle=f"""
+        WITH wm AS (
+            SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE AS w FROM events
+        )
+        SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP) AS window_start,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+        HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def str_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming pipeline: readStream over the 4-chunk ts-ordered
+    replay → 10-min watermark → tumbling 1-h window agg → append-mode
+    memory sink, Trigger.AvailableNow.
+
+    Append mode only emits windows the watermark has closed, and the final
+    no-data micro-batch flushes everything below max(ts) - 10min — so the
+    result is deterministic and the oracle can state it exactly: all hourly
+    windows whose end ≤ final watermark.
+    """
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    windowed = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(windowed, sf_dir, "str_streaming_tumbling")
+
+
+@query(
+    "str_stream_static_join",
+    survey_id="STR-7",
+    oracle="""
+        SELECT e.event_id, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def str_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming stream–static enrichment join: the static dim is
+    re-broadcast per micro-batch, the join is stateless, append mode needs
+    no watermark."""
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    customer = load_table(spark, sf_dir, "customer")
+    joined = stream.join(
+        F.broadcast(customer), F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "c_mktsegment")
+    return run_available_now(joined, sf_dir, "str_stream_static_join")
+
+
+STATEFUL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+STATEFUL_STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
+
+
+def _count_events_stateful(key, pdf_iter, state):
+    """Per-key stateful counter: state carries the running count across
+    micro-batches; each batch emits the updated cumulative count."""
+    count = state.get[0] if state.exists else 0
+    for pdf in pdf_iter:
+        count += len(pdf)
+    state.update((count,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+
+@query(
+    "str_stateful_counter",
+    survey_id="STR-6",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def str_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming custom stateful operator (applyInPandasWithState):
+    per-user running counter carried in the StateStore across micro-batches.
+    Every batch emits the cumulative count; the max emission per user is the
+    total — which the batch-SQL oracle states exactly. Arrow-batched Python,
+    the sanctioned shape for custom streaming state (SURVEY §2.9)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        _count_events_stateful,
+        outputStructType=STATEFUL_OUT_SCHEMA,
+        stateStructType=STATEFUL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = run_available_now(
+        counted, sf_dir, "str_stateful_counter", output_mode="update"
+    )
+    return emissions.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "str_foreach_batch_sink",
+    survey_id="STR-8",
+    oracle="""
+        SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def str_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming foreachBatch parquet sink with checkpointing +
+    availableNow: drains the replay exactly once into parquet, then
+    re-scans. Hash-matching the source table proves end-to-end
+    exactly-once delivery of the whole pipeline."""
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay).select(
+        "event_id", "user_id", "event_type"
+    )
+    sink = _scratch(sf_dir, "events_sink")
+    checkpoint = _scratch(sf_dir, "events_sink_ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(checkpoint, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink)
+
+    query_handle = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query_handle.awaitTermination()
+    return spark.read.parquet(sink)

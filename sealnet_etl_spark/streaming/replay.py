@@ -1,0 +1,98 @@
+"""Deterministic event-replay source for Structured Streaming tests
+(SURVEY.md §2.1 SRC-7, §5.2.3).
+
+The events table is re-materialized as K timestamp-ordered parquet chunk
+files written sequentially (strictly increasing mtimes), so a
+``readStream`` + ``Trigger.AvailableNow`` run processes the same
+micro-batch sequence every time — which is what makes watermark/state
+semantics assertable. On a production cluster the same code points at a
+landing directory filled by an uploader; nothing here is test-only except
+the chunk writer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..sources.ingest import _scratch
+from ..sources.tables import load_table
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def write_replay_chunks(
+    spark: SparkSession, sf_dir: str, name: str, chunk_dfs: list[DataFrame]
+) -> str:
+    """Write chunk DataFrames sequentially into one directory (one file per
+    chunk, ascending mtime) and return the directory path."""
+    path = _scratch(sf_dir, name)
+    shutil.rmtree(path, ignore_errors=True)
+    for chunk in chunk_dfs:
+        chunk.coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def events_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Replay the events table as n_chunks ts-ordered chunks (chunk i holds
+    the i-th quantile of event time)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    chunked = events.withColumn("__chunk", F.ntile(n_chunks).over(w)).cache()
+    chunks = [
+        chunked.filter(F.col("__chunk") == i).drop("__chunk")
+        for i in range(1, n_chunks + 1)
+    ]
+    path = write_replay_chunks(spark, sf_dir, "events_replay", chunks)
+    chunked.unpersist()
+    return path
+
+
+def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Streaming scan of the replay directory, one chunk file per
+    micro-batch (maxFilesPerTrigger=1) so the batch sequence is the chunk
+    sequence."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, sf_dir: str, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DataFrame with Trigger.AvailableNow into an
+    in-memory sink and return the collected result as a batch DataFrame.
+
+    availableNow processes every file already present then stops — the
+    bounded-replay trigger that makes streaming results deterministic and
+    therefore oracle-checkable (SURVEY.md §3.4/§5.2.3).
+    """
+    spark = stream_df.sparkSession
+    checkpoint = _scratch(sf_dir, f"{name}_ckpt")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
