@@ -1,0 +1,419 @@
+"""Deduplication operators (SURVEY.md §2.10, LLM-1..LLM-3 + SimHash /
+n-gram-Jaccard variants) — the training-data-pipeline dedup suite.
+
+Scale design: every variant follows the same blocked shape —
+  per-doc signature (narrow, embarrassingly parallel, JVM-side)
+  → candidate generation by equality on a blocking key (one shuffle,
+    no all-pairs explosion)
+  → exact verification only on candidates (bounded cross product).
+At 100 TB the signature pass streams, the bucket join shuffles signatures
+(≈64 B/doc, not documents), and verification touches only near-duplicate
+candidates. An UNBLOCKED pairwise comparison is quadratic and never runs
+here — the O(n²) form exists only in the DuckDB oracles at sf0.01.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared text → shingle plumbing (all JVM-side higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+def normalized_words(text: Column) -> Column:
+    """lower + whitespace-split (the one tokenization every dedup/text
+    operator shares, mirrored exactly by string_split_regex in oracles)."""
+    return F.split(F.lower(text), r"\s+")
+
+
+def word_shingles(words: Column, k: int) -> Column:
+    """Distinct k-word shingles. Caller must pre-filter size(words) >= k."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+
+
+def _docs_with_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = normalized_words(F.col("text"))
+    return (
+        docs.withColumn("__words", words)
+        .filter(F.size("__words") >= k)
+        .withColumn("shingles", word_shingles(F.col("__words"), k))
+        .select("doc_id", "lang", "shingles")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+# ---------------------------------------------------------------------------
+# LLM-1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_exact_dedup",
+    survey_id="LLM-1",
+    oracle=r"""
+        SELECT MIN(doc_id)  AS doc_id,
+               md5(norm_key) AS key_md5,
+               COUNT(*)      AS n_dups
+        FROM (
+            SELECT doc_id,
+                   substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 40)
+                       AS norm_key
+            FROM documents
+        )
+        GROUP BY norm_key
+    """,
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower/trim/collapse-whitespace) → md5 key →
+    keep lowest doc_id per key. Keyed on the 40-char normalized prefix
+    because the corpus has no full-text exact duplicates (FIXTURES.md) but
+    does have shared prefixes — ~23 multi-doc groups at sf0.01.
+
+    Scale: groupBy on the hash key = one shuffle of (key, doc_id) pairs
+    only; the min-id representative needs no window/sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 1, 40
+    )
+    return (
+        docs.select("doc_id", F.md5(norm_key).alias("key_md5"))
+        .groupBy("key_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "key_md5", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-2: MinHash + LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 8
+N_PERM = 64
+N_BANDS = 16  # 16 bands x 4 rows: P(candidate) at J=0.8 is 1-(1-0.8^4)^16 ≈ 0.9997
+ROWS_PER_BAND = N_PERM // N_BANDS
+JACCARD_TAU = 0.8
+_MERSENNE = 2147483647  # 2^31-1: keeps a*h+b < 2^62, safe under ANSI overflow checks
+
+_rng = random.Random(42)
+_PERM_AB = [(_rng.randrange(1, _MERSENNE), _rng.randrange(0, _MERSENNE)) for _ in range(N_PERM)]
+
+
+def shingle_base_hashes(shingles: Column) -> Column:
+    """xxhash64(shingle) mod 2^31-1 per shingle — computed ONCE and reused
+    by all N_PERM permutations (inlining it into each signature column would
+    redo the string hashing 64×)."""
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_cols(base: Column) -> list[Column]:
+    """N_PERM minhash values over pre-hashed shingles: the classic
+    (a*h+b) mod p permutation family, min-reduced per permutation.
+    Everything is codegen'd JVM array math — no Python in the loop."""
+    return [
+        F.array_min(
+            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
+        ).alias(f"sig_{p}")
+        for p, (a, b) in enumerate(_PERM_AB)
+    ]
+
+
+def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
+    """LSH banding: signature → N_BANDS band keys; docs sharing any band key
+    become a candidate pair (equality join on the band key — the blocking
+    step that replaces the quadratic all-pairs scan)."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(band)),
+                *[
+                    F.col(f"sig_{band * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    buckets = with_sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → signature → band-bucket join →
+    exact-Jaccard verification of candidates at threshold tau."""
+    # __base is materialized INSIDE the cache: Catalyst's CollapseProject
+    # would otherwise re-inline the alias into each of the 64 signature
+    # columns and redo the string hashing per permutation.
+    shingled = (
+        _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+        .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+        .cache()
+    )
+    with_sigs = shingled.select("doc_id", *minhash_signature_cols(F.col("__base")))
+    candidates = minhash_candidate_pairs(with_sigs)
+    sh = shingled.select("doc_id", "shingles")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+_NGRAM_ORACLE_TEMPLATE = r"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_distinct(list_transform(range(len(w) - {km1}),
+                       i -> array_to_string(w[i+1:i+{k}], ' '))) AS sh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {k}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id {block}
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {tau}
+"""
+
+
+@query(
+    "llm_minhash_near_dup_pairs",
+    survey_id="LLM-2",
+    oracle=_NGRAM_ORACLE_TEMPLATE.format(k=SHINGLE_K, km1=SHINGLE_K - 1, tau=JACCARD_TAU, block=""),
+)
+def llm_minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection (8-word shingles, 64 perms, 16×4
+    banding, verify J ≥ 0.8). The oracle is the brute-force O(n²) pairwise
+    Jaccard — feasible only at oracle scale; matching it exactly proves the
+    LSH stage has 100% recall on this corpus's 25 planted near-dup pairs
+    (expected: miss probability ≤ 2e-4 per pair at J=0.8)."""
+    return minhash_near_dup_pairs(spark, sf_dir)
+
+
+@query(
+    "llm_ngram_jaccard_dedup",
+    survey_id="LLM-2",
+    oracle=_NGRAM_ORACLE_TEMPLATE.format(k=4, km1=3, tau=0.6, block="AND a.lang = b.lang"),
+)
+def llm_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (4-word shingle) Jaccard dedup with language blocking:
+    candidate pairs are generated only within a lang partition (the
+    practical blocking when a corpus carries partition metadata), then
+    exact-verified at J ≥ 0.6. One shuffle on lang; the per-block cross
+    join is bounded by block size — choose finer blocks (lang × length
+    bucket × source) as blocks grow."""
+    shingled = _docs_with_shingles(spark, sf_dir, 4)
+    a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), F.col("shingles").alias("sh_a"))
+    b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, (F.col("lang_a") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (rows-only: no cross-engine 64-bit hash exists)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_MAX_HAMMING = 6
+_SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: Hamming<=6 pairs share >=1 chunk if diffs cluster; standard blocking
+
+
+@query("llm_simhash_near_dup", survey_id="LLM-2", oracle=None)
+def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 64-bit signature = sign of the
+    per-bit sum of ±1 votes from xxhash64(word) over each doc's words;
+    candidates block on 16-bit signature chunks; verify by Hamming ≤ 6
+    (bit_count(xor)). Rows-only check — Spark's xxhash64 has no DuckDB
+    twin (SURVEY §5.3); semantic assertions (planted near-dups found,
+    no self-pairs) live in tests/test_llm_semantics.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("word")
+    ).withColumn("h", F.xxhash64("word"))
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"bit_{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    lo = sum(
+        (F.when(F.col(f"bit_{i}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i) for i in range(32)),
+        F.lit(0),
+    )
+    hi = sum(
+        (F.when(F.col(f"bit_{i + 32}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << i) for i in range(32)),
+        F.lit(0),
+    )
+    sigs = bit_sums.select(
+        "doc_id", lo.cast("bigint").alias("sim_lo"), hi.cast("bigint").alias("sim_hi")
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("sim_lo" if c < 2 else "sim_hi"), (c % 2) * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for c in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo"))
+    ) + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-3: dedup clustering (connected components, min-id propagation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 6
+) -> DataFrame:
+    """Min-id label propagation over an edge list until fixpoint (bounded).
+
+    Returns (node, cluster_id) where cluster_id = min node id reachable.
+    Each iteration is one join + one groupBy (two shuffles); max_iter bounds
+    worst-case long chains — near-dup clusters are shallow (diameter ≤ 3
+    here), and at scale this is the standard large-star/small-star loop
+    without the GraphFrames dependency. Iterations run to a fixed bound
+    rather than a convergence count() so the job graph is static.
+
+    Lineage control is load-bearing for ANY iterative DataFrame loop: the
+    edge list is materialized once (cache) and each iteration's labels are
+    localCheckpoint'ed, otherwise the plan doubles per iteration and Spark
+    re-executes the (expensive) upstream candidate-pair pipeline 2^k times.
+    On a real cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` instead of localCheckpoint for fault tolerance.
+    """
+    bidir = (
+        edges.selectExpr(f"{src} AS n1", f"{dst} AS n2")
+        .unionByName(edges.selectExpr(f"{dst} AS n1", f"{src} AS n2"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bidir.select(F.col("n1").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.n1 == labels.node)
+            .groupBy(F.col("n2").alias("node2"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+_CLUSTER_ORACLE = r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - 7),
+                       i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 8
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+        ), edges AS (
+            SELECT doc_a AS n1, doc_b AS n2 FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ), reach (src, node) AS (
+            SELECT n1, n1 FROM edges
+            UNION
+            SELECT r.src, e.n2 FROM reach r JOIN edges e ON r.node = e.n1
+        )
+        SELECT node AS doc_id, MIN(src) AS cluster_id
+        FROM reach GROUP BY node
+"""
+
+
+@query("llm_dedup_clusters", survey_id="LLM-3", oracle=_CLUSTER_ORACLE)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs (J ≥ 0.8) → connected components
+    → (doc_id, cluster_id = min doc id in component). The oracle recomputes
+    components via a DuckDB recursive-CTE transitive closure over the same
+    brute-force pair list."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

@@ -1,0 +1,244 @@
+"""Embedding similarity search (SURVEY.md §2.10, LLM-4..LLM-6).
+
+Two paths, as a 100 TB engine must have:
+- EXACT (llm_topk_cosine): blocked brute force — correct, quadratic;
+  the baseline and the verifier for the approximate path. Only viable
+  within a bounded block.
+- APPROXIMATE (llm_lsh_ann_topk): random-hyperplane LSH buckets restrict
+  the candidate set before any pairwise work, the only shape that
+  survives n in the billions. Recall vs. the exact path is asserted in
+  tests (there is no exact oracle for an approximate operator).
+
+All vector math is JVM-side (zip_with/aggregate over ArrayType with
+double accumulation) — no Python worker in the hot path. An IVF variant
+(k-means coarse quantizer → probe nearest cells) is the other standard
+scale path; LSH is implemented here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+from .dedup import connected_components
+
+EMBED_DIM = 64
+TOP_K = 3
+NEAR_DUP_COS = 0.45  # calibrated: 7-14 pairs exist at this threshold
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product with double accumulation (float32 inputs widen exactly;
+    left-to-right fold matches DuckDB's list accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _vectors(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias(f"{prefix}_id"),
+        F.col("embedding").alias(f"{prefix}_vec"),
+        l2_norm(F.col("embedding")).alias(f"{prefix}_norm"),
+    )
+
+
+@query(
+    "llm_topk_cosine",
+    survey_id="LLM-4",
+    oracle=f"""
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                     b.vec_id
+        ) <= {TOP_K}
+    """,
+)
+def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per vector: brute-force pairs + per-key rank.
+
+    Ranking runs on the ROUNDED similarity with vec_id tiebreak on BOTH
+    engines, so last-ulp differences in the dot product can never reorder
+    the cut (SURVEY §5.3 determinism discipline applied to floats-as-keys).
+    Scale note: this is the in-block kernel — at 100 TB it runs per LSH
+    bucket / IVF cell, never globally.
+    """
+    a = _vectors(spark, sf_dir, "src")
+    b = _vectors(spark, sf_dir, "nbr")
+    sim = F.round(
+        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
+        6,
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn("cos_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim")
+    )
+
+
+# --- approximate path -------------------------------------------------------
+
+N_HYPERPLANES = 8  # 256 buckets per table
+N_TABLES = 2  # union of 2 independent tables recovers most near neighbors
+
+_rng = random.Random(7)
+_HYPERPLANES: list[list[list[float]]] = [
+    [[_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(N_HYPERPLANES)]
+    for _ in range(N_TABLES)
+]
+
+
+def lsh_bucket(vec: Column, table_idx: int) -> Column:
+    """Random-hyperplane signature: bit h = sign(vec · r_h); 8 bits → a
+    bucket id in [0, 256). Hyperplanes are seed-pinned module constants, so
+    bucketing is deterministic across sessions and engines."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in _HYPERPLANES[table_idx][h]])) > 0, 1
+        ).otherwise(0)
+        * (1 << h)
+        for h in range(N_HYPERPLANES)
+    ]
+    bucket = bits[0]
+    for bit in bits[1:]:
+        bucket = bucket + bit
+    return bucket
+
+
+@query("llm_lsh_ann_topk", survey_id="LLM-5", oracle=None)
+def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates = pairs sharing an LSH bucket in any
+    of 2 hyperplane tables; exact cosine + rank only within candidates.
+
+    Quadratic work drops to sum of squared bucket sizes (~n²/256 per
+    table). Rows-only check; recall@k vs llm_topk_cosine is asserted in
+    tests/test_llm_semantics.py — the correct check for an ANN operator.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("norm"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_", F.lit(str(t)), lsh_bucket(F.col("embedding"), t).cast("string")
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_vec"),
+        F.col("norm").alias("src_norm"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        F.col("norm").alias("nbr_norm"),
+        "bucket",
+    )
+    sim = F.round(
+        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
+        6,
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", sim.alias("cos_sim"))
+        .distinct()  # a pair can collide in both tables
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim")
+    )
+
+
+@query(
+    "llm_embedding_near_dup",
+    survey_id="LLM-4/LLM-6",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEAR_DUP_COS}
+    """,
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45): the semantic
+    twin of MinHash near-dup — same blocked-pairs shape, metric swapped.
+    Threshold filter applies to the UNROUNDED value on both engines; only
+    the reported column is rounded."""
+    a = _vectors(spark, sf_dir, "a")
+    b = _vectors(spark, sf_dir, "b")
+    cos = dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= NEAR_DUP_COS)
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("b_id").alias("vec_b"),
+            F.round("__cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "llm_semantic_dedup",
+    survey_id="LLM-6",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEAR_DUP_COS}
+        ), edges AS (
+            SELECT va AS n1, vb AS n2 FROM pairs
+            UNION
+            SELECT vb, va FROM pairs
+        ), reach (src, node) AS (
+            SELECT n1, n1 FROM edges
+            UNION
+            SELECT r.src, e.n2 FROM reach r JOIN edges e ON r.node = e.n1
+        )
+        SELECT node AS vec_id, MIN(src) AS cluster_id
+        FROM reach GROUP BY node
+    """,
+)
+def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: embedding near-dup pairs → connected components →
+    (vec_id, cluster_id = min member id). Composition of llm_embedding_
+    near_dup + the LLM-3 clustering operator; oracle recomputes components
+    with a recursive-CTE transitive closure."""
+    pairs = llm_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    return connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), "cluster_id"
+    )

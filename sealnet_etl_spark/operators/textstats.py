@@ -1,0 +1,360 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.10,
+LLM-7..LLM-9 + language-ID, token counting, fingerprinting).
+
+Everything here is a narrow projection or a partial-aggregated group-by of
+JVM-side expressions — per-document work parallelizes embarrassingly, and
+corpus-level statistics (doc frequencies, histograms) shuffle only
+(term, count) pairs. No Python UDF appears on any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load_table
+from .dedup import normalized_words, word_shingles
+
+
+@query(
+    "llm_text_stats",
+    survey_id="LLM-7",
+    oracle=r"""
+        SELECT doc_id,
+               len(w)                                        AS n_words,
+               length(text)                                  AS n_chars,
+               ROUND(list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                     / len(w)::DOUBLE, 6)                    AS avg_word_len,
+               len(list_distinct(w))                         AS n_distinct_words,
+               ROUND(len(list_distinct(w)) / len(w)::DOUBLE, 6) AS type_token_ratio
+        FROM (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w
+              FROM documents)
+    """,
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: word/char counts, mean word length, type-token
+    ratio — the per-doc half of a corpus quality report."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.length("text").alias("n_chars"),
+        F.round(total_len / F.size(w).cast("double"), 6).alias("avg_word_len"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.round(
+            F.size(F.array_distinct(w)) / F.size(w).cast("double"), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "llm_corpus_stats",
+    survey_id="LLM-7",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*)                 AS n_docs,
+               ROUND(AVG(n_chars), 6)   AS avg_chars,
+               SUM(n_chars)             AS total_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+)
+def llm_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level histogram: docs / chars per (lang, source) — the
+    partition-level bookkeeping every corpus pipeline reports."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "llm_tfidf",
+    survey_id="LLM-8",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (doc, term) without MLlib: explode → tf counts →
+    doc-frequency join → smoothed idf. The df table is tiny (vocabulary),
+    so its join broadcasts; only (doc, term) pairs shuffle. count(docs) is
+    computed distributedly and joined as a 1-row broadcast, not collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+QUALITY_LANGS = ("en", "fr", "es", "de")
+MIN_WORDS, MAX_WORDS = 20, 1000
+MAX_REPETITION = 0.2
+MIN_AVG_WLEN, MAX_AVG_WLEN = 3.0, 12.0
+
+
+@query(
+    "llm_quality_filter",
+    survey_id="LLM-9",
+    oracle=rf"""
+        WITH feats AS (
+            SELECT doc_id, lang,
+                   len(w) AS n_words,
+                   list_aggregate(list_transform(w, x -> len(x)), 'sum')
+                       / len(w)::DOUBLE AS awl,
+                   1.0 - len(list_distinct(g))::DOUBLE / len(g) AS rep3
+            FROM (
+                SELECT doc_id, lang, w,
+                       list_transform(range(len(w) - 2),
+                           i -> array_to_string(w[i+1:i+3], ' ')) AS g
+                FROM (SELECT doc_id, lang,
+                             string_split_regex(lower(text), '\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 3
+            )
+        )
+        SELECT doc_id,
+               n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}            AS len_ok,
+               lang IN ('en', 'fr', 'es', 'de')                       AS lang_ok,
+               rep3 <= {MAX_REPETITION}                               AS repetition_ok,
+               awl BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}          AS word_len_ok,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+                 AND lang IN ('en', 'fr', 'es', 'de')
+                 AND rep3 <= {MAX_REPETITION}
+                 AND awl BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}    AS keep
+        FROM feats
+    """,
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gates: length bounds, language allowlist, repeated
+    3-gram ratio, mean word length — each gate reported separately plus the
+    conjunction, so downstream can audit why a doc dropped."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    feats = (
+        docs.withColumn("__w", w)
+        .filter(F.size("__w") >= 3)
+        .withColumn("__g", word_shingles(F.col("__w"), 3))
+        # word_shingles dedups; repetition needs the full 3-gram list:
+        .withColumn(
+            "__g_all",
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, 3)),
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("__w").alias("n_words"),
+            (
+                F.aggregate(
+                    F.transform(F.col("__w"), lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                )
+                / F.size("__w").cast("double")
+            ).alias("awl"),
+            (
+                1.0
+                - F.size(F.array_distinct("__g_all")).cast("double")
+                / F.size("__g_all")
+            ).alias("rep3"),
+        )
+    )
+    len_ok = F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+    lang_ok = F.col("lang").isin(*QUALITY_LANGS)
+    rep_ok = F.col("rep3") <= MAX_REPETITION
+    wlen_ok = F.col("awl").between(MIN_AVG_WLEN, MAX_AVG_WLEN)
+    return feats.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        lang_ok.alias("lang_ok"),
+        rep_ok.alias("repetition_ok"),
+        wlen_ok.alias("word_len_ok"),
+        (len_ok & lang_ok & rep_ok & wlen_ok).alias("keep"),
+    )
+
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic. Order fixes the argmax tiebreak.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "a"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "de", "y"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "le", "shi", "he"),
+}
+
+
+@query(
+    "llm_lang_id",
+    survey_id="LLM-7",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(w, x -> x IN ('the','and','of','a')))   AS c_en,
+                   len(list_filter(w, x -> x IN ('der','die','und','das'))) AS c_de,
+                   len(list_filter(w, x -> x IN ('el','la','de','y')))     AS c_es,
+                   len(list_filter(w, x -> x IN ('le','la','et','les')))   AS c_fr,
+                   len(list_filter(w, x -> x IN ('de','le','shi','he')))   AS c_zh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents)
+        )
+        SELECT doc_id, labeled_lang,
+               CASE WHEN c_en >= GREATEST(c_de, c_es, c_fr, c_zh) THEN 'en'
+                    WHEN c_de >= GREATEST(c_es, c_fr, c_zh)       THEN 'de'
+                    WHEN c_es >= GREATEST(c_fr, c_zh)             THEN 'es'
+                    WHEN c_fr >= c_zh                             THEN 'fr'
+                    ELSE 'zh' END AS guessed_lang,
+               c_en + c_de + c_es + c_fr + c_zh AS n_marker_hits
+        FROM scored
+    """,
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic: count per-language marker
+    words, argmax with a fixed preference order for ties. NOTE: the test
+    corpus is synthetic English-vocabulary salad for every lang label, so
+    the guess is mechanically correct but semantically degenerate here —
+    on real multilingual text the same operator separates languages; the
+    oracle verifies the scoring/argmax machinery exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    counts = {
+        lang: F.size(F.filter(w, lambda x: x.isin(*markers))).alias(f"c_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", F.col("lang").alias("labeled_lang"), *counts.values())
+    guess = (
+        F.when(
+            F.col("c_en") >= F.greatest("c_de", "c_es", "c_fr", "c_zh"), "en"
+        )
+        .when(F.col("c_de") >= F.greatest("c_es", "c_fr", "c_zh"), "de")
+        .when(F.col("c_es") >= F.greatest("c_fr", "c_zh"), "es")
+        .when(F.col("c_fr") >= F.col("c_zh"), "fr")
+        .otherwise("zh")
+    )
+    total = sum(
+        (F.col(f"c_{lang}") for lang in list(LANG_MARKERS)[1:]),
+        F.col(f"c_{list(LANG_MARKERS)[0]}"),
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        guess.alias("guessed_lang"),
+        total.alias("n_marker_hits"),
+    )
+
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "llm_token_count",
+    survey_id="LLM-7",
+    oracle=rf"""
+        SELECT doc_id,
+               len(string_split_regex(lower(text), '\s+'))          AS ws_tokens,
+               len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS bpe_ish_tokens,
+               ROUND(length(text)::DOUBLE
+                     / len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')), 6)
+                   AS chars_per_token
+        FROM documents
+    """,
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / symbols) — the budget
+    estimator every training-data pipeline runs before tokenizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    bpe_ish = F.regexp_count(lower, F.lit(TOKEN_PATTERN))
+    return docs.select(
+        "doc_id",
+        F.size(normalized_words(F.col("text"))).alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+        F.round(F.length("text").cast("double") / bpe_ish, 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+FINGERPRINT_K = 4
+FINGERPRINT_SKETCH = 5
+
+
+@query(
+    "llm_fingerprint",
+    survey_id="LLM-7",
+    oracle=rf"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(len(w) - {FINGERPRINT_K - 1}),
+                       i -> array_to_string(w[i+1:i+{FINGERPRINT_K}], ' ')))) AS shingle
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {FINGERPRINT_K}
+        ), hashed AS (
+            SELECT doc_id, md5(shingle) AS h FROM sh
+        )
+        SELECT doc_id,
+               MIN(h)                                   AS fingerprint,
+               list_sort(list(h))[1:{FINGERPRINT_SKETCH}] AS sketch
+        FROM hashed GROUP BY doc_id
+    """,
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (winnowing-lite): hash every 4-word shingle
+    with md5, keep the lexicographic min as the fingerprint plus the 5
+    smallest as a sketch. Two docs sharing a fingerprint almost surely
+    share content; the sketch gives a containment estimate. md5 (not
+    xxhash64) keeps the oracle cross-engine (SURVEY §5.3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    shingled = (
+        docs.withColumn("__w", w)
+        .filter(F.size("__w") >= FINGERPRINT_K)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(F.col("__w"), FINGERPRINT_K)).alias("shingle"),
+        )
+        .withColumn("h", F.md5("shingle"))
+    )
+    return shingled.groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.slice(F.sort_array(F.collect_list("h")), 1, FINGERPRINT_SKETCH).alias(
+            "sketch"
+        ),
+    )

@@ -83,7 +83,12 @@ def src_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     )
     customer.write.mode("overwrite").option("header", True).csv(path)
-    return read_csv_quarantine(spark, path).where(F.col("_corrupt").isNull()).select(
+    # cache() materializes the parsed rows: Spark refuses plans whose pruned
+    # column set is ONLY the corrupt-record column (e.g. a count() over this
+    # query), per the documented UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD
+    # restriction on raw CSV scans.
+    parsed = read_csv_quarantine(spark, path).cache()
+    return parsed.where(F.col("_corrupt").isNull()).select(
         "c_custkey", "c_name", "c_mktsegment", "acctbal"
     )
 
