@@ -74,28 +74,62 @@ def _vectors(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     """,
 )
 def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k per vector: brute-force pairs + per-key rank.
+    """Exact cosine top-k per vector: broadcast-corpus blocked matmul.
 
-    Ranking runs on the ROUNDED similarity with vec_id tiebreak on BOTH
-    engines, so last-ulp differences in the dot product can never reorder
-    the cut (SURVEY §5.3 determinism discipline applied to floats-as-keys).
-    Scale note: this is the in-block kernel — at 100 TB it runs per LSH
-    bucket / IVF cell, never globally.
+    The corpus matrix (n×64 float64) ships to every executor as a broadcast
+    variable; the query side stays a distributed DataFrame and each Arrow
+    batch computes Q @ Mᵀ with BLAS inside ``mapInPandas`` — the brute-force
+    cross join with a per-pair Catalyst fold evaluates the same 64-dim dot
+    n² times in interpreted expression code and is ~30× slower at sf0.1.
+
+    Determinism: ranking uses the ROUNDED similarity with vec_id tiebreak on
+    BOTH engines (corpus columns sorted by vec_id + stable argsort here,
+    ORDER BY round DESC, vec_id in the oracle), so last-ulp differences in
+    accumulation order can never reorder the cut (SURVEY §5.3).
+
+    Scale note (100 TB): a single broadcast bounds the corpus side to
+    executor memory (~10⁷ × 64d doubles ≈ 5 GB). Beyond that, tile the
+    corpus: run this operator once per corpus tile and keep the best k per
+    src across tiles with one final per-key top-k — or block with LSH/IVF
+    first (llm_lsh_ann_topk) so each src only scores its candidate cells.
     """
-    a = _vectors(spark, sf_dir, "src")
-    b = _vectors(spark, sf_dir, "nbr")
-    sim = F.round(
-        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
-        6,
-    )
-    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .withColumn("cos_sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("src_id", "nbr_id", "cos_sim")
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.orderBy("vec_id").collect()  # corpus tile -> driver -> broadcast
+    ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
+    mat = np.array([r.embedding for r in corpus], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def topk_batches(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = np.round(q @ b_mat.T / (qn[:, None] * b_norms[None, :]), 6)
+            # stable argsort + id-sorted corpus columns == (cos DESC, id ASC)
+            order = np.argsort(-cos, axis=1, kind="stable")
+            src_ids = pdf["vec_id"].to_numpy()
+            out_src, out_nbr, out_cos = [], [], []
+            for row, src in enumerate(src_ids):
+                taken = 0
+                for j in order[row]:
+                    if b_ids[j] == src:
+                        continue
+                    out_src.append(src)
+                    out_nbr.append(b_ids[j])
+                    out_cos.append(cos[row, j])
+                    taken += 1
+                    if taken == TOP_K:
+                        break
+            yield pd.DataFrame(
+                {"src_id": out_src, "nbr_id": out_nbr, "cos_sim": out_cos}
+            )
+
+    return emb.mapInPandas(
+        topk_batches, "src_id bigint, nbr_id bigint, cos_sim double"
     )
 
 
