@@ -1,0 +1,104 @@
+"""Semantic assertions for the LLM-pipeline operators that have no exact
+SQL oracle (SURVEY.md §2.10): an ANN operator is judged by recall against
+the exact operator, a SimHash detector by whether it finds the corpus's
+planted near-duplicates, clustering by graph invariants — not by hash
+equality, which is the wrong contract for approximate algorithms.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sealnet_etl_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, queries):
+    return {
+        (r.src_id, r.nbr_id) for r in queries["llm_topk_cosine"](spark, SF_DIR).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def minhash_pairs(spark, queries):
+    return {
+        (r.doc_a, r.doc_b)
+        for r in queries["llm_minhash_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+
+
+def test_lsh_ann_recall(spark, queries, exact_topk):
+    """Multi-probe LSH must recover a meaningful fraction of the exact
+    top-3 graph. The corpus is near-random (mean top-3 cosine ≈ 0.37 — the
+    hardest regime for LSH); measured recall with the seed-pinned
+    hyperplanes is ≈ 0.55, asserted with margin. Also: ANN output must be a
+    subset of legal pairs (no self-pairs, ≤ k per src)."""
+    ann_rows = queries["llm_lsh_ann_topk"](spark, SF_DIR).collect()
+    ann = {(r.src_id, r.nbr_id) for r in ann_rows}
+    assert all(s != n for s, n in ann)
+    per_src: dict[int, int] = {}
+    for s, _ in ann:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert max(per_src.values()) <= 3
+    recall = len(exact_topk & ann) / len(exact_topk)
+    assert recall >= 0.40, f"ANN recall collapsed: {recall:.3f}"
+
+
+def test_simhash_finds_planted_near_dups(spark, queries, minhash_pairs):
+    """The corpus plants ~25 near-dup pairs (8-shingle Jaccard ≥ 0.8,
+    verified exactly by the MinHash query's oracle). SimHash at Hamming ≤ 6
+    is a different signal but must agree on almost all of them; its output
+    must be canonical (doc_a < doc_b, no duplicates)."""
+    rows = queries["llm_simhash_near_dup"](spark, SF_DIR).collect()
+    simhash = {(r.doc_a, r.doc_b) for r in rows}
+    assert len(simhash) == len(rows), "duplicate pairs emitted"
+    assert all(a < b for a, b in simhash)
+    covered = len(minhash_pairs & simhash)
+    assert covered >= int(0.8 * len(minhash_pairs)), (
+        f"SimHash found {covered}/{len(minhash_pairs)} planted near-dup pairs"
+    )
+
+
+def test_dedup_clusters_are_consistent(spark, queries, minhash_pairs):
+    """Connected-components invariants: every doc in a near-dup pair is
+    labeled, both endpoints of every edge share a label, and each cluster's
+    id is its own minimum member (deterministic representative)."""
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in queries["llm_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for node, cid in labels.items():
+        members.setdefault(cid, []).append(node)
+    for a, b in minhash_pairs:
+        assert labels[a] == labels[b], f"edge ({a},{b}) split across clusters"
+    for cid, nodes in members.items():
+        assert cid == min(nodes), f"cluster {cid} is not its min member"
+
+
+def test_multimodal_plumbing(spark, queries):
+    """LLM-10 is graded on the Spark-side plumbing (schema, binary column,
+    batch shape), not on actual decoding, which is stubbed (no image libs
+    in this container). Assert the contract: one row per file, binary
+    content is non-empty, extracted metadata columns are typed."""
+    df = queries["llm_multimodal_features"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == 10  # one row per parquet file in the sf dir
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["n_bytes"] == "bigint"
+    assert schema["head_hex"] == "string"
+    assert all(r.n_bytes > 0 and len(r.head_hex) == 16 for r in rows)
+    assert {r.file_name for r in rows} == {
+        f"{t}.parquet"
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+    }
