@@ -21,6 +21,58 @@ from ..registry import query
 from ..sources import load_table
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of join (nearest right.ts ≤ left.ts per key), left-outer semantics.
+
+    Spark has no native ASOF; this is the union-window composition: tag both
+    sides, union, sort within key by (ts, tag) — right rows sort before left
+    rows at equal ts so "at/before" is inclusive — then carry the most
+    recent right values forward with last(ignorenulls) and keep left rows.
+
+    Cost: ONE shuffle on the key + one ordered window pass, O(n log n) per
+    key group — no range-join candidate explosion. The caller must ensure
+    the right side has one row per (key, ts) (pre-aggregate ties) or the
+    carried value at a tied timestamp is whichever sorted last.
+
+    Left columns pass through; each value col arrives as ``asof_<name>``.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged_left.unionByName(tagged_right)
+    for c in value_cols:
+        out = out.withColumn(
+            f"asof_{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
+        )
+    return out.filter(F.col("__is_left") == 1).select(
+        *lcols, *[f"asof_{c}" for c in value_cols]
+    )
+
+
 @query(
     "jn_inner_equi",
     survey_id="JN-1",
@@ -216,40 +268,24 @@ def jn_asof_event_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest_order = orders.groupBy("o_custkey", "o_orderdate").agg(
         F.max("o_orderkey").alias("o_orderkey")
     )
-    left = events.select(
-        F.col("user_id").alias("k"),
-        F.col("ts"),
-        F.lit(1).alias("is_event"),
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        latest_order.select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ots"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        ),
+        key="user_id",
+        left_ts="ts",
+        right_ts="ots",
+        value_cols=["orderkey", "orderdate"],
+    )
+    return joined.select(
         "event_id",
-        F.lit(None).cast("bigint").alias("r_orderkey"),
-        F.lit(None).cast("timestamp").alias("r_orderdate"),
-    )
-    right = latest_order.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.col("o_orderkey").alias("r_orderkey"),
-        F.col("o_orderdate").alias("r_orderdate"),
-    )
-    # Orders sort before events at equal ts (is_event asc) → "at/before" is
-    # inclusive. The frame carries the most recent order columns forward.
-    w = (
-        Window.partitionBy("k")
-        .orderBy("ts", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        left.unionByName(right)
-        .withColumn("asof_orderkey", F.last("r_orderkey", ignorenulls=True).over(w))
-        .withColumn("asof_orderdate", F.last("r_orderdate", ignorenulls=True).over(w))
-        .filter(F.col("is_event") == 1)
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            "asof_orderkey",
-            "asof_orderdate",
-        )
+        "user_id",
+        F.col("asof_orderkey").alias("asof_orderkey"),
+        F.col("asof_orderdate").alias("asof_orderdate"),
     )
 
 

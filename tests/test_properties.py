@@ -1,0 +1,224 @@
+"""Property/randomized tests (SURVEY.md §5.2.4): seeded adversarial
+micro-tables — nulls, duplicate keys, timestamp ties, empty groups, single
+rows — run through the engine's generic operator compositions and compared
+against an independent implementation (DuckDB SQL or plain Python).
+
+These catch exactly the drift the fixed testdata cannot: tie-break rules,
+inclusive/exclusive boundary semantics, empty-partition behavior.
+Hypothesis drives generation with a fixed derandomized profile so failures
+reproduce; example counts stay small because every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# --- as-of join --------------------------------------------------------------
+
+asof_inputs = st.tuples(
+    # left: (key, ts, id) — ids unique via index later
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=25
+    ),
+    # right: (key, ts, value)
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(100, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+
+
+@PROP_SETTINGS
+@given(asof_inputs)
+def test_asof_join_matches_duckdb(spark, data):
+    """asof_join == DuckDB ASOF LEFT JOIN for every generated table,
+    including: keys with no right rows (nulls), exact ts ties (inclusive
+    boundary), duplicate right (key, ts) pre-deduplicated to max value —
+    the same discipline the graded query uses."""
+    from sealnet_etl_spark.operators.joins import asof_join
+
+    left_rows, right_rows = data
+    left_rows = [(k, ts, i) for i, (k, ts) in enumerate(left_rows)]
+    # deterministic right side: one row per (key, ts), max value wins
+    dedup: dict[tuple[int, int], int] = {}
+    for k, ts, v in right_rows:
+        dedup[(k, ts)] = max(dedup.get((k, ts), -1), v)
+    right_rows = [(k, ts, v) for (k, ts), v in sorted(dedup.items())]
+
+    left = spark.createDataFrame(left_rows, "k int, ts int, row_id int")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k int, rts int, val int"
+    )
+    if not right_rows:
+        right = right.filter(F.col("k").isNotNull())
+    got = {
+        (r.row_id, r.asof_val)
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k INT, ts INT, row_id INT)")
+    con.execute("CREATE TABLE r (k INT, rts INT, val INT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left_rows)
+    if right_rows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+    want = set(
+        con.execute(
+            "SELECT l.row_id, r.val FROM l ASOF LEFT JOIN r"
+            " ON l.k = r.k AND l.ts >= r.rts"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --- keep-first dedup (WN-1 tie-break discipline) ----------------------------
+
+dedup_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.integers(0, 99)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@PROP_SETTINGS
+@given(dedup_rows)
+def test_keep_first_matches_duckdb(spark, rows):
+    """row_number keep-first with a TOTAL order (ord, then unique id) must
+    match DuckDB QUALIFY under arbitrary duplicate keys and tied orderings —
+    the §5.3 rule that every window orderBy carries a unique tiebreak."""
+    from pyspark.sql.window import Window
+
+    rows = [(k, o, i) for i, (k, o, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, ord int, uid int")
+    w = Window.partitionBy("k").orderBy(F.col("ord"), F.col("uid"))
+    got = {
+        tuple(r)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("k", "ord", "uid")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, ord INT, uid INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = set(
+        con.execute(
+            "SELECT k, ord, uid FROM t QUALIFY"
+            " ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord, uid) = 1"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --- gap sessionization ------------------------------------------------------
+
+session_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=1, max_size=30
+)
+
+
+@PROP_SETTINGS
+@given(session_rows)
+def test_sessionize_matches_duckdb(spark, rows):
+    """lag+cumsum sessionization (gap > 30) assigns the same session ids as
+    the identical SQL formulation in DuckDB — boundary case gap == 30 stays
+    in-session on both engines."""
+    from pyspark.sql.window import Window
+
+    rows = [(k, ts, i) for i, (k, ts) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, ts int, uid int")
+    w = Window.partitionBy("k").orderBy("ts", "uid")
+    got = {
+        tuple(r)
+        for r in df.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull() | (F.col("ts") - F.col("prev") > 30), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("k", "uid", "session_id")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k INT, ts INT, uid INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = set(
+        con.execute(
+            """
+            SELECT k, uid,
+                   SUM(new_s) OVER (PARTITION BY k ORDER BY ts, uid
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT k, ts, uid,
+                       CASE WHEN lag(ts) OVER (PARTITION BY k ORDER BY ts, uid)
+                                 IS NULL
+                              OR ts - lag(ts) OVER (PARTITION BY k ORDER BY ts, uid)
+                                 > 30
+                            THEN 1 ELSE 0 END AS new_s
+                FROM t
+            )
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --- connected components ----------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@PROP_SETTINGS
+@given(edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """Bounded min-id propagation == classic union-find on arbitrary graphs
+    (self-loops, parallel edges, long chains up to the iteration bound:
+    16 nodes → diameter ≤ 15 → ceil(log2)+slack iterations suffice)."""
+    from sealnet_etl_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(df, "a", "b", max_iter=5).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
