@@ -218,3 +218,59 @@ def ag_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_id", "ts").alias("last_event_id"),
         F.max_by("event_type", "ts").alias("last_event_type"),
     )
+
+
+@query(
+    "ag_grouping_sets",
+    survey_id="AG-5",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*)                   AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """,
+)
+def ag_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) with the
+    grouping_id bit-vector distinguishing aggregation levels — both engines
+    encode (status,priority)=0, (status)=1, ()=3 identically. Each set is
+    one pass over the partially-aggregated shuffle, not one scan per set."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id() AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders_v
+        GROUP BY o_orderstatus, o_orderpriority
+        GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    ).withColumn("gid", F.col("gid").cast("bigint"))
+
+
+@query(
+    "ag_embedding_centroids",
+    survey_id="AG-1/FN-6",
+    oracle="""
+        SELECT label, i - 1 AS dim, ROUND(AVG(embedding[i]), 6) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY label, i
+    """,
+)
+def ag_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, element-wise: posexplode the vector and
+    aggregate per (label, dim). The shuffle carries (label, dim, partial
+    sum/count) — 64 rows per label per map partition after partial agg, so
+    it scales with |labels|x|dims|, not with row count. The per-dimension
+    row shape (label, dim, centroid) is also what a downstream IVF/k-means
+    probe consumes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

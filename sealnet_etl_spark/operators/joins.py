@@ -339,3 +339,58 @@ def jn_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.o_custkey").alias("custkey"))
         .agg(F.count(F.lit(1)).alias("n_escalating_pairs"))
     )
+
+
+N_SALTS = 8
+
+
+@query(
+    "jn_salted_skew",
+    survey_id="JN-1",
+    oracle="""
+        SELECT s_name,
+               COUNT(*)                                            AS n_lines,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)   AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+)
+def jn_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: the skew-mitigation pattern for a hot key, verified to
+    produce exactly the plain-join result.
+
+    Fact rows get a deterministic salt in [0, 8) (hash of the row's unique
+    key — never rand(), which breaks retry/replay determinism); the dim
+    side is replicated once per salt value via a literal-range explode.
+    The join key becomes (key, salt), so one hot key's rows land on 8
+    partitions instead of one. AQE's OptimizeSkewedJoin handles moderate
+    skew without this; explicit salting is for the pathological key that
+    exceeds a single executor even after AQE splits. Replication cost =
+    |dim| x N_SALTS rows — only ever applied to the small side.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    salted_fact = lineitem.select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS)).alias(
+            "salt"
+        ),
+    )
+    replicated_dim = supplier.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(F.array(*[F.lit(i) for i in range(N_SALTS)])).alias("salt"),
+    )
+    return (
+        salted_fact.join(replicated_dim, ["salt"], "inner")
+        .filter(F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -197,3 +197,32 @@ def wn_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
         )
     )
+
+
+@query(
+    "wn_range_frame",
+    survey_id="WN-4",
+    oracle="""
+        SELECT event_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY epoch(ts::TIMESTAMP)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+                   AS rolling_1h_value
+        FROM events
+    """,
+)
+def wn_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the sum of event values in the
+    trailing hour — a true range frame over epoch seconds (every row whose
+    ts is within 3600s), not a row-count frame. Same single shuffle on
+    user_id as any window; the frame bound is evaluated on the sorted run."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts") / 1_000_000)
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
+    )
