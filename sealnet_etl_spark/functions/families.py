@@ -329,3 +329,35 @@ def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hash("text").alias("text_murmur3"),
         F.crc32(F.col("text").cast("binary")).alias("text_crc32"),
     )
+
+
+@query(
+    "fn_bitwise",
+    survey_id="FN-4",
+    oracle="""
+        SELECT event_id,
+               user_id & 255                AS and_mask,
+               user_id | 4096               AS or_flag,
+               xor(user_id, event_id)       AS xor_mix,
+               user_id << 4                 AS shl4,
+               user_id >> 2                 AS shr2,
+               bit_count(user_id)           AS popcount,
+               ~user_id                     AS complement
+        FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family — the flag-mask/bit-pack toolkit (SimHash LLM-2 and
+    the LSH probe keys build on these): and/or/xor, shifts, popcount,
+    complement. All JVM-codegen'd integer ops."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("and_mask"),
+        F.col("user_id").bitwiseOR(F.lit(4096)).alias("or_flag"),
+        F.col("user_id").bitwiseXOR(F.col("event_id")).alias("xor_mix"),
+        F.shiftleft("user_id", 4).alias("shl4"),
+        F.shiftright("user_id", 2).alias("shr2"),
+        F.bit_count("user_id").alias("popcount"),
+        F.bitwise_not("user_id").alias("complement"),
+    )

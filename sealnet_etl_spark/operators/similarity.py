@@ -290,3 +290,100 @@ def llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "vec_a", "vec_b").select(
         F.col("node").alias("vec_id"), "cluster_id"
     )
+
+
+# --- IVF (inverted-file) approximate path -----------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+@query("llm_ivf_ann_topk", survey_id="LLM-5", oracle=None)
+def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a trained coarse quantizer partitions the corpus into
+    cells; each query scores only its N_PROBE nearest cells.
+
+    The quantizer here is one k-means-lite step computed IN Spark (cells
+    seeded from a deterministic hash partition of the ids, then replaced by
+    their member centroid — one shuffle), rather than an offline training
+    job; the centroid table (16 x 64 doubles) broadcasts everywhere after
+    collection. Corpus vectors land in exactly one cell (their nearest
+    centroid); queries probe their 4 nearest cells, so recall fails only
+    when a true neighbor quantizes into the 12 unprobed cells.
+
+    Compared with multi-probe LSH (llm_lsh_ann_topk): IVF needs this
+    cheap training pass but gives data-adaptive cells — on clustered real
+    embeddings its recall/candidate curve dominates LSH; on this
+    near-random corpus they are comparable (recall floor asserted in
+    tests/test_llm_semantics.py). At 100 TB: centroids come from k-means
+    on a sample, the cell assignment is one narrow shuffle-free pass, and
+    per-cell candidate lists are the bucketed layout ANN serving reads.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # one k-means-lite refinement step, all in Spark: seed cell = id hash,
+    # centroid = mean of members (posexplode partial agg, |cells|x64 rows)
+    seeded = emb.withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(N_CELLS)))
+    centroids_df = (
+        seeded.select("cell", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    cent = np.zeros((N_CELLS, EMBED_DIM))
+    for r in centroids_df.collect():
+        cent[r.cell, r.dim] = r.c
+    cent_norm = np.sqrt((cent * cent).sum(axis=1))
+    cent_norm[cent_norm == 0.0] = 1.0
+    bc = spark.sparkContext.broadcast((cent, cent_norm))
+
+    def assign(batches, n_out: int):
+        c, cn = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            qn[qn == 0.0] = 1.0
+            sim = q @ c.T / (qn[:, None] * cn[None, :])
+            cells = np.argsort(-sim, axis=1, kind="stable")[:, :n_out]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_out),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(n_out)],
+                    "cell": cells.reshape(-1),
+                }
+            )
+
+    corpus = emb.mapInPandas(
+        lambda it: assign(it, 1), "vec_id bigint, embedding array<float>, cell bigint"
+    )
+    queries_side = emb.mapInPandas(
+        lambda it: assign(it, N_PROBE),
+        "vec_id bigint, embedding array<float>, cell bigint",
+    )
+    a = queries_side.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_vec"),
+        l2_norm(F.col("embedding")).alias("src_norm"),
+        "cell",
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        l2_norm(F.col("embedding")).alias("nbr_norm"),
+        "cell",
+    )
+    sim = F.round(
+        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
+        6,
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim")
+    )

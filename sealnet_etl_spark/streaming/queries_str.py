@@ -319,3 +319,59 @@ def str_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query_handle.awaitTermination()
     return spark.read.parquet(sink)
+
+
+@query(
+    "str_stream_stream_join",
+    survey_id="STR-7",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
+                                 AND p.ts::TIMESTAMP
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+)
+def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream inner join: purchases matched to the same user's
+    clicks in the trailing hour, both sides watermarked, with the time-range
+    join condition Spark needs to evict buffered rows from the StateStore.
+
+    Inner-join matches emit as soon as both rows arrive (append mode), so
+    the drained availableNow result equals the batch interval join exactly
+    — the oracle states it. State size = rows inside the watermark+range
+    horizon per side, not stream history; without the range condition the
+    buffers grow unbounded (the canonical stream-stream join mistake).
+    """
+    replay = events_replay_dir(spark, sf_dir)
+    purchases = (
+        read_events_stream(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        read_events_stream(spark, replay)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id")
+    return run_available_now(joined, sf_dir, "str_stream_stream_join")

@@ -51,6 +51,21 @@ def test_lsh_ann_recall(spark, queries, exact_topk):
     assert recall >= 0.40, f"ANN recall collapsed: {recall:.3f}"
 
 
+def test_ivf_ann_recall(spark, queries, exact_topk):
+    """IVF (4 of 16 cells probed) must hold its measured recall floor
+    (≈0.51 on this near-random corpus) and the same output contract as
+    every top-k operator: no self-pairs, ≤ k rows per src."""
+    rows = queries["llm_ivf_ann_topk"](spark, SF_DIR).collect()
+    ivf = {(r.src_id, r.nbr_id) for r in rows}
+    assert all(s != n for s, n in ivf)
+    per_src: dict[int, int] = {}
+    for s, _ in ivf:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert max(per_src.values()) <= 3
+    recall = len(exact_topk & ivf) / len(exact_topk)
+    assert recall >= 0.40, f"IVF recall collapsed: {recall:.3f}"
+
+
 def test_simhash_finds_planted_near_dups(spark, queries, minhash_pairs):
     """The corpus plants ~25 near-dup pairs (8-shingle Jaccard ≥ 0.8,
     verified exactly by the MinHash query's oracle). SimHash at Hamming ≤ 6

@@ -1,0 +1,145 @@
+"""Plan-shape assertions: the scale properties SCALE.md claims, locked in
+as tests. A regression that silently turns a broadcast star join into five
+shuffle joins, or un-pushes a scan filter, passes every value-correctness
+test — these catch it by inspecting the physical plan the way an engineer
+reads `.explain("formatted")`.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_star_join_is_all_broadcast(spark):
+    """q5's five-way star join must plan every dim join as broadcast: the
+    100 TB fact side never shuffles for a join (one exchange total, for the
+    final aggregation)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q5_revenue_by_nation"](spark, SF_DIR))
+    # formatted output lists each operator twice (tree line + detail block)
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_scan_is_pruned_and_pushed(spark):
+    """q1's lineitem scan must push the shipdate filter into parquet and
+    read only the 7 referenced columns of 16."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_comment" not in read_schema  # widest column stays unread
+
+
+def test_topk_plan_uses_take_ordered(spark):
+    """Global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition heaps), never a full global sort."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["srt_global_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Tables bucketed on the join key with equal bucket counts must join
+    with ZERO exchanges — the write-once-shuffle-never layout SCALE.md
+    prescribes for repeatedly-joined fact tables."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_customer")
+    (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        customer.select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("bkt_customer")
+    )
+    try:
+        joined = (
+            spark.table("bkt_orders")
+            .join(
+                spark.table("bkt_customer").hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_mktsegment")
+        )
+        plan = _formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it still returns the right rows
+        expected = orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_dynamic_partition_pruning(spark):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    partitions at runtime (DPP): the scan's partition filter carries a
+    dynamicpruning subquery, and only matching partitions are read."""
+    tmp = tempfile.mkdtemp(prefix="dpp_fact_")
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        fact = orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        fact.write.mode("overwrite").partitionBy("month").parquet(tmp)
+        # dim table with a selective predicate on a NON-key column: exactly
+        # the shape DPP rewrites into a runtime partition-filter subquery
+        # (a literal IN on the key would be static pruning instead)
+        months = sorted(
+            r.month for r in fact.select("month").distinct().collect()
+        )
+        dim = spark.createDataFrame(
+            [(m, 1 if i < 2 else 0) for i, m in enumerate(months)],
+            "month string, flag int",
+        )
+        dim.write.mode("overwrite").parquet(f"{tmp}_dim")
+        joined = (
+            spark.read.parquet(tmp)
+            .join(
+                F.broadcast(
+                    spark.read.parquet(f"{tmp}_dim").filter(F.col("flag") == 1)
+                ),
+                "month",
+            )
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = _formatted_plan(joined)
+        assert "dynamicpruning" in plan.lower(), plan
+        assert joined.count() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(f"{tmp}_dim", ignore_errors=True)
