@@ -139,8 +139,16 @@ def minhash_signature_cols(base: Column) -> list[Column]:
 
 def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     """LSH banding: signature → N_BANDS band keys; docs sharing any band key
-    become a candidate pair (equality join on the band key — the blocking
-    step that replaces the quadratic all-pairs scan)."""
+    become a candidate pair.
+
+    Pair generation is bucket-local: ONE shuffle groups (band_key, doc_id)
+    into per-bucket sorted id lists, and pairs explode from each list —
+    versus the naive self-join on band_key, which shuffles the bucket table
+    twice and re-derives the signature pipeline for both sides. Bucket
+    sizes are near-dup cluster sizes (tiny); a pathologically hot bucket
+    (boilerplate corpus) would surface here as one big list — cap it with
+    a size filter + secondary banding key before the explode if that
+    happens in production."""
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -155,14 +163,17 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
         ]
     )
     buckets = with_sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
-    a, b = buckets.alias("a"), buckets.alias("b")
+    grouped = (
+        buckets.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
