@@ -274,3 +274,64 @@ def ag_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "ag_pivot",
+    survey_id="AG-1/AG-5",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN o_totalprice END), 2) AS p1_urgent,
+               ROUND(SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN o_totalprice END), 2) AS p2_high,
+               ROUND(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN o_totalprice END), 2) AS p3_medium,
+               ROUND(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p4_notspec,
+               ROUND(SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN o_totalprice END), 2) AS p5_low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+)
+def ag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long → wide on an EXPLICIT value list (status × priority
+    revenue matrix). The value list matters at scale: `pivot(col)` without
+    one runs an extra distinct-collect job over 100 TB to discover columns;
+    with it, the pivot compiles straight to conditional aggregates — the
+    same plan as the CASE-WHEN oracle, one partial-agg shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    aliases = ["p1_urgent", "p2_high", "p3_medium", "p4_notspec", "p5_low"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(PIVOT_PRIORITIES, aliases)],
+    )
+
+
+@query(
+    "ag_unpivot",
+    survey_id="AG-1/AG-5",
+    oracle="""
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', o_custkey::DOUBLE
+        FROM orders
+    """,
+)
+def ag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via stack: the inverse reshape, used by the
+    profiling report (ETL-6) to treat every column as a row. Pure
+    projection — no shuffle at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'custkey', CAST(o_custkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )

@@ -358,3 +358,39 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch"
         ),
     )
+
+
+SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.5, "es": 0.25, "de": 0.25, "zh": 0.1}
+
+
+@query(
+    "llm_stratified_sample",
+    survey_id="LLM-9/ETL-3",
+    oracle=r"""
+        SELECT lang, doc_id
+        FROM documents
+        WHERE CASE lang
+                WHEN 'en' THEN 0.5  WHEN 'fr' THEN 0.5
+                WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.25
+                ELSE 0.1 END
+              * 4294967296
+              > (('0x' || substr(md5(doc_id::VARCHAR || ':strat42'), 1, 8))::BIGINT)::DOUBLE
+    """,
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language fractions applied by
+    hashing each doc's unique id into [0, 1) — the leak-free, re-runnable
+    down-sampling every training-data pipeline needs (vs `sampleBy`, whose
+    RNG stream is partitioning-dependent and has no cross-engine twin).
+
+    The uniform variate is the first 32 bits of md5(doc_id || salt) — so
+    BOTH engines compute the identical sample, and the oracle is exact,
+    not statistical. Changing the salt draws a fresh sample; keys never
+    move between strata on re-runs. Shuffle-free (pure filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat42"))), 1, 8), 16, 10).cast("double")
+    frac = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(f)) for lang, f in SAMPLE_FRACTIONS.items() if lang != "zh"],
+        F.lit(0.1),
+    )
+    return docs.filter(frac * F.lit(4294967296.0) > u32).select("lang", "doc_id")
