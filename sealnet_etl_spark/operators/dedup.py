@@ -149,13 +149,15 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     (boilerplate corpus) would surface here as one big list — cap it with
     a size filter + secondary banding key before the explode if that
     happens in production."""
+    # band key = xxhash64(band idx, its 4 sig values): an 8-byte shuffle key
+    # instead of a ~40-char concatenated string (collisions are harmless —
+    # every candidate is exact-Jaccard verified downstream)
     band_keys = F.array(
         *[
-            F.concat_ws(
-                "_",
-                F.lit(str(band)),
+            F.xxhash64(
+                F.lit(band),
                 *[
-                    F.col(f"sig_{band * ROWS_PER_BAND + r}").cast("string")
+                    F.col(f"sig_{band * ROWS_PER_BAND + r}")
                     for r in range(ROWS_PER_BAND)
                 ],
             )

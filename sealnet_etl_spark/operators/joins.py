@@ -394,3 +394,37 @@ def jn_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "jn_correlated_subquery",
+    survey_id="JN-5/JN-1",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+                   AS n_lines,
+               (SELECT ROUND(MAX(l_extendedprice), 2) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS max_line_price
+        FROM orders
+        WHERE o_orderstatus = 'P'
+    """,
+)
+def jn_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL entry point: Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates both into ONE left outer
+    aggregate-join of lineitem — not a per-row probe (the plan shows a
+    single Aggregate + Join, no nested loops). The engine inherits this
+    rewrite for free by staying declarative (SURVEY §4)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem_v WHERE l_orderkey = o_orderkey)
+                   AS n_lines,
+               (SELECT ROUND(MAX(l_extendedprice), 2) FROM lineitem_v
+                 WHERE l_orderkey = o_orderkey) AS max_line_price
+        FROM orders_v
+        WHERE o_orderstatus = 'P'
+        """
+    )
