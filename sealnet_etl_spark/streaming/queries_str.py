@@ -375,3 +375,72 @@ def str_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id")
     return run_available_now(joined, sf_dir, "str_stream_stream_join")
+
+
+@query(
+    "str_streaming_session",
+    survey_id="STR-3/STR-4",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, value,
+                   CASE WHEN lag(ts::TIMESTAMP) OVER w IS NULL
+                          OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER w
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts, value
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+                   ts, value
+            FROM ordered
+        ), agg AS (
+            SELECT user_id,
+                   MIN(ts)                 AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*)                AS n_events,
+                   ROUND(SUM(value), 2)    AS session_value
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_start, n_events, session_value
+        FROM agg
+        WHERE session_end <= (SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE
+                              FROM events)
+    """,
+)
+def str_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: readStream replay → 10-min watermark
+    → F.session_window(ts, 30 min) agg, append mode.
+
+    Append emits a session only once the watermark passes its end
+    (last event + gap), so the drained result is exactly the sessions the
+    batch WN-6 formulation closes before the final watermark — which the
+    oracle states. Session-window state merges adjacent windows in the
+    StateStore; watermark eviction is what bounds it."""
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    sessions = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_available_now(sessions, sf_dir, "str_streaming_session")
+
+# NOTE: the Spark 4.x next-generation stateful API
+# (transformWithStateInPandas + StatefulProcessor with typed ValueState,
+# timers, TTL) was attempted here and works API-wise, but its worker
+# protocol needs google.protobuf, which this container lacks (ImportError
+# in pyspark/sql/streaming/proto/StateMessage_pb2.py; no pip installs
+# allowed). STR-6 therefore ships on applyInPandasWithState above —
+# functionally equivalent per-key state across micro-batches.
