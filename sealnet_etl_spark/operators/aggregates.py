@@ -335,3 +335,36 @@ def ag_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'custkey', CAST(o_custkey AS DOUBLE))"
         ).alias("metric", "value"),
     )
+
+
+@query(
+    "ag_corr_regression",
+    survey_id="AG-7",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 4)  AS price_per_qty,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def ag_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and the least-squares slope/intercept — single-pass
+    mergeable aggregates (sum/sum-sq/cross-moments), so they partial-
+    aggregate map-side like any sum and scale identically."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_at_zero"
+        ),
+    )
