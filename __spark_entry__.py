@@ -12,11 +12,17 @@ surfaced here.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sealnet_etl_spark.registry import all_oracles, all_queries
+# the engine package lives beside this file; keep the import working even
+# when the driver loads this module from a different working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sealnet_etl_spark.registry import all_oracles, all_queries  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q5_revenue_by_nation"
