@@ -164,3 +164,42 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(_disc_price()), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+@query(
+    "q14_promo_revenue",
+    survey_id="JN-2/AG-1/FN-5",
+    oracle="""
+        SELECT ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one quarter — fact scan
+    with a pushed date-range filter, broadcast part join, conditional
+    aggregate ratio. The CASE lives INSIDE the sum (one pass), and the
+    part dim broadcasts, so the plan is scan → BHJ → partial agg →
+    1-row final agg regardless of fact size."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.round(F.sum(disc), 2).alias("total_revenue"),
+        )
+    )
