@@ -222,3 +222,62 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     want = set(_union_find(edges).items())
     assert got == want
+
+
+# --- incremental merge -------------------------------------------------------
+
+merge_inputs = st.tuples(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)), max_size=20),
+    st.lists(st.tuples(st.integers(0, 9), st.integers(100, 199)), max_size=20),
+)
+
+
+@PROP_SETTINGS
+@given(merge_inputs)
+def test_incremental_merge_is_dict_upsert(spark, data):
+    """incremental_merge == plain dict upsert: batch rows replace snapshot
+    rows on key collision, unmatched rows of both sides survive. Duplicate
+    keys WITHIN a side are pre-deduplicated (latest wins) to mirror the
+    operator's one-row-per-key contract."""
+    from sealnet_etl_spark.operators.etl import incremental_merge
+
+    snap_rows, batch_rows = data
+    snap = {k: v for k, v in snap_rows}
+    batch = {k: v for k, v in batch_rows}
+    want = {**snap, **batch}
+    snap_df = spark.createDataFrame(
+        list(snap.items()) or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    batch_df = spark.createDataFrame(
+        list(batch.items()) or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    got = {
+        r.k: r.v for r in incremental_merge(snap_df, batch_df, ["k"]).collect()
+    }
+    assert got == want
+
+
+# --- train/test split --------------------------------------------------------
+
+split_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 9)), min_size=1, max_size=40
+)
+
+
+@PROP_SETTINGS
+@given(split_rows)
+def test_train_test_split_is_deterministic_and_leak_free(spark, rows):
+    """Every row of a group lands in the same split (leak-freeness), and
+    re-running produces the identical assignment (determinism) — the two
+    properties that make a split trustworthy across pipeline re-runs."""
+    from sealnet_etl_spark.operators.etl import train_test_split
+
+    rows = [(g, i) for i, (g, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "grp int, row_id int")
+    a = {(r.grp, r.row_id): r.split for r in train_test_split(df, "grp").collect()}
+    b = {(r.grp, r.row_id): r.split for r in train_test_split(df, "grp").collect()}
+    assert a == b
+    by_group: dict[int, set] = {}
+    for (g, _), split in a.items():
+        by_group.setdefault(g, set()).add(split)
+    assert all(len(s) == 1 for s in by_group.values()), by_group
