@@ -18,5 +18,5 @@ from .operators import (  # noqa: F401
     windows,
 )
 from .sources import ingest  # noqa: F401
-from .streaming import queries_str  # noqa: F401
+from .streaming import incremental, queries_str  # noqa: F401
 from .plans import flagship  # noqa: F401
