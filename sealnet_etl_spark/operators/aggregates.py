@@ -368,3 +368,47 @@ def ag_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_at_zero"
         ),
     )
+
+
+KMV_K = 64
+
+
+@query("ag_kmv_distinct_sketch", survey_id="AG-3", oracle=None)
+def ag_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch, built from relational primitives:
+    keep the K smallest normalized hashes per group; estimate
+    |distinct| ≈ (K-1) / kth_min. The sketch is MERGEABLE (union = merge
+    sorted lists, keep K smallest) — the same partial/final algebra as any
+    Spark aggregate, so it scales as a two-phase agg with K values per
+    group crossing the shuffle. Rows-only check; the estimate's error
+    bound vs exact is asserted in tests/test_llm_semantics.py.
+
+    (Spark ships HLL via approx_count_distinct — AG-3; this demonstrates
+    how a custom sketch slots into the same partial-aggregate shape.)"""
+    events = load_table(spark, sf_dir, "events")
+    # normalized hash in (0, 1]: pmod(xxhash64)/2^31-1 over the Mersenne prime
+    h = (F.pmod(F.xxhash64("user_id"), F.lit(2147483647)) + 1).cast("double") / 2147483647.0
+    # PARTIAL phase: per (map partition, group) keep only the K smallest
+    # hashes — bounded sketch state crosses the shuffle, not the data
+    partials = events.groupBy(
+        F.spark_partition_id().alias("__pid"), "event_type"
+    ).agg(F.slice(F.sort_array(F.collect_set(h)), 1, KMV_K).alias("mins"))
+    # FINAL phase: merge = union the partial sketches, keep K smallest
+    merged = partials.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            KMV_K,
+        ).alias("hashes")
+    )
+    return merged.select(
+        "event_type",
+        F.when(
+            F.size("hashes") >= KMV_K,
+            F.round((KMV_K - 1) / F.element_at("hashes", KMV_K), 0),
+        )
+        .otherwise(F.size("hashes"))
+        .cast("bigint")
+        .alias("kmv_estimate"),
+        F.size("hashes").alias("n_hashes_kept"),
+    )

@@ -337,3 +337,57 @@ def etl_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "etl_hypertable_rollup",
+    survey_id="ETL-5/STR-1",
+    oracle="""
+        SELECT date_trunc('hour', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+               COUNT(*)              AS n_events,
+               ROUND(SUM(value), 2)  AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+)
+def etl_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, maintained INCREMENTALLY.
+
+    The stored rollup is per-bucket PARTIAL state (count, sum, distinct
+    user set) — mergeable, like a sketch. A new batch arrives (here: the
+    last 10 days of events, replayed as the increment); only its partials
+    are computed and merged into the prior rollup by bucket — untouched
+    buckets are never recomputed, which is the whole point of a
+    continuous aggregate over a 100 TB hypertable. The oracle is the full
+    recompute: incremental merge must equal it exactly.
+
+    The distinct-user component stores collect_set per bucket — swap for
+    an HLL sketch column at scale where exact sets outgrow rows (same
+    merge algebra, bounded size).
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    bucket = F.date_trunc("hour", F.col("ts"))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum("value").alias("p_sum"),
+            F.collect_set("user_id").alias("p_users"),
+        )
+
+    old_rollup = partials(events.filter(F.col("ts") < cutoff))
+    new_partials = partials(events.filter(F.col("ts") >= cutoff))
+    merged = (
+        old_rollup.unionByName(new_partials)
+        .groupBy("bucket")
+        .agg(
+            F.sum("p_count").alias("n_events"),
+            F.round(F.sum("p_sum"), 2).alias("total_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("p_users")))).alias(
+                "n_users"
+            ),
+        )
+    )
+    return merged.select("bucket", "n_events", "total_value", "n_users")

@@ -145,3 +145,22 @@ def test_approx_count_distinct_within_rsd(spark, queries):
     for key, approx_n in approx.items():
         rel_err = abs(approx_n - exact[key]) / exact[key]
         assert rel_err < 0.15, f"{key}: approx {approx_n} vs exact {exact[key]}"
+
+
+def test_kmv_sketch_error_bound(spark, queries):
+    """The KMV estimate must land within the theoretical relative error
+    (~1/sqrt(K-2) ≈ 0.127 at K=64) of the exact distinct counts, and the
+    kept-hash count must never exceed K."""
+    est = {
+        r.event_type: (r.kmv_estimate, r.n_hashes_kept)
+        for r in queries["ag_kmv_distinct_sketch"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in queries["ag_count_distinct"](spark, SF_DIR).collect()
+    }
+    assert est.keys() == exact.keys()
+    for key, (kmv, kept) in est.items():
+        assert kept <= 64
+        rel_err = abs(kmv - exact[key]) / exact[key]
+        assert rel_err < 3 * 0.127, f"{key}: kmv {kmv} vs exact {exact[key]}"
