@@ -412,3 +412,58 @@ def ag_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_estimate"),
         F.size("hashes").alias("n_hashes_kept"),
     )
+
+
+@query(
+    "ag_string_agg",
+    survey_id="AG-6",
+    oracle="""
+        SELECT n_regionkey AS regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def ag_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg/group_concat): names concatenated in a
+    DETERMINISTIC order — sort inside the aggregate, the same §5.3 rule as
+    collect_list. concat_ws over a sorted collect_list is the Spark
+    spelling of SQL string_agg(... ORDER BY)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500.0, 20
+
+
+@query(
+    "ag_histogram",
+    survey_id="AG-7",
+    oracle=f"""
+        SELECT LEAST(FLOOR(value / {(HIST_HI - HIST_LO) / HIST_BUCKETS}),
+                     {HIST_BUCKETS - 1})::BIGINT AS bucket,
+               COUNT(*)             AS n,
+               ROUND(SUM(value), 2) AS bucket_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def ag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound value histogram (20 buckets over [0, 500)): the
+    profiling primitive behind every distribution report. Bucketing is a
+    pure projection (floor arithmetic, clamped top bucket), so the whole
+    histogram is one partial-aggregated shuffle of ≤20 rows per map task."""
+    events = load_table(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor(F.col("value") / width), F.lit(HIST_BUCKETS - 1)
+    ).cast("bigint")
+    return (
+        events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("bucket_value"),
+        )
+    )

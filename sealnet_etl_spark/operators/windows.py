@@ -226,3 +226,37 @@ def wn_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("rolling_1h_value"),
     )
+
+
+@query(
+    "wn_first_last_nth",
+    survey_id="WN-1/WN-3",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type)  OVER w AS latest_type,
+               nth_value(event_type, 2) OVER w AS second_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def wn_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth value over a running frame: each event sees the
+    user's first event type, its own (last in the running frame), and the
+    second ever — the 'how did this user start vs. now' enrichment. The
+    explicit ROWS frame makes last_value well-defined (the default RANGE
+    frame's last row is the current peer group — a classic silent-bug)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("latest_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
