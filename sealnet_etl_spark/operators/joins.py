@@ -428,3 +428,83 @@ def jn_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderstatus = 'P'
         """
     )
+
+
+RANGE_BIN = "1 hour"
+
+
+@query(
+    "jn_range_binned",
+    survey_id="JN-7",
+    oracle="""
+        SELECT s.event_id AS signup_id,
+               COUNT(e.event_id) AS n_follow_events
+        FROM (SELECT event_id, user_id, ts::TIMESTAMP AS lo,
+                     ts::TIMESTAMP + INTERVAL 1 DAY AS hi
+              FROM events WHERE event_type = 'signup') s
+        LEFT JOIN events e
+          ON e.user_id = s.user_id
+         AND e.ts::TIMESTAMP >= s.lo
+         AND e.ts::TIMESTAMP < s.hi
+        GROUP BY s.event_id
+    """,
+)
+def jn_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via TIME-BUCKET BLOCKING — the scale path for range
+    joins Spark lacks natively.
+
+    Naive `a.ts BETWEEN b.lo AND b.hi` plans as a broadcast nested loop —
+    O(|a|·|b|) compares. Here each interval explodes into the 1-hour
+    buckets it overlaps (25 for a 1-day range), each event maps to exactly
+    one bucket, and the join is a plain EQUI-join on (user, bucket) with
+    the precise range predicate re-applied afterward. Work drops to
+    events-per-bucket × intervals-overlapping-that-bucket; both sides
+    shuffle on the compound key, AQE splits hot buckets. Bin width trades
+    interval duplication against candidate precision — match it to the
+    typical interval length.
+
+    The demo counts, per signup event, that user's events in the following
+    24 h (signups with none kept via left join). Oracle is the naive
+    inequality join, feasible at sf0.01.
+    """
+    events = load_table(spark, sf_dir, "events")
+    intervals = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("hi"),
+    )
+    binned_intervals = intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("lo")),
+                F.date_trunc("hour", F.col("hi") - F.expr("INTERVAL 1 SECOND")),
+                F.expr(f"INTERVAL {RANGE_BIN}"),
+            )
+        ),
+    )
+    binned_events = events.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        "ts",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    )
+    matched = (
+        binned_intervals.join(binned_events, ["bucket"])
+        .filter(
+            (F.col("e_user") == F.col("s_user"))
+            & (F.col("ts") >= F.col("lo"))
+            & (F.col("ts") < F.col("hi"))
+        )
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_follow_events"))
+    )
+    return (
+        intervals.select("signup_id")
+        .join(matched, "signup_id", "left")
+        .select(
+            "signup_id",
+            F.coalesce("n_follow_events", F.lit(0)).alias("n_follow_events"),
+        )
+    )

@@ -143,3 +143,35 @@ def test_dynamic_partition_pruning(spark):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(f"{tmp}_dim", ignore_errors=True)
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """Query results must not depend on the partition count — the
+    determinism property that makes results reproducible across cluster
+    sizes. Run representative queries (agg, window, LSH dedup, binned
+    range join) at 5 and 32 shuffle partitions and compare canonical
+    multisets."""
+    from sealnet_etl_spark.oracle import rows_to_multiset
+    from sealnet_etl_spark.registry import all_queries
+
+    queries = all_queries()
+    names = [
+        "q1_pricing_summary",
+        "wn_sessionize_events",
+        "llm_minhash_near_dup_pairs",
+        "jn_range_binned",
+    ]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        bags = {}
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            for name in names:
+                df = queries[name](spark, SF_DIR)
+                bags.setdefault(name, []).append(
+                    rows_to_multiset(df.columns, [tuple(r) for r in df.collect()])
+                )
+        for name, (a, b) in bags.items():
+            assert a == b, f"{name} changed with partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
