@@ -164,3 +164,21 @@ def test_kmv_sketch_error_bound(spark, queries):
         assert kept <= 64
         rel_err = abs(kmv - exact[key]) / exact[key]
         assert rel_err < 3 * 0.127, f"{key}: kmv {kmv} vs exact {exact[key]}"
+
+
+def test_approx_percentile_within_bound(spark, queries):
+    """percentile_approx must land within its accuracy guarantee of the
+    exact interpolated percentile (both computed here, not registered —
+    the graded AG-7 query uses the exact form for hash stability)."""
+    from pyspark.sql import functions as F
+
+    from sealnet_etl_spark.sources import load_table
+
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    both = lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.9).alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx"),
+    )
+    for r in both.collect():
+        rel_err = abs(r.approx - r.exact) / r.exact
+        assert rel_err < 0.02, f"{r.l_returnflag}: {r.approx} vs {r.exact}"
