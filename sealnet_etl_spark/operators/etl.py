@@ -391,3 +391,89 @@ def etl_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.select("bucket", "n_events", "total_value", "n_users")
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """ETL-7 operator: build a type-2 slowly-changing-dimension history.
+
+    Collapses the per-key change log to one row per *state run*: a new
+    version opens only when ``state_col`` differs from the previous value
+    (null-safe), carrying ``valid_from`` / ``valid_to`` (open for the
+    current version) and an ``is_current`` flag. This is the
+    full-history complement of ``latest_record`` (ETL-4), and what a
+    warehouse MERGE-based SCD2 load produces — expressed as two window
+    passes instead of row-at-a-time upserts.
+
+    Scale note: both windows partition by the same key, so Catalyst plans
+    ONE exchange on the key and runs both sorts within it; no per-row
+    driver logic, no second shuffle.
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    changed = ~F.col(state_col).eqNullSafe(F.lag(state_col).over(w))
+    versions = (
+        df.withColumn("__chg", F.coalesce(changed, F.lit(True)))
+        .filter(F.col("__chg"))
+        .select(
+            *key_cols,
+            F.col(state_col).alias("state"),
+            F.col(ts_col).alias("valid_from"),
+            F.col(tiebreak_col).alias("__tb"),
+        )
+    )
+    wv = Window.partitionBy(*key_cols).orderBy(
+        F.col("valid_from").asc(), F.col("__tb").asc()
+    )
+    valid_to = F.lead("valid_from").over(wv)
+    return versions.select(
+        *key_cols,
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@query(
+    "etl_scd2_history",
+    survey_id="ETL-5/WN-3",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_state
+            FROM events
+        ), versions AS (
+            SELECT user_id, event_type AS state, ts AS valid_from, event_id
+            FROM marked
+            WHERE prev_state IS DISTINCT FROM event_type
+        )
+        SELECT user_id, state, valid_from,
+               LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS valid_to,
+               CASE WHEN LEAD(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) IS NULL THEN 1 ELSE 0 END AS is_current
+        FROM versions
+    """,
+)
+def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build over the event log: per user, each run of a
+    repeated event_type is one version row with its validity interval;
+    the last version per user is open-ended and flagged current."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        events,
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )

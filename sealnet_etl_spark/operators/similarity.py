@@ -88,16 +88,26 @@ def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation order can never reorder the cut (SURVEY §5.3).
 
     Scale note (100 TB): a single broadcast bounds the corpus side to
-    executor memory (~10⁷ × 64d doubles ≈ 5 GB). Beyond that, tile the
-    corpus: run this operator once per corpus tile and keep the best k per
-    src across tiles with one final per-key top-k — or block with LSH/IVF
-    first (llm_lsh_ann_topk) so each src only scores its candidate cells.
+    executor memory (~10⁷ × 64d doubles ≈ 5 GB). Beyond that use
+    llm_tiled_topk_cosine below — same results, corpus split into
+    memory-bounded tiles — or block with LSH/IVF first (llm_lsh_ann_topk)
+    so each src only scores its candidate cells.
     """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _broadcast_topk(spark, emb, emb)
+
+
+def _broadcast_topk(
+    spark: SparkSession, queries_df: DataFrame, corpus_df: DataFrame
+) -> DataFrame:
+    """Score every query row against a broadcast corpus tile with one BLAS
+    matmul per Arrow batch; emit each query's top-k within the tile.
+    Corpus columns are id-sorted and ranking uses stable argsort over the
+    ROUNDED similarity, so (cos DESC, nbr_id ASC) order is exact."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.orderBy("vec_id").collect()  # corpus tile -> driver -> broadcast
+    corpus = corpus_df.select("vec_id", "embedding").orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in corpus], dtype=np.int64)
     mat = np.array([r.embedding for r in corpus], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -128,8 +138,58 @@ def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"src_id": out_src, "nbr_id": out_nbr, "cos_sim": out_cos}
             )
 
-    return emb.mapInPandas(
+    return queries_df.select("vec_id", "embedding").mapInPandas(
         topk_batches, "src_id bigint, nbr_id bigint, cos_sim double"
+    )
+
+
+N_CORPUS_TILES = 4
+
+
+@query(
+    "llm_tiled_topk_cosine",
+    survey_id="LLM-4",
+    oracle=f"""
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                     b.vec_id
+        ) <= {TOP_K}
+    """,
+)
+def llm_tiled_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k with the corpus split into memory-bounded tiles —
+    the scale-out form of llm_topk_cosine, hash-identical results.
+
+    Each tile (vec_id mod N_CORPUS_TILES) is broadcast on its own, so peak
+    executor memory is corpus/T instead of the whole matrix; the query side
+    streams through every tile and a final per-src window keeps the global
+    top-k from the T partial top-k lists. top-k-per-tile then merge is
+    lossless: any vector in the global top-k is in its own tile's top-k.
+
+    Scale note (100 TB): T grows with corpus size so each tile stays under
+    executor memory (e.g. 10⁹ × 64d ≈ 512 GB corpus → T≈128 tiles of 4 GB);
+    total work is the same n² flops as the single-broadcast form, scheduled
+    as T sequential broadcast stages. The merge shuffles only T×k rows per
+    src. Tiebreak (ROUNDED cos DESC, nbr_id ASC) is total, so the merged
+    cut is deterministic and engine-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    partials = []
+    for t in range(N_CORPUS_TILES):
+        tile = emb.filter(F.pmod(F.col("vec_id"), F.lit(N_CORPUS_TILES)) == t)
+        partials.append(_broadcast_topk(spark, emb, tile))
+    union = partials[0]
+    for p in partials[1:]:
+        union = union.unionByName(p)
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        union.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("src_id", "nbr_id", "cos_sim")
     )
 
 

@@ -182,3 +182,13 @@ def test_approx_percentile_within_bound(spark, queries):
     for r in both.collect():
         rel_err = abs(r.approx - r.exact) / r.exact
         assert rel_err < 0.02, f"{r.l_returnflag}: {r.approx} vs {r.exact}"
+
+
+def test_tiled_topk_equals_single_broadcast(spark, queries):
+    """llm_tiled_topk_cosine is the memory-bounded form of llm_topk_cosine;
+    tiling must be lossless — identical (src, nbr, cos) triples."""
+    full = sorted(map(tuple, queries["llm_topk_cosine"](spark, SF_DIR).collect()))
+    tiled = sorted(
+        map(tuple, queries["llm_tiled_topk_cosine"](spark, SF_DIR).collect())
+    )
+    assert tiled == full

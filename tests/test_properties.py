@@ -281,3 +281,48 @@ def test_train_test_split_is_deterministic_and_leak_free(spark, rows):
     for (g, _), split in a.items():
         by_group.setdefault(g, set()).add(split)
     assert all(len(s) == 1 for s in by_group.values()), by_group
+
+
+# --- SCD2 history ------------------------------------------------------------
+
+scd2_inputs = st.lists(
+    # (key, ts, state) — tiebreak id assigned by index
+    st.tuples(st.integers(0, 2), st.integers(0, 15), st.sampled_from("abc")),
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP_SETTINGS
+@given(rows=scd2_inputs)
+def test_scd2_matches_python_reference(spark, rows):
+    """SCD2 on adversarial logs (timestamp ties, repeated states, single
+    rows) must equal an independent plain-Python run-length scan of the
+    same (ts, id)-ordered log — covering run collapsing, interval
+    contiguity, and the single open current version all at once."""
+    from sealnet_etl_spark.operators.etl import scd2_history
+
+    df = spark.createDataFrame(
+        [(k, t, s, i) for i, (k, t, s) in enumerate(rows)],
+        "key int, ts int, state string, id int",
+    )
+    out = sorted(
+        (r.key, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, key_cols=["key"], state_col="state", ts_col="ts", tiebreak_col="id"
+        ).collect()
+    )
+
+    expected = []
+    for key in {k for k, _, _ in rows}:
+        log = sorted((t, i, s) for i, (k, t, s) in enumerate(rows) if k == key)
+        vers: list[list] = []
+        for t, _i, s in log:
+            if not vers or vers[-1][0] != s:
+                vers.append([s, t, None])
+        for a, b in zip(vers, vers[1:]):
+            a[2] = b[1]
+        expected += [
+            (key, s, vf, vt, int(vt is None)) for s, vf, vt in vers
+        ]
+    assert out == sorted(expected)
