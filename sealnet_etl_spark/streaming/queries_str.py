@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -444,3 +445,85 @@ def str_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in pyspark/sql/streaming/proto/StateMessage_pb2.py; no pip installs
 # allowed). STR-6 therefore ships on applyInPandasWithState above —
 # functionally equivalent per-key state across micro-batches.
+
+
+@query(
+    "str_streaming_dedup",
+    survey_id="STR-5/STR-4",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def str_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming dedup: each replay chunk carries every event TWICE;
+    dropDuplicatesWithinWatermark keeps the first copy and — unlike plain
+    streaming dropDuplicates — evicts per-key state once the watermark
+    passes the key's event time, so dedup state stays bounded by the
+    late-arrival horizon instead of growing with the whole stream. The
+    streaming twin of str_dedup; oracle = each event exactly once.
+    """
+    from .replay import write_replay_chunks
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    chunked = events.withColumn("__chunk", F.ntile(4).over(w)).cache()
+    chunks = [
+        chunked.filter(F.col("__chunk") == i).drop("__chunk") for i in range(1, 5)
+    ]
+    doubled = [c.unionByName(c) for c in chunks]
+    replay = write_replay_chunks(spark, sf_dir, "events_dup_replay", doubled)
+    chunked.unpersist()
+
+    stream = read_events_stream(spark, replay)
+    deduped = (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    return run_available_now(deduped, sf_dir, "str_streaming_dedup")
+
+
+@query(
+    "str_streaming_sliding",
+    survey_id="STR-2/STR-4",
+    oracle="""
+        WITH wm AS (
+            SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE AS w FROM events
+        ), shifted AS (
+            SELECT value,
+                   make_timestamp(
+                       ((epoch_us(ts::TIMESTAMP) // 1000000 // 900) * 900
+                          - s.j * 900) * 1000000
+                   ) AS window_start
+            FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(j)
+        )
+        SELECT window_start,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM shifted
+        GROUP BY window_start
+        HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def str_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming sliding windows (1 h long, every 15 min): readStream
+    replay → watermark → overlapping window agg → append mode. Append only
+    emits a window once the watermark passes its end, so the emitted set is
+    exactly the windows with end ≤ final watermark — which the oracle
+    states in its HAVING clause. Each event updates 4 overlapping windows'
+    state; state size is bounded by (window/slide) × open windows, not by
+    stream length."""
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    windowed = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(windowed, sf_dir, "str_streaming_sliding")

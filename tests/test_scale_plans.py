@@ -175,3 +175,36 @@ def test_results_invariant_to_shuffle_partitioning(spark):
             assert a == b, f"{name} changed with partition count"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
+
+
+def test_scd2_plans_single_exchange(spark):
+    """scd2_history's two window passes share the same partition key, so
+    Catalyst must plan exactly ONE shuffle on it — a second exchange would
+    double the shuffle cost of every SCD2 build at scale."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["etl_scd2_history"](spark, SF_DIR))
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    ]
+    assert len(exchanges) == 1, plan
+
+
+def test_tiled_topk_merge_shuffles_only_partials(spark):
+    """llm_tiled_topk_cosine's final merge must shuffle only the T×k
+    partial rows (3 int/double columns), never embedding vectors: no
+    array column may appear below the merge window's exchange."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_tiled_topk_cosine"](spark, SF_DIR))
+    exchange_args = [
+        line
+        for line in plan.splitlines()
+        if line.startswith("Arguments: hashpartitioning(")
+    ]
+    assert exchange_args and all(
+        arg.startswith("Arguments: hashpartitioning(src_id") for arg in exchange_args
+    ), plan
+    assert "embedding" not in " ".join(exchange_args)
