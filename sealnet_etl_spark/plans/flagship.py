@@ -247,3 +247,219 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    survey_id="PF-2/AG-4",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate, zero joins.
+
+    Every predicate is sargable, so the whole WHERE pushes into the parquet
+    scan (row-group skipping on shipdate/discount/quantity stats) and only
+    3 columns are read — at 100 TB this query's cost is the scan of the
+    surviving row groups, nothing else. The global SUM is partial+final:
+    one double per partition crosses the wire.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    survey_id="JN-5/AG-1",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated into a LEFT SEMI join
+    (adapted: 'shipped after the order date' stands in for the missing
+    commit/receipt columns, FIXTURES.md).
+
+    The semi join carries the non-equi correlate (l_shipdate > o_orderdate)
+    as a join residual, deduplicates matches for free (no DISTINCT pass),
+    and the date filter on orders prunes the probe side BEFORE the join —
+    the shape Catalyst produces for EXISTS subqueries, written directly.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    shipped_late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q12_priority_class",
+    survey_id="JN-1/FN-5/AG-1",
+    oracle="""
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+    """,
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact–fact equi join + conditional (CASE) counts
+    (adapted: l_linestatus stands in for the missing l_shipmode).
+
+    Both sides shuffle on the order key; the lineitem date filter runs
+    before the shuffle so only one year of the fact table moves. The
+    conditional aggregation is two branch-free SUM(CASE)s — one pass,
+    no second join or union.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    survey_id="AG-1/JN-1/SRT-2",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 200
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS total_price,
+               ROUND(qty, 2)          AS total_qty
+        FROM big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a join chain,
+    global top-100 by price.
+
+    The quantity rollup reduces lineitem to one row per order BEFORE any
+    join (the only full-fact shuffle); the HAVING cut then shrinks it to
+    the rare heavy orders, so both joins move only survivors. The final
+    ORDER BY + LIMIT plans as TakeOrderedAndProject — per-partition heaps,
+    no global sort — with o_orderkey as tiebreak so the cut is total.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 200)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    survey_id="JN-1/PF-2/AG-4",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: broadcast join with a disjunctive (OR-of-ANDs)
+    predicate mixing columns from both sides (Brand#15 replaces the
+    absent Brand#34, FIXTURES.md).
+
+    Catalyst extracts the single-side conjuncts it can (l_quantity ∈
+    [1,30] covers all arms; part arms prune the build side) and pushes
+    them below the join, so the OR only evaluates on rows that already
+    survived the cheap per-side cuts — the textbook reason to keep
+    predicates declarative instead of pre-splitting with a union.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = lineitem.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return joined.filter(
+        arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#15", 35, 20, 30)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
