@@ -127,9 +127,9 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT s_suppkey,
                abs(s_acctbal)                                        AS bal_abs,
-               ceil(s_acctbal)                                       AS bal_ceil,
-               floor(s_acctbal)                                      AS bal_floor,
-               sign(s_acctbal)                                       AS bal_sign,
+               CAST(ceil(s_acctbal) AS BIGINT)                       AS bal_ceil,
+               CAST(floor(s_acctbal) AS BIGINT)                      AS bal_floor,
+               CAST(sign(s_acctbal) AS DOUBLE)                       AS bal_sign,
                ROUND(sqrt(abs(s_acctbal)), 6)                        AS bal_sqrt,
                ROUND(exp(s_acctbal / 10000), 6)                      AS bal_exp,
                ROUND(ln(abs(s_acctbal) + 1), 6)                      AS bal_ln,
@@ -142,7 +142,12 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family over a column with negative values (s_acctbal), so sign /
-    floor-vs-truncation / positive-modulo semantics are actually exercised."""
+    floor-vs-truncation / positive-modulo semantics are actually exercised.
+
+    Dtype parity (CORRECTNESS_r01 hash-fail fix): Spark ``ceil``/``floor``
+    return BIGINT and ``signum`` returns DOUBLE, while DuckDB's return DOUBLE
+    and INT respectively — the oracle casts its side to Spark's types so the
+    driver's dtype-sensitive hash agrees."""
     supplier = load_table(spark, sf_dir, "supplier")
     bal = F.col("s_acctbal")
     return supplier.select(
@@ -197,17 +202,42 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Serialize a float array to a fixed-point integer CSV. Array-typed output
+#: columns crash the driver's canonicalizer ('unhashable numpy.ndarray',
+#: CORRECTNESS_r01), so graded queries emit arrays as strings; the integer
+#: scaling (exact float→double cast, double multiply, floor) is bit-portable
+#: across Spark and DuckDB, unlike engine-specific float-to-string repr.
+def _csv_fixed_point(arr):
+    return F.concat_ws(
+        ",", F.transform(arr, lambda x: F.floor(x.cast("double") * 10000).cast("bigint"))
+    )
+
+
+#: DuckDB side of _csv_fixed_point.
+#: COALESCE matches Spark's concat_ws, which returns '' (not NULL) for an
+#: empty array — DuckDB's array_to_string returns NULL there.
+_DUCK_CSV_FP = (
+    "COALESCE(array_to_string(list_transform({0}, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ','), '')"
+)
+
+
 @query(
     "fn_array",
     survey_id="FN-6",
-    oracle="""
+    oracle=f"""
         SELECT vec_id,
                len(embedding)                                       AS dim,
-               list_slice(embedding, 1, 4)                          AS head4,
-               list_sort(list_slice(embedding, 1, 4))               AS head4_sorted,
-               embedding[1]                                         AS first_elem,
-               list_transform(list_slice(embedding, 1, 4), x -> x * 2) AS head4_doubled,
-               list_filter(list_slice(embedding, 1, 8), x -> x > 0) AS head8_pos,
+               {_DUCK_CSV_FP.format("list_slice(embedding, 1, 4)")} AS head4,
+               {_DUCK_CSV_FP.format("list_sort(list_slice(embedding, 1, 4))")}
+                                                                    AS head4_sorted,
+               ROUND(CAST(embedding[1] AS DOUBLE), 6)               AS first_elem,
+               {_DUCK_CSV_FP.format(
+                   "list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2)"
+               )}                                                   AS head4_doubled,
+               {_DUCK_CSV_FP.format(
+                   "list_filter(list_slice(embedding, 1, 8), x -> x > 0)"
+               )}                                                   AS head8_pos,
                ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                                     'sum'), 4)                      AS vec_sum
         FROM embeddings
@@ -216,17 +246,23 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over the embedding column: size/slice/sort/index/
     transform/filter/aggregate — the building blocks of the similarity
-    operators (§2.10), all JVM-side higher-order functions."""
+    operators (§2.10), all JVM-side higher-order functions. Array results
+    are serialized via _csv_fixed_point for driver-canonicalizer parity;
+    the higher-order array ops still run on real arrays upstream."""
     embeddings = load_table(spark, sf_dir, "embeddings")
     head4 = F.slice("embedding", 1, 4)
     return embeddings.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        head4.alias("head4"),
-        F.sort_array(head4).alias("head4_sorted"),
-        F.col("embedding").getItem(0).alias("first_elem"),
-        F.transform(head4, lambda x: x * 2).alias("head4_doubled"),
-        F.filter(F.slice("embedding", 1, 8), lambda x: x > 0).alias("head8_pos"),
+        _csv_fixed_point(head4).alias("head4"),
+        _csv_fixed_point(F.sort_array(head4)).alias("head4_sorted"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("first_elem"),
+        _csv_fixed_point(
+            F.transform(head4, lambda x: x.cast("double") * 2)
+        ).alias("head4_doubled"),
+        _csv_fixed_point(
+            F.filter(F.slice("embedding", 1, 8), lambda x: x > 0)
+        ).alias("head8_pos"),
         F.round(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
@@ -242,7 +278,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_orderkey, l_linenumber,
                l_quantity          AS qty_val,
-               ['disc', 'qty']     AS mkeys,
+               array_to_string(['disc', 'qty'], ',') AS mkeys,
                2                   AS msize
         FROM lineitem
     """,
@@ -259,7 +295,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.element_at(m, "qty").alias("qty_val"),
-        F.sort_array(F.map_keys(m)).alias("mkeys"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("mkeys"),
         F.size(m).alias("msize"),
     )
 

@@ -155,8 +155,8 @@ def ag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_id="AG-6",
     oracle="""
         SELECT l_orderkey,
-               list_sort(list(l_linenumber)) AS linenumbers,
-               list_sort(list(DISTINCT l_returnflag)) AS flags
+               array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         FROM lineitem
         GROUP BY l_orderkey
     """,
@@ -164,11 +164,20 @@ def ag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ag_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list / collect_set nesting (detections-per-image shape).
     Lists are sorted on both engines — collect order is otherwise
-    partition-dependent (SURVEY.md §5.3)."""
+    partition-dependent (SURVEY.md §5.3) — then serialized to CSV strings:
+    array-typed output columns crash the driver's canonicalizer
+    (CORRECTNESS_r01 'unhashable numpy.ndarray'), so the arrays stay
+    upstream and only their canonical text form is graded."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
-        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("linenumbers"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flags"),
     )
 
 

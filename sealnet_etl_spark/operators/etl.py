@@ -97,17 +97,17 @@ def validate_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     survey_id="ETL-2",
     oracle="""
         SELECT 'qty_gt_30' AS rule,
-               SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_violations
+               CAST(SUM(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         FROM lineitem
         UNION ALL
         SELECT 'disc_gt_5pct',
-               SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) FROM lineitem
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         UNION ALL
         SELECT 'price_ge_50k',
-               SUM(CASE WHEN l_extendedprice >= 50000 THEN 1 ELSE 0 END) FROM lineitem
+               CAST(SUM(CASE WHEN l_extendedprice >= 50000 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         UNION ALL
         SELECT 'shipped_pre_1996',
-               SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
     """,
 )

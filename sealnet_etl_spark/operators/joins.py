@@ -206,6 +206,11 @@ def jn_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+#: Band half-width for jn_theta_band; also the blocking-bucket width, so two
+#: rows within the band differ by at most one bucket.
+THETA_BAND = 10.0
+
+
 @query(
     "jn_theta_band",
     survey_id="JN-7",
@@ -218,22 +223,41 @@ def jn_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jn_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta (non-equi) band join: supplier pairs with near-equal balances.
+    """Theta (non-equi) band join via BUCKETED BLOCKING: supplier pairs with
+    near-equal balances (|Δbal| < 10).
 
-    Spark plans this as a broadcast nested loop — acceptable only because
-    the build side is a bounded dim. At 100 TB, band joins get a bucketed
-    blocking key first (floor(value/band)) to restore an equi prefix.
+    Round-2 rewrite (VERDICT "What's wrong" #7): the naive form planned as a
+    broadcast nested loop — O(|a|·|b|) compares, dead at scale. Here each row
+    gets a blocking key ``floor(acctbal / band)``; the probe side explodes to
+    its own bucket ±1 (any pair within the band differs by ≤1 bucket, and
+    matches exactly one of the three variants, so no dedup pass is needed).
+    The join becomes a plain equi-join on the bucket — shuffled/broadcast
+    hash join, AQE skew-split applicable — with the exact band predicate
+    re-applied as a residual filter, the same shape as jn_range_binned.
     """
-    a = load_table(spark, sf_dir, "supplier").alias("a")
-    b = load_table(spark, sf_dir, "supplier").alias("b")
-    return a.join(
-        b,
-        (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
-        & (F.abs(F.col("a.s_acctbal") - F.col("b.s_acctbal")) < 10.0),
-    ).select(
-        F.col("a.s_suppkey").alias("supp_a"),
-        F.col("b.s_suppkey").alias("supp_b"),
-        F.round(F.col("a.s_acctbal") - F.col("b.s_acctbal"), 2).alias("bal_gap"),
+    supplier = load_table(spark, sf_dir, "supplier")
+    bucket = F.floor(F.col("s_acctbal") / THETA_BAND).cast("bigint")
+    a = supplier.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_acctbal").alias("bal_a"),
+        bucket.alias("bk"),
+    )
+    b = supplier.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_acctbal").alias("bal_b"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("bk"),
+    )
+    return (
+        a.join(b, "bk")
+        .filter(
+            (F.col("supp_a") < F.col("supp_b"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) < THETA_BAND)
+        )
+        .select(
+            "supp_a",
+            "supp_b",
+            F.round(F.col("bal_a") - F.col("bal_b"), 2).alias("bal_gap"),
+        )
     )
 
 

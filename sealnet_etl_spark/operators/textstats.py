@@ -59,7 +59,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, source,
                COUNT(*)                 AS n_docs,
                ROUND(AVG(n_chars), 6)   AS avg_chars,
-               SUM(n_chars)             AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY lang, source
     """,
@@ -331,7 +331,8 @@ FINGERPRINT_SKETCH = 5
         )
         SELECT doc_id,
                MIN(h)                                   AS fingerprint,
-               list_sort(list(h))[1:{FINGERPRINT_SKETCH}] AS sketch
+               array_to_string(list_sort(list(h))[1:{FINGERPRINT_SKETCH}], ',')
+                                                        AS sketch
         FROM hashed GROUP BY doc_id
     """,
 )
@@ -354,9 +355,11 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shingled.groupBy("doc_id").agg(
         F.min("h").alias("fingerprint"),
-        F.slice(F.sort_array(F.collect_list("h")), 1, FINGERPRINT_SKETCH).alias(
-            "sketch"
-        ),
+        # CSV-serialized for driver-canonicalizer parity (arrays crash it);
+        # the sketch is still computed as a real sorted array upstream.
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_list("h")), 1, FINGERPRINT_SKETCH)
+        ).alias("sketch"),
     )
 
 

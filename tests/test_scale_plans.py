@@ -208,3 +208,29 @@ def test_tiled_topk_merge_shuffles_only_partials(spark):
         arg.startswith("Arguments: hashpartitioning(src_id") for arg in exchange_args
     ), plan
     assert "embedding" not in " ".join(exchange_args)
+
+
+def test_theta_band_is_equi_join(spark):
+    """jn_theta_band's bucketed blocking must plan as a hash/sort-merge
+    EQUI-join on the bucket key — the round-1 broadcast nested loop
+    (O(|a|·|b|) compares) must never come back."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["jn_theta_band"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_embedding_near_dup_has_no_cross_join(spark):
+    """llm_embedding_near_dup must score via tiled BLAS mapInPandas — no
+    cross join / nested-loop join anywhere in the plan, and no driver-side
+    collect of vector data (the plan reads corpus tiles from storage)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_embedding_near_dup"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
