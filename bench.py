@@ -34,6 +34,12 @@ def headline_queries() -> list[str]:
         "llm_exact_dedup",
         "str_tumbling_window",
         "etl_incremental_merge",
+        # round-2 additions: cover the heavy tail (TF-IDF shuffle, ANN
+        # bucket join, Q18 large-orders semi-join agg, CC iteration loop)
+        "llm_tfidf",
+        "llm_lsh_ann_topk",
+        "q18_large_orders",
+        "llm_dedup_clusters",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

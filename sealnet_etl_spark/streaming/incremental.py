@@ -92,7 +92,7 @@ def _topk_stateful(key, pdf_iter, state):
     )
 
 
-def embeddings_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+def embeddings_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> str:
     """Replay the embeddings table as n_chunks vec_id-ordered chunks."""
     emb = load_table(spark, sf_dir, "embeddings")
     w = Window.orderBy("vec_id")
@@ -126,8 +126,10 @@ _QV_SQL = "[" + ", ".join(str(x) for x in QUERY_VECTOR) + "]::DOUBLE[]"
     """,
 )
 def str_incremental_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming incremental top-k: the corpus streams in 4
-    micro-batches; per-label state holds the best k (cos, vec_id) pairs
+    """TRUE streaming incremental top-k: the corpus streams in 2
+    micro-batches (chunk count trades replay realism against per-run
+    micro-batch cost; determinism is chunking-independent either way);
+    per-label state holds the best k (cos, vec_id) pairs
     seen so far and every batch emits the refined top-k. After the stream
     drains, the rows emitted at each label's final n_seen are exactly the
     batch top-k — which the oracle states. Deterministic regardless of
