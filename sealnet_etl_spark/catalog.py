@@ -83,6 +83,21 @@ _SIMILARITY: frozenset = frozenset(
 )
 
 
+#: Flagship shapes added in round 2 — graded after the 50-entry
+#: family-breadth window (they are new code with local mirror coverage;
+#: displacing a whole never-graded family for them would cost more driver
+#: evidence than they add).
+_R2_FLAGSHIPS: frozenset = frozenset(
+    {
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_count", "q17_small_qty_revenue",
+        "q20_excess_shippers", "q22_sales_opportunity",
+    }
+)
+
+
 def _family_rank(name: str) -> int:
     """Family order within the never-graded tier, chosen so a 50-entry
     driver window covers every §2 operator family that still lacks a driver
@@ -92,6 +107,8 @@ def _family_rank(name: str) -> int:
     count-bounded."""
     if name in _SIMILARITY:
         return 2
+    if name in _R2_FLAGSHIPS:
+        return 8
     for prefix, rank in (
         ("q", 1), ("wn_", 3), ("jn_", 4), ("pf_", 5), ("srt_", 6),
         ("set_", 6), ("src_", 7), ("udf_", 8), ("str_", 10),
