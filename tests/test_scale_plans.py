@@ -234,3 +234,35 @@ def test_embedding_near_dup_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_q8_market_share_broadcasts_all_dims(spark):
+    """Q8's 7-way star join: every dimension join must be broadcast and no
+    nested-loop join may appear — the fact side shuffles only on its join
+    keys."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q8_market_share"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 10  # ≥5 joins × 2 plan lines
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q17_correlated_avg_decorrelates_to_one_agg_join(spark):
+    """Q17's correlated per-part AVG must run as ONE aggregate joined back
+    (no nested-loop re-scan per outer row)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    """Q22's NOT EXISTS must plan as a left anti join, with the scalar
+    average entering as a broadcast, never a per-row subquery."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q22_sales_opportunity"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
