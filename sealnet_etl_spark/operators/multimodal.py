@@ -82,3 +82,85 @@ def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         extract_byte_features, FEATURE_SCHEMA
     )
+
+
+FRAME_N = 4
+FRAME_BYTES = 1024
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas frame sampler over (path, content) batches: FRAME_N
+    fixed-stride byte windows per blob — the exact batch shape of a video
+    frame-sample → per-frame-embed stage, with a deterministic fingerprint
+    (md5 of the window's lowercase hex) standing in for the decoded frame.
+    One output row per (file, frame); memory is bounded by FRAME_BYTES ×
+    batch rows, not by blob size."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            data = bytes(content)
+            stride = len(data) // FRAME_N
+            for i in range(FRAME_N):
+                off = i * stride
+                window = data[off : off + min(FRAME_BYTES, len(data) - off)]
+                rows.append(
+                    {
+                        "file_name": path.rsplit("/", 1)[-1],
+                        "frame_idx": i,
+                        "frame_off": off,
+                        "frame_md5": hashlib.md5(
+                            window.hex().lower().encode()
+                        ).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+
+@query(
+    "llm_multimodal_frame_sample",
+    survey_id="LLM-10/SRC-4",
+    oracle=f"""
+        WITH blobs AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+                   size, lower(hex(content)) AS h
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        )
+        SELECT file_name,
+               CAST(i.i AS INT)                          AS frame_idx,
+               CAST(i.i * (size // {FRAME_N}) AS BIGINT) AS frame_off,
+               md5(substring(h, 1 + i.i * (size // {FRAME_N}) * 2,
+                             2 * least({FRAME_BYTES},
+                                       size - i.i * (size // {FRAME_N}))))
+                                                         AS frame_md5
+        FROM blobs CROSS JOIN (SELECT unnest(range({FRAME_N})) AS i) i
+    """,
+)
+def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media columns: binaryFile ingest →
+    mapInPandas → one row per (file, fixed-stride frame) with a
+    deterministic window fingerprint. This is the HASH-CHECKED multimodal
+    path (vs the rows-only featurizer above): the DuckDB oracle recomputes
+    the same windows via read_blob + hex slicing, proving the Spark-side
+    plumbing (ingest, Arrow batching, explode-shaped output, schema)
+    byte-for-byte. The oracle reads the graded sf0.01 directory — the
+    driver's t2 correctness scale (SURVEY.md §0.2); the Spark side honors
+    whatever sf_dir it is given.
+
+    Scale note: a real video pipeline swaps the fingerprint for
+    decode-at-offset (pyav/ffmpeg seek); the per-row output keeps frames
+    independent so downstream per-frame embedding parallelizes freely,
+    and FRAME_BYTES bounds worker memory regardless of blob size.
+    """
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select("path", "content").mapInPandas(sample_frames, FRAME_SCHEMA)

@@ -73,6 +73,17 @@ def read_events_stream(spark: SparkSession, replay_dir: str) -> DataFrame:
     )
 
 
+#: State-store partition count for bounded replays. A streaming query runs
+#: `shuffle.partitions` state tasks PER STATEFUL OPERATOR PER MICRO-BATCH —
+#: at replay scale that fixed overhead dominates (32 partitions × 4 batches
+#: × 2 join sides ≈ 15 s of near-empty state tasks for the stream-stream
+#: join at sf0.1; 8 partitions cut it ~3×). The value binds into each
+#: query's fresh checkpoint at start, so on a production cluster set
+#: SPARK_GRAFT_STREAM_PARTITIONS to 2-3× total cores BEFORE first start —
+#: state partitioning is hash-by-key, so the result is identical either way.
+STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def run_available_now(
     stream_df: DataFrame, sf_dir: str, name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -86,13 +97,20 @@ def run_available_now(
     spark = stream_df.sparkSession
     checkpoint = _scratch(sf_dir, f"{name}_ckpt")
     shutil.rmtree(checkpoint, ignore_errors=True)
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    previous = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # the partition count is captured into the checkpoint at start;
+        # restore the batch setting before anything else plans against it
+        spark.conf.set("spark.sql.shuffle.partitions", previous)
     query.awaitTermination()
     return spark.table(name)
