@@ -90,6 +90,7 @@ _SIMILARITY: frozenset = frozenset(
 _R2_FLAGSHIPS: frozenset = frozenset(
     {
         "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q21_waiting_supplier",
         "q9_product_profit", "q11_important_stock",
         "q13_customer_distribution", "q15_top_supplier",
         "q16_supplier_part_count", "q17_small_qty_revenue",

@@ -1065,3 +1065,106 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    survey_id="JN-5/JN-6",
+    oracle="""
+        WITH late AS (
+            SELECT l_orderkey, l_suppkey
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late l1
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM late l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — EXISTS + NOT EXISTS over the same fact,
+    decorrelated into one semi and one anti join (adapted: 'shipped more
+    than 60 days after the order date' stands in for the missing
+    commit/receipt date pair, FIXTURES.md).
+
+    The lateness set is computed once (orders filtered to 'F' before the
+    fact join, so only final orders shuffle) and drives both correlates:
+    EXISTS 'another supplier on the order' is a left semi join against the
+    full fact keyed on order, NOT EXISTS 'another LATE supplier' a left
+    anti join against the same late set. Both correlates carry the
+    different-supplier residual on the join, so no DISTINCT or count
+    subquery materializes. Supplier and nation pin broadcast; the final
+    aggregate is per supplier name with a deterministic (numwait DESC,
+    s_name) top-100.
+
+    Scale note (100 TB): three shuffles of the fact — the orders join and
+    the two order-keyed correlates — each carrying only (orderkey, suppkey)
+    after the first projection; a hot order (thousands of lineitems) is an
+    AQE skew-split case, not an explosion, because semi/anti joins emit at
+    most one row per probe-side row.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    late = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = lineitem.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    sole_late = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
