@@ -40,6 +40,10 @@ def headline_queries() -> list[str]:
         "llm_lsh_ann_topk",
         "q18_large_orders",
         "llm_dedup_clusters",
+        # round-3 additions: the NTZ-fixed events/window family, so a
+        # regression there shows up as a number, not a -1.0 sentinel
+        "wn_lag_gap",
+        "wn_range_frame",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -9,11 +9,11 @@ leaving 73 queries without a correctness row. The registry is therefore
 re-ordered after import so the grading window covers what needs evidence
 most:
 
-1. the five round-1 driver-red queries, now fixed (regrade proves the fix);
-2. everything never graded — flagship plans first (headline coverage),
-   then batch operators, with streaming-replay queries at the back of this
-   tier because each costs multi-second micro-batch replays;
-3. the 45 queries the round-1 driver already verified green.
+1. the three round-2 driver-red queries (TIMESTAMP_NTZ), now fixed
+   (regrade proves the fix);
+2. everything never graded in r1 or r2 — streaming replays, the UDF
+   surface, textstats/multimodal, then the round-2 flagship plans;
+3. the 94 queries the r1/r2 drivers already verified green.
 
 Correctness of every tier is still enforced locally each round by the
 strict mirror (tests/test_oracle_mirror.py runs ALL queries); the ordering
@@ -40,20 +40,20 @@ from .plans import flagship  # noqa: F401
 
 from . import registry as _registry
 
-#: Round-1 driver-red, fixed in round 2 — graded first to prove the fixes.
+#: Round-2 driver-red (the TIMESTAMP_NTZ regression), fixed in round 3 —
+#: graded first to prove the fix (VERDICT r2 "Next round" #1/#3).
 _REGRADE_FIRST: tuple[str, ...] = (
-    "fn_math",
-    "fn_array",
-    "fn_map",
-    "ag_collect_list",
-    "etl_validate_partition",
+    "wn_lag_gap",
+    "wn_sessionize_events",
+    "wn_range_frame",
 )
 
-#: Queries CORRECTNESS_r01.json already verified (pass or designed
-#: rows-only) — static snapshot of that file's keys minus _REGRADE_FIRST.
-#: They go last; the driver re-proves them whenever the window reaches them.
-_R1_VERIFIED: frozenset = frozenset(
+#: Queries with a green driver row in CORRECTNESS_r01 or _r02 (hash-pass or
+#: designed rows-only). They go last; the never-graded tier fills the
+#: driver's bounded window first (VERDICT r2 "What's missing" #1).
+_DRIVER_VERIFIED: frozenset = frozenset(
     {
+        # r1 green
         "ag_approx_count_distinct", "ag_corr_regression", "ag_count_distinct",
         "ag_cube", "ag_embedding_centroids", "ag_global", "ag_groupby_multi",
         "ag_grouping_sets", "ag_histogram", "ag_kmv_distinct_sketch",
@@ -68,61 +68,43 @@ _R1_VERIFIED: frozenset = frozenset(
         "jn_left_semi", "jn_theta_band", "llm_dedup_clusters",
         "llm_exact_dedup", "llm_minhash_near_dup_pairs",
         "llm_ngram_jaccard_dedup", "llm_simhash_near_dup",
-    }
-)
-
-
-#: The embedding-similarity queries (LLM-4..6) — VERDICT's perf-weak
-#: families, rewritten this round, so their driver rows matter most of the
-#: llm_* group.
-_SIMILARITY: frozenset = frozenset(
-    {
-        "llm_topk_cosine", "llm_tiled_topk_cosine", "llm_lsh_ann_topk",
-        "llm_ivf_ann_topk", "llm_embedding_near_dup", "llm_semantic_dedup",
-    }
-)
-
-
-#: Flagship shapes added in round 2 — graded after the 50-entry
-#: family-breadth window (they are new code with local mirror coverage;
-#: displacing a whole never-graded family for them would cost more driver
-#: evidence than they add).
-_R2_FLAGSHIPS: frozenset = frozenset(
-    {
-        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q21_waiting_supplier",
-        "q9_product_profit", "q11_important_stock",
-        "q13_customer_distribution", "q15_top_supplier",
-        "q16_supplier_part_count", "q17_small_qty_revenue",
-        "q20_excess_shippers", "q22_sales_opportunity",
+        # r2 green (CORRECTNESS_r02.json; excludes the 3 NTZ-red above)
+        "fn_math", "fn_array", "fn_map", "ag_collect_list",
+        "etl_validate_partition", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_revenue_by_nation", "q14_promo_revenue", "q10_returned_items",
+        "q6_forecast_revenue", "q4_order_priority", "q12_priority_class",
+        "q18_large_orders", "q19_disjunctive_revenue", "llm_topk_cosine",
+        "llm_tiled_topk_cosine", "llm_lsh_ann_topk", "llm_embedding_near_dup",
+        "llm_semantic_dedup", "llm_ivf_ann_topk", "wn_keep_first",
+        "wn_topk_per_group", "wn_rolling_sum", "wn_ntile_percent_rank",
+        "wn_first_last_nth", "jn_cross_bounded", "jn_self_pairs",
+        "jn_salted_skew", "jn_correlated_subquery", "jn_range_binned",
+        "pf_project_derive", "pf_filter_predicates", "pf_regex_extract",
+        "pf_null_normalize", "pf_type_casts", "srt_global_sort",
+        "srt_global_topk", "srt_within_partitions", "set_union_by_name",
+        "set_intersect", "set_except_distinct", "src_parquet_scan",
+        "src_csv_ingest", "src_json_decode", "src_binary_files",
+        "src_parquet_sink_partitioned",
     }
 )
 
 
 def _family_rank(name: str) -> int:
-    """Family order within the never-graded tier, chosen so a 50-entry
-    driver window covers every §2 operator family that still lacks a driver
-    row: 5 fixed + 10 flagship + 6 similarity + 8 window + 5 join + 5
-    projection + 6 sort/set + 5 source = 50. Textstats/UDF/multimodal/
-    streaming follow immediately if the window is time-bounded rather than
-    count-bounded."""
-    if name in _SIMILARITY:
-        return 2
-    if name in _R2_FLAGSHIPS:
-        return 8
-    for prefix, rank in (
-        ("q", 1), ("wn_", 3), ("jn_", 4), ("pf_", 5), ("srt_", 6),
-        ("set_", 6), ("src_", 7), ("udf_", 8), ("str_", 10),
-    ):
+    """Family order within the never-graded tier (VERDICT r2 "Next round"
+    #3): streaming (13) then UDF surface (6) then LLM-7..10 textstats/
+    multimodal (10) then the 12 round-2 flagship plans — 3 regrades + 41
+    never-graded ≈ the driver's 50-row window, so every §2 family gains a
+    driver hash-pass row across r1–r3."""
+    for prefix, rank in (("str_", 1), ("udf_", 2), ("q", 4)):
         if name.startswith(prefix):
             return rank
-    return 9  # llm textstats + multimodal
+    return 3  # llm_ textstats + multimodal (all other llm_* are verified)
 
 
 def _grade_rank(name: str) -> tuple:
     if name in _REGRADE_FIRST:
         return (0, _REGRADE_FIRST.index(name))
-    if name in _R1_VERIFIED:
+    if name in _DRIVER_VERIFIED:
         return (99, 0)
     return (_family_rank(name), 0)
 

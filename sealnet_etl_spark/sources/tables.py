@@ -39,10 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a typed DataFrame."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns since epoch → µs timestamp; integer `div` truncates, matching the
-        # oracle's ts::TIMESTAMP cast (SURVEY.md §1.3/§5.3).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns since epoch → µs timestamp; integer `div` truncates, matching
+            # the oracle's ts::TIMESTAMP cast (SURVEY.md §1.3/§5.3).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Newer Spark builds read TIMESTAMP(NANOS) as TIMESTAMP_NTZ (the
+            # legacy nanosAsLong flag is dead); NTZ→LTZ under the UTC session
+            # TZ is value-identical and restores unix_micros()/ltz-only fns.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

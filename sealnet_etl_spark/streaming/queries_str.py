@@ -189,7 +189,7 @@ def str_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def str_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE streaming pipeline: readStream over the 4-chunk ts-ordered
+    """TRUE streaming pipeline: readStream over the ts-ordered chunk
     replay → 10-min watermark → tumbling 1-h window agg → append-mode
     memory sink, Trigger.AvailableNow.
 
@@ -460,17 +460,24 @@ def str_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-arrival horizon instead of growing with the whole stream. The
     streaming twin of str_dedup; oracle = each event exactly once.
     """
-    from .replay import write_replay_chunks
+    from .replay import REPLAY_CHUNKS, _REPLAY_CACHE, write_replay_chunks
 
-    events = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    chunked = events.withColumn("__chunk", F.ntile(4).over(w)).cache()
-    chunks = [
-        chunked.filter(F.col("__chunk") == i).drop("__chunk") for i in range(1, 5)
-    ]
-    doubled = [c.unionByName(c) for c in chunks]
-    replay = write_replay_chunks(spark, sf_dir, "events_dup_replay", doubled)
-    chunked.unpersist()
+    cache_key = (sf_dir, "events_dup_replay", REPLAY_CHUNKS)
+    replay = _REPLAY_CACHE.get(cache_key)
+    if replay is None:
+        events = load_table(spark, sf_dir, "events")
+        w = Window.orderBy("ts", "event_id")
+        chunked = events.withColumn(
+            "__chunk", F.ntile(REPLAY_CHUNKS).over(w)
+        ).cache()
+        chunks = [
+            chunked.filter(F.col("__chunk") == i).drop("__chunk")
+            for i in range(1, REPLAY_CHUNKS + 1)
+        ]
+        doubled = [c.unionByName(c) for c in chunks]
+        replay = write_replay_chunks(spark, sf_dir, "events_dup_replay", doubled)
+        chunked.unpersist()
+        _REPLAY_CACHE[cache_key] = replay
 
     stream = read_events_stream(spark, replay)
     deduped = (

@@ -47,9 +47,28 @@ def write_replay_chunks(
     return path
 
 
-def events_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+#: Micro-batches per bounded replay. Two chunks keep the multi-batch
+#: semantics every streaming test needs (state carried across batches,
+#: watermark advancing between them) at half the per-batch fixed cost of
+#: the round-2 four-chunk replay; the drained availableNow result is
+#: identical for any chunk count because append-mode emission depends only
+#: on the FINAL watermark (max ts − delay after the no-data flush batch).
+REPLAY_CHUNKS = int(os.environ.get("SPARK_GRAFT_REPLAY_CHUNKS", "2"))
+
+#: One replay materialization per (sf_dir, flavor) per process: the local
+#: mirror runs all 13 str_* queries in one session, and the chunk write
+#: (global ntile + sequential parquet appends) is identical each time.
+_REPLAY_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def events_replay_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = REPLAY_CHUNKS
+) -> str:
     """Replay the events table as n_chunks ts-ordered chunks (chunk i holds
     the i-th quantile of event time)."""
+    key = (sf_dir, "events_replay", n_chunks)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
     events = load_table(spark, sf_dir, "events")
     w = Window.orderBy("ts", "event_id")
     chunked = events.withColumn("__chunk", F.ntile(n_chunks).over(w)).cache()
@@ -59,6 +78,7 @@ def events_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> st
     ]
     path = write_replay_chunks(spark, sf_dir, "events_replay", chunks)
     chunked.unpersist()
+    _REPLAY_CACHE[key] = path
     return path
 
 

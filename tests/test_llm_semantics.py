@@ -48,7 +48,11 @@ def test_lsh_ann_recall(spark, queries, exact_topk):
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= 3
     recall = len(exact_topk & ann) / len(exact_topk)
-    assert recall >= 0.40, f"ANN recall collapsed: {recall:.3f}"
+    # Measured band (round 3): 0.546 at the pinned seed. The lower edge
+    # catches a silent recall collapse from a refactor; the UPPER edge
+    # catches the opposite failure — recall ≈ 1.0 means the blocking
+    # stopped pruning and the operator degenerated into an exact scan.
+    assert 0.45 <= recall <= 0.68, f"LSH recall left its measured band: {recall:.3f}"
 
 
 def test_ivf_ann_recall(spark, queries, exact_topk):
@@ -63,7 +67,10 @@ def test_ivf_ann_recall(spark, queries, exact_topk):
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= 3
     recall = len(exact_topk & ivf) / len(exact_topk)
-    assert recall >= 0.40, f"IVF recall collapsed: {recall:.3f}"
+    # Measured band (round 3): 0.507 at the pinned seed — same two-sided
+    # contract as the LSH test (collapse below, exact-scan degeneration
+    # above).
+    assert 0.42 <= recall <= 0.65, f"IVF recall left its measured band: {recall:.3f}"
 
 
 def test_simhash_finds_planted_near_dups(spark, queries, minhash_pairs):

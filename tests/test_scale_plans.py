@@ -258,6 +258,20 @@ def test_q17_correlated_avg_decorrelates_to_one_agg_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_q21_two_correlates_are_semi_and_anti_joins(spark):
+    """Q21's EXISTS/NOT EXISTS pair must plan as one left semi + one left
+    anti join on the order key (decorrelated), never a nested-loop re-scan
+    per outer row — the shape that makes the double correlate a linear
+    number of shuffles at 100 TB."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q21_waiting_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_q22_not_exists_is_anti_join(spark):
     """Q22's NOT EXISTS must plan as a left anti join, with the scalar
     average entering as a broadcast, never a per-row subquery."""
