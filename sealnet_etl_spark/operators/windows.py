@@ -145,6 +145,67 @@ def wn_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wn_ntile_scalable",
+    survey_id="WN-5",
+    oracle="""
+        SELECT c_custkey,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey)                 AS decile,
+               ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+        FROM customer
+    """,
+)
+def wn_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ntile/percent_rank WITHOUT a single-partition window —
+    the 100 TB path wn_ntile_percent_rank's docstring promises.
+
+    Classic distributed two-phase rank: range-repartition on the sort key
+    (sampled bounds, every partition holds a contiguous key range), count
+    rows per partition (≤ shuffle-partition rows — collected like the IVF
+    centroid table, trivially bounded), prefix-sum those counts into
+    per-partition global offsets, then global rank = offset +
+    within-partition row_number. The only full-data movements are the
+    range exchange and the per-partition-id window shuffle; no task ever
+    sees more than ~N/partitions rows, versus the unpartitioned window
+    that drags all N through one task. NTILE bucket and percent_rank are
+    then pure arithmetic on the exact rank, matching the oracle's window
+    formulation value-for-value (ties impossible: c_custkey is unique).
+    """
+    k = 10
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    ranged = customer.repartitionByRange(
+        32, F.col("c_acctbal"), F.col("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    counts = {r["pid"]: r["n"] for r in ranged.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    ranked = ranged.withColumn(
+        "rank", F.row_number().over(w) + offset_map[F.col("pid")]
+    )
+    # NTILE semantics: base = N//k, and the first N%k buckets get one extra
+    base, rem = total // k, total % k
+    cutoff = rem * (base + 1)
+    decile = F.when(
+        F.col("rank") <= cutoff, (F.col("rank") - 1) / (base + 1)
+    ).otherwise(rem + (F.col("rank") - cutoff - 1) / base)
+    return ranked.select(
+        "c_custkey",
+        (F.floor(decile) + 1).cast("int").alias("decile"),
+        F.round((F.col("rank") - 1) / (total - 1), 6).alias("pct_rank"),
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 
