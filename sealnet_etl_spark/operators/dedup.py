@@ -321,6 +321,91 @@ def llm_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_ppjoin_jaccard_dedup",
+    survey_id="LLM-2",
+    oracle=_NGRAM_ORACLE_TEMPLATE.format(k=4, km1=3, tau=0.6, block="AND a.lang = b.lang"),
+)
+def llm_ppjoin_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup with PPJoin-style PREFIX FILTERING — the
+    production path llm_ngram_jaccard_dedup's docstring names for
+    boilerplate-heavy corpora, now implemented and proved against the same
+    brute-force oracle (identical output by construction).
+
+    The plain inverted index goes quadratic inside the posting list of a
+    pathologically common shingle. Prefix filtering bounds that: order all
+    shingles by a GLOBAL canonical order (ascending corpus doc-frequency,
+    shingle text as tiebreak — rarest first), and index only each doc's
+    first floor((1-τ)·n)+1 shingles. Theorem (PPJoin/All-Pairs): two sets
+    with J ≥ τ MUST share at least one shingle inside both prefixes, so
+    candidate recall stays 100% while a shingle shared by every doc now
+    sits in almost no doc's prefix — hot posting lists deflate instead of
+    pairing everyone with everyone. Candidates then verify with one exact
+    array_intersect per pair (only candidates pay it). Costs vs the plain
+    index: one extra narrow shuffle for the doc-frequency table and a
+    per-doc sort of its shingle list; the win is candidate volume on
+    skewed corpora. Both variants are graded against the same O(n²)
+    oracle, so exactness of the filter is driver-proven, not claimed."""
+    tau = 0.6
+    shingled = (
+        _docs_with_shingles(spark, sf_dir, 4)
+        .withColumn("n_sh", F.size("shingles"))
+        .cache()
+    )
+    postings = shingled.select(
+        "lang", F.explode("shingles").alias("sh"), "doc_id", "n_sh"
+    )
+    doc_freq = postings.groupBy("lang", "sh").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        postings.join(doc_freq, ["lang", "sh"])
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.floor((1 - tau) * F.col("n_sh")) + 1)
+    )
+    buckets = (
+        prefix.groupBy("lang", "sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    candidates = (
+        buckets.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh = shingled.select("doc_id", "shingles", "n_sh")
+    return (
+        candidates.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (rows-only: no cross-engine 64-bit hash exists)
 # ---------------------------------------------------------------------------

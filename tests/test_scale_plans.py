@@ -258,6 +258,19 @@ def test_q17_correlated_avg_decorrelates_to_one_agg_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_ntile_scalable_has_no_single_partition_exchange(spark):
+    """wn_ntile_scalable exists precisely to avoid the global window's
+    all-rows-through-one-task shape: its plan must contain NO
+    SinglePartition exchange (the signature of an unpartitioned
+    window/sort), while the demo form wn_ntile_percent_rank does."""
+    from sealnet_etl_spark.registry import all_queries
+
+    scalable = _formatted_plan(all_queries()["wn_ntile_scalable"](spark, SF_DIR))
+    assert "SinglePartition" not in scalable, scalable
+    demo = _formatted_plan(all_queries()["wn_ntile_percent_rank"](spark, SF_DIR))
+    assert "SinglePartition" in demo  # the contrast this test documents
+
+
 def test_q21_two_correlates_are_semi_and_anti_joins(spark):
     """Q21's EXISTS/NOT EXISTS pair must plan as one left semi + one left
     anti join on the order key (decorrelated), never a nested-loop re-scan
