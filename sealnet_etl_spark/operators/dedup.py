@@ -506,6 +506,62 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_candidate_pairs(sigs)
 
 
+@query(
+    "llm_decontaminate",
+    survey_id="LLM-2/LLM-9",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - 7),
+                       i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 8
+        ), ev AS (
+            SELECT doc_id AS eval_id, unnest(sh) AS s FROM toks
+            WHERE doc_id % 7 = 0
+        ), tr AS (
+            SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 7 <> 0
+        )
+        SELECT tr.doc_id           AS doc_id,
+               COUNT(DISTINCT tr.s) AS n_shared_shingles,
+               MIN(ev.eval_id)      AS first_eval_id
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id
+    """,
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    8-word shingle with a held-out evaluation set (here: every 7th doc
+    stands in for the benchmark) — the standard n-gram-overlap contamination
+    check run before training on web-scale corpora.
+
+    Scale shape: the eval set is tiny by construction (benchmarks are
+    thousands of docs, the corpus billions), so its exploded shingle
+    postings BROADCAST and the 100 TB training side streams map-only
+    through the contamination probe — no shuffle of training shingles at
+    all; the lone exchange is the final per-doc aggregation of hits, whose
+    input is only the contaminated subset. Flagged docs report how many
+    distinct shingles leaked and the smallest offending eval doc id."""
+    shingled = _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+    eval_postings = (
+        shingled.filter(F.col("doc_id") % 7 == 0)
+        .select(F.col("doc_id").alias("eval_id"), F.explode("shingles").alias("sh"))
+    )
+    train_postings = (
+        shingled.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.explode("shingles").alias("sh"))
+    )
+    return (
+        train_postings.join(F.broadcast(eval_postings), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_shingles"),
+            F.min("eval_id").alias("first_eval_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-3: dedup clustering (connected components, min-id propagation)
 # ---------------------------------------------------------------------------

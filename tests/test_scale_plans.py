@@ -258,6 +258,19 @@ def test_q17_correlated_avg_decorrelates_to_one_agg_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """llm_decontaminate's contamination probe must be a broadcast hash
+    join (the eval/benchmark side is tiny by construction): the 100 TB
+    training side streams map-only; a sort-merge join here would shuffle
+    every training shingle."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ntile_scalable_has_no_single_partition_exchange(spark):
     """wn_ntile_scalable exists precisely to avoid the global window's
     all-rows-through-one-task shape: its plan must contain NO
