@@ -92,12 +92,29 @@ _DRIVER_VERIFIED: frozenset = frozenset(
 )
 
 
+#: Operators added mid-round-3 AFTER the grading window was planned. They
+#: rank behind the flagships so they fill whatever window slots remain
+#: instead of pushing VERDICT r2's planned regrades out of the driver's
+#: bounded (~50-row) window; any spillover is local-mirror-green now and
+#: enters the window in round 4.
+_ROUND3_LATE: frozenset = frozenset(
+    {
+        "llm_repetition_filter",
+        "etl_pseudonymize",
+        "etl_shard_assign",
+        "llm_embedding_quantize",
+    }
+)
+
+
 def _family_rank(name: str) -> int:
     """Family order within the never-graded tier (VERDICT r2 "Next round"
     #3): streaming (13) then UDF surface (6) then LLM-7..10 textstats/
     multimodal (10) then the 12 round-2 flagship plans — 3 regrades + 41
     never-graded ≈ the driver's 50-row window, so every §2 family gains a
     driver hash-pass row across r1–r3."""
+    if name in _ROUND3_LATE:
+        return 5
     for prefix, rank in (("str_", 1), ("udf_", 2), ("q", 4)):
         if name.startswith(prefix):
             return rank

@@ -477,3 +477,84 @@ def etl_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_col="event_id",
     )
+
+
+PSEUDONYM_SALT = "cust:"  # rotate per release; never derivable from output
+ACCTBAL_BAND = 1000  # generalization width for the quasi-identifier
+
+
+@query(
+    "etl_pseudonymize",
+    survey_id="ETL-1/LLM-9",
+    oracle=r"""
+        SELECT sha256('cust:' || c_custkey::VARCHAR)        AS surrogate_key,
+               regexp_replace(c_name, '\d', '#', 'g')       AS masked_name,
+               (floor(c_acctbal / 1000) * 1000)::BIGINT     AS acctbal_band,
+               c_mktsegment                                  AS segment
+        FROM customer
+    """,
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization for training-data release: direct identifiers
+    become salted sha256 surrogate keys (stable across runs, so joins
+    against other pseudonymized extracts still line up, but the original
+    key is not recoverable without the salt), embedded digits in names
+    are masked, and the numeric quasi-identifier is generalized into
+    coarse bands (k-anonymity-style) instead of being dropped.
+
+    Scale shape: pure narrow projection — no shuffle, no UDF; sha256 and
+    regexp_replace are JVM whole-stage-codegen expressions, so the op
+    runs at scan speed over 100 TB and pushes column pruning into the
+    parquet read (only the 4 referenced columns are scanned)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.sha2(
+            F.concat(F.lit(PSEUDONYM_SALT), F.col("c_custkey").cast("string")), 256
+        ).alias("surrogate_key"),
+        F.regexp_replace("c_name", r"\d", "#").alias("masked_name"),
+        (F.floor(F.col("c_acctbal") / ACCTBAL_BAND) * ACCTBAL_BAND)
+        .cast("bigint")
+        .alias("acctbal_band"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+N_SHARDS = 64
+
+
+@query(
+    "etl_shard_assign",
+    survey_id="ETL-3/LLM-9",
+    oracle="""
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64
+                   AS shard,
+               COUNT(*)                        AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT)    AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def etl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every doc hashes to one of
+    N_SHARDS output shards via md5(doc_id) — the writer-side primitive
+    behind "write the corpus as N equal tokenizer-ready files". Content-
+    keyed hashing (not round-robin/monotonic ids) keeps assignment stable
+    under re-runs and insertions, so incremental rebuilds only rewrite
+    shards whose membership changed. The query returns per-shard doc and
+    char counts — the balance check that validates the hash spreads load
+    before a 100 TB write; the same shard expression feeds
+    ``df.repartition(N, shard).write.partitionBy`` for the actual sink
+    (one shuffle, each output file written by exactly one task).
+
+    md5-hex → conv(16,10) (not xxhash64) keeps the oracle cross-engine
+    (SURVEY §5.3): both engines integerize the same 32-bit prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % N_SHARDS
+    )
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

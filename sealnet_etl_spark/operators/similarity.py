@@ -586,3 +586,61 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("src_id", "nbr_id", "cos_sim")
     )
+
+
+QUANT_LEVELS = 127.0  # symmetric int8: codes in [-127, 127]
+
+
+@query(
+    "llm_embedding_quantize",
+    survey_id="LLM-4/LLM-6",
+    oracle="""
+        SELECT vec_id,
+               ROUND(127.0 / list_max(list_transform(embedding,
+                   x -> abs(x::DOUBLE))), 6) AS scale,
+               ROUND(list_aggregate(list_transform(embedding,
+                   x -> abs(round(x::DOUBLE * 127.0
+                                  / list_max(list_transform(embedding,
+                                        y -> abs(y::DOUBLE))))
+                            * list_max(list_transform(embedding,
+                                  y -> abs(y::DOUBLE))) / 127.0
+                            - x::DOUBLE)), 'sum')
+                   / len(embedding), 8) AS mae
+        FROM embeddings
+    """,
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column — the
+    4× storage/bandwidth reduction step before a billion-vector ANN
+    index is materialized (codes = round(x * 127 / max|x|) per vector).
+    Returns per-vector scale plus mean-absolute reconstruction error,
+    the quality gate that decides whether int8 is safe for a corpus or
+    per-vector outliers demand float16/PQ instead.
+
+    Scale shape: one narrow Catalyst projection (transform/aggregate
+    folds over the array column) — shuffle-free, UDF-free, runs at scan
+    speed; the quantized codes themselves would be written columnar as
+    array<tinyint> by the same expression feeding a sink. Both engines
+    fold the per-element |error| sum left-to-right in float64, so the
+    oracle comparison is exact, not tolerance-based."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(dv, lambda x: F.abs(x)))
+    mae = F.aggregate(
+        F.transform(
+            dv,
+            lambda x: F.abs(
+                F.round(x * F.lit(QUANT_LEVELS) / max_abs)
+                * max_abs
+                / F.lit(QUANT_LEVELS)
+                - x
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / F.size(dv)
+    return emb.select(
+        "vec_id",
+        F.round(F.lit(QUANT_LEVELS) / max_abs, 6).alias("scale"),
+        F.round(mae, 8).alias("mae"),
+    )

@@ -397,3 +397,70 @@ def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.1),
     )
     return docs.filter(frac * F.lit(4294967296.0) > u32).select("lang", "doc_id")
+
+
+REPETITION_NGRAM = 3  # Gopher-style duplicate-3-gram signal
+REPETITION_MAX_DUP = 0.02  # keep docs whose duplicate-shingle fraction stays below
+
+
+@query(
+    "llm_repetition_filter",
+    survey_id="LLM-9",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+            FROM documents
+        )
+        SELECT doc_id, len(w) AS n_words,
+               CASE WHEN len(w) >= 3 THEN
+                   ROUND(1.0 - len(list_distinct(list_transform(
+                       range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' ')
+                   ))) * 1.0 / (len(w) - 2), 6)
+               ELSE 0.0 END AS dup3_frac
+        FROM t
+        WHERE CASE WHEN len(w) >= 3 THEN
+                  ROUND(1.0 - len(list_distinct(list_transform(
+                      range(len(w) - 2),
+                      i -> array_to_string(w[i+1:i+3], ' ')
+                  ))) * 1.0 / (len(w) - 2), 6)
+              ELSE 0.0 END < 0.02
+    """,
+)
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (the MassiveText/Gopher "repeated
+    n-gram fraction" quality signal): a doc whose 3-word shingles repeat
+    heavily is boilerplate/spam and gets dropped before training.
+
+    The duplicate fraction is computed entirely inside one Catalyst
+    projection — split → transform(sequence) shingles → array_distinct —
+    so the operator is a SHUFFLE-FREE narrow map over the corpus: at
+    100 TB it runs at scan speed with full column pruning, no exploded
+    shingle rows ever hit a shuffle (unlike the posting-list dedup ops,
+    which need cross-doc visibility; repetition is per-doc by definition).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(0), n - F.lit(REPETITION_NGRAM)),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(words, i + j + 1) for j in range(REPETITION_NGRAM)],
+        ),
+    )
+    dup_frac = F.when(
+        n >= REPETITION_NGRAM,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(shingles))
+            / (n - F.lit(REPETITION_NGRAM - 1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(
+            "doc_id", n.alias("n_words"), dup_frac.alias("dup3_frac")
+        )
+        .filter(F.col("dup3_frac") < REPETITION_MAX_DUP)
+    )

@@ -306,3 +306,30 @@ def test_q22_not_exists_is_anti_join(spark):
     plan = _formatted_plan(all_queries()["q22_sales_opportunity"](spark, SF_DIR))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_narrow_pipeline_ops_are_shuffle_free(spark):
+    """The per-row training-data ops (repetition filter, pseudonymization,
+    int8 quantization) must plan as pure narrow projections: zero
+    exchanges, zero Python UDFs — at 100 TB they run at scan speed."""
+    from sealnet_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in (
+        "llm_repetition_filter",
+        "etl_pseudonymize",
+        "llm_embedding_quantize",
+    ):
+        plan = _formatted_plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in plan, name
+        assert "Python" not in plan, name  # no UDF fallback
+
+
+def test_shard_assign_is_single_partial_agg_shuffle(spark):
+    """Shard stats must partially aggregate map-side: exactly one exchange
+    (on the 64 shard keys), carrying (shard, count, sum) rows only."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["etl_shard_assign"](spark, SF_DIR))
+    assert plan.count("Exchange") == 2  # tree line + detail block
+    assert "partial_count" in plan or "HashAggregate" in plan
