@@ -593,8 +593,17 @@ def connected_components(
     far shallower). Three label-table joins + one groupBy per iteration;
     the label table is (node, id) pairs only — at 100 TB this is the
     min-id cousin of large-star/small-star without a GraphFrames dep.
-    Iterations run to a fixed bound, not a convergence count(), so the job
-    graph is static.
+
+    Convergence (round 3): iterations stop at the fixed ``max_iter`` bound
+    OR as soon as a fixpoint is proven, whichever comes first. The witness
+    is Σ cluster_id over the (already-materialized) label table: min-id
+    labels are per-node monotone non-increasing, so the sum is strictly
+    decreasing until the fixpoint and an unchanged sum ⇔ no label moved.
+    That makes the convergence check ONE cheap aggregation action over
+    checkpointed (node, id) pairs — no extra join, no diff table — and
+    since near-dup clusters are shallow (diameter ≲ 4 ⇒ 2-3 jumps), the
+    typical run does 3 iterations instead of the worst-case bound. The sum
+    accumulates in decimal(38,0), overflow-free at any node-id scale.
 
     Lineage control is load-bearing for ANY iterative DataFrame loop: the
     edge list is materialized once and each iteration's labels are
@@ -605,29 +614,28 @@ def connected_components(
     storage on a real cluster), iterations use fault-tolerant
     ``checkpoint()``; otherwise the fast executor-local form.
     """
+    undirected = edges.selectExpr(f"{src} AS n1", f"{dst} AS n2").unionByName(
+        edges.selectExpr(f"{dst} AS n1", f"{src} AS n2")
+    )
+    # Self-loops fold the "keep your own label" case into the neighbor-min
+    # aggregation: one join + one groupBy replaces join + groupBy + left
+    # join + least/coalesce (round 3 — one fewer shuffle per iteration).
     bidir = _truncate_lineage(
-        edges.selectExpr(f"{src} AS n1", f"{dst} AS n2").unionByName(
-            edges.selectExpr(f"{dst} AS n1", f"{src} AS n2")
-        )
+        undirected.unionByName(
+            undirected.select(F.col("n1"), F.col("n1").alias("n2"))
+        ).distinct()
     )
     labels = (
         bidir.select(F.col("n1").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
+        propagated = (
             bidir.join(labels, bidir.n1 == labels.node)
-            .groupBy(F.col("n2").alias("node2"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.node == neighbor_min.node2, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-            ).alias("cluster_id"),
+            .groupBy(F.col("n2").alias("node"))
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
         # pointer jump: follow the label one hop (labels always point at
         # real nodes, so the self-join resolves every row)
@@ -641,6 +649,12 @@ def connected_components(
                 F.coalesce(F.col("m_cid"), F.col("cluster_id")).alias("cluster_id"),
             )
         )
+        label_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if label_sum == prev_sum:  # fixpoint witness — see docstring
+            break
+        prev_sum = label_sum
     return labels
 
 
