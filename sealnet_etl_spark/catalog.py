@@ -103,6 +103,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_pseudonymize",
         "etl_shard_assign",
         "llm_embedding_quantize",
+        "llm_boilerplate_ngrams",
     }
 )
 

@@ -464,3 +464,77 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dup3_frac") < REPETITION_MAX_DUP)
     )
+
+
+BOILERPLATE_NGRAM = 3  # corpus-level duplicate n-gram length
+BOILERPLATE_MIN_DOCS = 5  # shingle is boilerplate if it appears in >= N docs
+
+
+@query(
+    "llm_boilerplate_ngrams",
+    survey_id="LLM-9/LLM-2",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - 2),
+                       i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        ), exploded AS (
+            SELECT doc_id, unnest(sh) AS shingle FROM t
+        ), hot AS (
+            SELECT shingle FROM exploded
+            GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 5
+        )
+        SELECT e.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(h.shingle) AS n_boilerplate,
+               ROUND(COUNT(h.shingle) * 1.0 / COUNT(*), 6) AS bp_frac
+        FROM exploded e LEFT JOIN hot h ON e.shingle = h.shingle
+        GROUP BY e.doc_id
+        HAVING COUNT(h.shingle) > 0
+    """,
+)
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the C4 "repeated across the
+    corpus" signal, complementing llm_repetition_filter's within-doc
+    signal): a distinct 3-gram occurring in ≥ BOILERPLATE_MIN_DOCS docs is
+    boilerplate (headers, footers, license blurbs); each doc reports what
+    fraction of its distinct shingles are boilerplate — the input to a
+    strip-or-drop cleaning decision.
+
+    Scale shape: explode distinct shingles (map-side), ONE groupBy to get
+    per-shingle doc frequency (partial aggregation collapses repeats
+    before the shuffle), then a broadcast-able hot-set join back — the hot
+    set is tiny BY CONSTRUCTION (df ≥ N shrinks super-linearly with N), so
+    the fact-side explode never shuffles twice. At 100 TB the same plan
+    holds: the only wide op carries (shingle-hash, doc_id) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    exploded = (
+        docs.withColumn("__w", w)
+        .filter(F.size("__w") >= BOILERPLATE_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("__w"), BOILERPLATE_NGRAM))
+            ).alias("shingle"),
+        )
+    )
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("shingle")
+    )
+    return (
+        exploded.join(F.broadcast(hot.withColumn("__hot", F.lit(1))), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hot").alias("n_boilerplate"),
+            F.round(F.count("__hot") / F.count(F.lit(1)), 6).alias("bp_frac"),
+        )
+        .filter(F.col("n_boilerplate") > 0)
+    )
