@@ -104,6 +104,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_shard_assign",
         "llm_embedding_quantize",
         "llm_boilerplate_ngrams",
+        "jn_bucketed_colocated",
+        "ag_hll_sketch_union",
     }
 )
 

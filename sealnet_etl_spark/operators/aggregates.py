@@ -476,3 +476,31 @@ def ag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("bucket_value"),
         )
     )
+
+
+@query("ag_hll_sketch_union", survey_id="AG-3", oracle=None)
+def ag_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark 3.5+): per-nation customer sketches aggregate in one
+    partial-agg shuffle, then `hll_union_agg` MERGES the 24 sketch blobs
+    into segment-free global estimates without ever re-touching the raw
+    data — the pre-aggregation pattern that lets a 100 TB pipeline keep
+    per-partition sketches in a summary table and answer "distinct across
+    any partition subset" by unioning kilobyte blobs. (Contrast AG-3's
+    `approx_count_distinct`, whose HLL state is internal and non-reusable,
+    and AG-2's exact two-phase count-distinct, which must re-shuffle raw
+    keys per question.) Rows-only check: sketch estimates have no DuckDB
+    twin; the estimate-vs-exact band is pinned in
+    tests/test_llm_semantics.py."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    nation_est = per_nation.select(
+        F.col("c_nationkey").cast("bigint").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+    )
+    global_est = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+    ).select(F.lit(-1).cast("bigint").alias("scope"), "est_distinct")
+    return nation_est.unionByName(global_est)

@@ -532,3 +532,82 @@ def jn_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_follow_events", F.lit(0)).alias("n_follow_events"),
         )
     )
+
+
+N_BUCKETS = 8
+
+
+@query(
+    "jn_bucketed_colocated",
+    survey_id="JN-1/SRC-5",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*)                        AS n_items,
+               ROUND(SUM(l_extendedprice), 2)  AS revenue
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def jn_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both sides are written
+    ``bucketBy(N, join_key).sortBy(join_key)`` into the warehouse
+    (HDFS/S3 on a real cluster), so the subsequent join aligns bucket
+    files 1:1 and plans with ZERO exchange and zero sort on either side —
+    the pre-shuffle is paid once at write time and amortized over every
+    future join on that key. This is THE layout decision that makes
+    repeated 100 TB fact-fact joins viable: a sort-merge join whose
+    shuffle already lives on disk. tests/test_scale_plans.py asserts the
+    no-exchange/no-sort plan shape.
+
+    Table names carry an sf-dir fingerprint so scale factors never read
+    each other's buckets; re-runs overwrite idempotently."""
+    import hashlib
+    import re
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    orders_t, lineitem_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    if not spark.catalog.tableExists(orders_t):
+        # a prior session's managed-table files may survive while the
+        # in-memory catalog is fresh — clear the stale locations first
+        warehouse = re.sub(
+            "^file:(//)?", "", spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        )
+        for t in (orders_t, lineitem_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .repartition(N_BUCKETS, F.col("o_orderkey"))
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(orders_t)
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .repartition(N_BUCKETS, F.col("l_orderkey"))
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(lineitem_t)
+        )
+    # the merge hint pins the plan a 100 TB fact-fact join gets anyway
+    # (neither side broadcasts at scale); without it the toy-SF optimizer
+    # picks broadcast and the bucket layout it's demonstrating goes unused
+    orders_b = spark.table(orders_t).hint("merge")
+    lineitem_b = spark.table(lineitem_t)
+    return (
+        orders_b.join(
+            lineitem_b, orders_b.o_orderkey == lineitem_b.l_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -199,3 +199,24 @@ def test_tiled_topk_equals_single_broadcast(spark, queries):
         map(tuple, queries["llm_tiled_topk_cosine"](spark, SF_DIR).collect())
     )
     assert tiled == full
+
+
+def test_hll_sketch_union_estimates_track_exact(spark, queries):
+    """The mergeable-HLL estimates (per-nation and the union-merged global)
+    must track the exact distinct counts within HLL's error envelope at
+    the default lgConfigK=12 (~1.6% σ; customer keys are unique so exact
+    counts are plain group sizes)."""
+    from pyspark.sql import functions as F
+
+    from sealnet_etl_spark.sources import load_table
+
+    est = {r.scope: r.est_distinct for r in
+           queries["ag_hll_sketch_union"](spark, SF_DIR).collect()}
+    cust = load_table(spark, SF_DIR, "customer")
+    exact = {r.scope: r.n for r in cust.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("scope")
+    ).agg(F.count_distinct("c_custkey").alias("n")).collect()}
+    exact[-1] = cust.select("c_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for scope, n in exact.items():
+        assert abs(est[scope] - n) / n < 0.05, (scope, est[scope], n)

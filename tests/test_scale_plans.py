@@ -333,3 +333,20 @@ def test_shard_assign_is_single_partial_agg_shuffle(spark):
     plan = _formatted_plan(all_queries()["etl_shard_assign"](spark, SF_DIR))
     assert plan.count("Exchange") == 2  # tree line + detail block
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """Both sides are bucketed on the join key, so the sort-merge join
+    must consume bucket files directly: NO Exchange below the join — the
+    shuffle was paid once at write time. (A within-partition Sort remains:
+    Spark only trusts bucket-file sort order behind the legacy
+    bucketedTableScan.outputOrdering flag; the sort is narrow and cheap —
+    the scale win is the absent shuffle.)"""
+    from sealnet_etl_spark.registry import all_queries
+
+    df = all_queries()["jn_bucketed_colocated"](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    # the only exchange allowed is the final groupBy's
+    assert plan.count("Exchange") <= 2  # tree + detail of ONE exchange
+    assert "SelectedBucketsCount" in plan
