@@ -44,6 +44,12 @@ def headline_queries() -> list[str]:
         # regression there shows up as a number, not a -1.0 sentinel
         "wn_lag_gap",
         "wn_range_frame",
+        # round-3 training-data ops: narrow scan-speed filters + the
+        # boilerplate hot-set join — cheap, but tracked so a UDF fallback
+        # or lost pushdown shows up as a per-query regression
+        "llm_repetition_filter",
+        "llm_boilerplate_ngrams",
+        "etl_shard_assign",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
