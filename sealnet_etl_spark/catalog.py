@@ -106,6 +106,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_boilerplate_ngrams",
         "jn_bucketed_colocated",
         "ag_hll_sketch_union",
+        "ag_theta_sketch_setops",
     }
 )
 

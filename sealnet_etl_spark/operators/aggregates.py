@@ -504,3 +504,46 @@ def ag_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
     ).select(F.lit(-1).cast("bigint").alias("scope"), "est_distinct")
     return nation_est.unionByName(global_est)
+
+
+@query("ag_theta_sketch_setops", survey_id="AG-3", oracle=None)
+def ag_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (DataSketches, Spark 4): mergeable distinct sketches
+    that ALSO support set algebra — per-priority sketches of the ordering
+    customers, then union and INTERSECTION estimates across two cohorts
+    ("customers with urgent AND low-priority orders") computed purely from
+    kilobyte sketch blobs. HLL can only union; theta's set operations are
+    what let a 100 TB pipeline answer cohort-overlap questions from a
+    summary table without re-scanning raw keys. Rows-only (no DuckDB
+    sketch twin); estimate-vs-exact bands pinned in
+    tests/test_llm_semantics.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.theta_sketch_agg("o_custkey").alias("sk")
+    )
+    prio_est = per_prio.select(
+        F.col("o_orderpriority").alias("scope"),
+        F.theta_sketch_estimate("sk").alias("est_customers"),
+    )
+    two = per_prio.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    union_est = two.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("sk")).alias("est_customers")
+    ).select(F.lit("1-URGENT|5-LOW union").alias("scope"), "est_customers")
+    pair = (
+        two.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("sk").alias("sk_a"))
+        .crossJoin(
+            two.filter(F.col("o_orderpriority") == "5-LOW").select(
+                F.col("sk").alias("sk_b")
+            )
+        )
+    )
+    inter_est = pair.select(
+        F.lit("1-URGENT&5-LOW intersect").alias("scope"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_a", "sk_b")
+        ).alias("est_customers"),
+    )
+    return prio_est.unionByName(union_est).unionByName(inter_est)

@@ -220,3 +220,29 @@ def test_hll_sketch_union_estimates_track_exact(spark, queries):
     assert set(est) == set(exact)
     for scope, n in exact.items():
         assert abs(est[scope] - n) / n < 0.05, (scope, est[scope], n)
+
+
+def test_theta_sketch_setop_estimates_track_exact(spark, queries):
+    """Theta union/intersection estimates must track the exact cohort
+    overlap within the sketch error envelope (default lgK → ~3σ < 5% at
+    these cardinalities)."""
+    from pyspark.sql import functions as F
+
+    from sealnet_etl_spark.sources import load_table
+
+    est = {r.scope: r.est_customers for r in
+           queries["ag_theta_sketch_setops"](spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    urgent = {r.o_custkey for r in orders.filter(
+        F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct().collect()}
+    low = {r.o_custkey for r in orders.filter(
+        F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct().collect()}
+    checks = {
+        "1-URGENT": len(urgent),
+        "5-LOW": len(low),
+        "1-URGENT|5-LOW union": len(urgent | low),
+        "1-URGENT&5-LOW intersect": len(urgent & low),
+    }
+    for scope, exact in checks.items():
+        assert exact > 0, scope
+        assert abs(est[scope] - exact) / exact < 0.05, (scope, est[scope], exact)
