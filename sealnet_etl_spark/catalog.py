@@ -107,6 +107,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "jn_bucketed_colocated",
         "ag_hll_sketch_union",
         "ag_theta_sketch_setops",
+        "etl_k_anonymity_audit",
     }
 )
 

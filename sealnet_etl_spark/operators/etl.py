@@ -558,3 +558,40 @@ def etl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+K_ANONYMITY = 10
+
+
+@query(
+    "etl_k_anonymity_audit",
+    survey_id="ETL-2/LLM-9",
+    oracle="""
+        SELECT c_mktsegment                               AS segment,
+               (floor(c_acctbal / 1000) * 1000)::BIGINT   AS acctbal_band,
+               COUNT(*)                                   AS group_size
+        FROM customer
+        GROUP BY 1, 2
+        HAVING COUNT(*) < 10
+    """,
+)
+def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit for a pseudonymized release
+    (companion to etl_pseudonymize): group by the released
+    quasi-identifiers and flag every equivalence class smaller than K —
+    those rows are not k-anonymous and need wider banding or suppression
+    before the extract ships. One partial-agg shuffle of the two
+    quasi-identifier columns; the HAVING filter runs post-agg on group
+    cardinalities, so at 100 TB the output is only the (rare) risky
+    classes."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.floor(F.col("c_acctbal") / ACCTBAL_BAND) * ACCTBAL_BAND)
+            .cast("bigint")
+            .alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < K_ANONYMITY)
+    )
