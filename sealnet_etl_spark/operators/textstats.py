@@ -532,8 +532,10 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hot = (
+        # shingles are array_distinct'd per doc upstream, so plain COUNT
+        # IS the doc frequency — no count_distinct dedup exchange needed
         exploded.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
         .select("shingle")
     )
