@@ -246,3 +246,42 @@ def test_theta_sketch_setop_estimates_track_exact(spark, queries):
     for scope, exact in checks.items():
         assert exact > 0, scope
         assert abs(est[scope] - exact) / exact < 0.05, (scope, est[scope], exact)
+
+
+def test_quantize_mae_within_theoretical_bound(spark, queries):
+    """Symmetric int8 rounding error per element is ≤ max_abs/(2·127), so
+    the per-vector MAE must respect that bound (plus rounding slack) —
+    and scale must invert max|x| exactly."""
+    rows = queries["llm_embedding_quantize"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        max_abs = 127.0 / r.scale
+        assert r.mae <= max_abs / 254.0 + 1e-6, (r.vec_id, r.mae, max_abs)
+        assert r.mae >= 0.0
+
+
+def test_shard_assignment_is_total_and_balanced(spark, queries):
+    """Every doc lands in exactly one shard and the md5 hash spreads load:
+    no shard exceeds 3× the mean at sf0.01 (500 docs / 64 shards)."""
+    from sealnet_etl_spark.sources import load_table
+
+    rows = queries["etl_shard_assign"](spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < 64 for r in rows)
+    mean = n_docs / 64
+    assert max(r.n_docs for r in rows) <= 3 * mean
+
+
+def test_pseudonymization_is_bijective_and_scrubbed(spark, queries):
+    """Surrogate keys must stay 1:1 with source keys (joins still line up)
+    and no digit may survive in the masked name."""
+    import re
+
+    from sealnet_etl_spark.sources import load_table
+
+    rows = queries["etl_pseudonymize"](spark, SF_DIR).collect()
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert len(rows) == n_cust
+    assert len({r.surrogate_key for r in rows}) == n_cust
+    assert not any(re.search(r"\d", r.masked_name) for r in rows)
