@@ -620,10 +620,12 @@ def connected_components(
     # Self-loops fold the "keep your own label" case into the neighbor-min
     # aggregation: one join + one groupBy replaces join + groupBy + left
     # join + least/coalesce (round 3 — one fewer shuffle per iteration).
+    # No distinct here: duplicate edges can't change a min() and a dedup
+    # shuffle of the full edge list would cost more than the dups do.
     bidir = _truncate_lineage(
         undirected.unionByName(
             undirected.select(F.col("n1"), F.col("n1").alias("n2"))
-        ).distinct()
+        )
     )
     labels = (
         bidir.select(F.col("n1").alias("node"))
