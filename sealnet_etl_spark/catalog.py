@@ -109,6 +109,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_theta_sketch_setops",
         "etl_k_anonymity_audit",
         "src_compact_small_files",
+        "llm_ivfpq_ann_topk",
     }
 )
 

@@ -285,3 +285,17 @@ def test_pseudonymization_is_bijective_and_scrubbed(spark, queries):
     assert len(rows) == n_cust
     assert len({r.surrogate_key for r in rows}) == n_cust
     assert not any(re.search(r"\d", r.masked_name) for r in rows)
+
+
+def test_ivfpq_ann_recall(spark, queries, exact_topk):
+    """IVF-PQ (4 of 16 cells, 8×4-bit codes, ADC shortlist → exact refine)
+    must hold its measured recall band at the pinned seed: 0.459 at
+    sf0.01, ≈90% of the 0.507 candidate-set ceiling set by the shared IVF
+    probe stage — the PQ stage may lose little beyond what cell probing
+    already lost."""
+    ann = {
+        (r.src_id, r.nbr_id)
+        for r in queries["llm_ivfpq_ann_topk"](spark, SF_DIR).collect()
+    }
+    recall = len(exact_topk & ann) / len(exact_topk)
+    assert 0.35 <= recall <= 0.60, f"IVF-PQ recall left its band: {recall:.3f}"
