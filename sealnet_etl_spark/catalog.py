@@ -110,6 +110,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_k_anonymity_audit",
         "src_compact_small_files",
         "llm_ivfpq_ann_topk",
+        "llm_containment_dedup",
+        "etl_cdc_snapshot_diff",
     }
 )
 

@@ -697,3 +697,77 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
+
+
+CONTAINMENT_TAU = 0.9
+CONTAINMENT_K = 8
+
+
+@query(
+    "llm_containment_dedup",
+    survey_id="LLM-2",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - {CONTAINMENT_K - 1}),
+                       i -> array_to_string(w[i+1:i+{CONTAINMENT_K}], ' '))) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {CONTAINMENT_K}
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / least(len(a.sh), len(b.sh)), 6) AS containment
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / least(len(a.sh), len(b.sh)) >= {CONTAINMENT_TAU}
+    """,
+)
+def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    asymmetric cousin of Jaccard that catches a short doc embedded inside
+    a long one (quote farms, concatenated dumps, doc-in-doc training
+    leakage), which symmetric Jaccard misses because the union is
+    dominated by the longer doc (J = 0.1 for a 10× length ratio even at
+    full containment).
+
+    Same inverted-index shape as llm_ngram_jaccard_dedup: posting lists
+    per 8-word shingle, bucket-local pair generation, per-pair row count
+    = |A∩B| exactly (shingle sets are per-doc distinct), so containment
+    needs no array intersection — only the denominator changes from
+    (n_a + n_b - common) to min(n_a, n_b). One shuffle of (shingle, id)
+    postings; only docs sharing ≥1 shingle ever pair."""
+    shingled = _docs_with_shingles(spark, sf_dir, CONTAINMENT_K).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    postings = shingled.select(
+        F.explode("shingles").alias("sh"), F.struct("doc_id", "n_sh").alias("d")
+    )
+    buckets = (
+        postings.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_rows = (
+        buckets.select(F.posexplode("ds").alias("i", "da"), "ds")
+        .select(
+            F.col("da.doc_id").alias("doc_a"),
+            F.col("da.n_sh").alias("n_a"),
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("db"),
+        )
+        .select(
+            "doc_a", "n_a",
+            F.col("db.doc_id").alias("doc_b"),
+            F.col("db.n_sh").alias("n_b"),
+        )
+    )
+    return (
+        pair_rows.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "containment",
+            F.col("common").cast("double") / F.least("n_a", "n_b"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+        .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )

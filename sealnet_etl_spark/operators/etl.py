@@ -595,3 +595,83 @@ def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < K_ANONYMITY)
     )
+
+
+@query(
+    "etl_cdc_snapshot_diff",
+    survey_id="ETL-5",
+    oracle="""
+        WITH prev AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN ROUND(o_totalprice, 2) - 100.0
+                        ELSE ROUND(o_totalprice, 2) END AS o_totalprice,
+                   o_orderstatus
+            FROM orders WHERE o_orderkey % 20 != 0
+        ), curr AS (
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+                   o_orderstatus
+            FROM orders
+        )
+        SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+               CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+                    WHEN c.o_orderkey IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               c.o_totalprice AS new_price,
+               p.o_totalprice AS old_price
+        FROM curr c FULL OUTER JOIN prev p USING (o_orderkey)
+        WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+              OR c.o_totalprice != p.o_totalprice
+              OR c.o_orderstatus != p.o_orderstatus
+    """,
+)
+def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: given yesterday's and today's
+    full extracts, emit the insert/update/delete stream a downstream
+    incremental consumer replays — the batch-world CDC every warehouse
+    without a log-based source needs. (The "previous" snapshot is derived
+    deterministically here: every 20th order missing → inserts, every 7th
+    shifted by an exactly-representable −100.0 → updates; both engines
+    derive the bit-identical snapshot — a multiplicative discount would
+    hit round-half tie divergence between the engines.)
+
+    Scale shape: ONE full-outer shuffle join on the key, then a pure
+    filter on column inequality — no window, no sort. At 100 TB both
+    sides bucket on the key (jn_bucketed_colocated's layout) and the diff
+    becomes co-located and exchange-free; comparing a column subset (or a
+    row-hash) bounds comparison cost regardless of schema width."""
+    orders = load_table(spark, sf_dir, "orders")
+    curr = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    prev = orders.filter(F.col("o_orderkey") % 20 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round("o_totalprice", 2) - 100.0
+        )
+        .otherwise(F.round("o_totalprice", 2))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    c = curr.alias("c")
+    p = prev.alias("p")
+    joined = c.join(p, on="o_orderkey", how="full")
+    return (
+        joined.filter(
+            F.col("p.o_totalprice").isNull()
+            | F.col("c.o_totalprice").isNull()
+            | (F.col("c.o_totalprice") != F.col("p.o_totalprice"))
+            | (F.col("c.o_orderstatus") != F.col("p.o_orderstatus"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("p.o_totalprice").isNull(), "insert")
+            .when(F.col("c.o_totalprice").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("c.o_totalprice").alias("new_price"),
+            F.col("p.o_totalprice").alias("old_price"),
+        )
+    )
