@@ -350,3 +350,34 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
     # the only exchange allowed is the final groupBy's
     assert plan.count("Exchange") <= 2  # tree + detail of ONE exchange
     assert "SelectedBucketsCount" in plan
+
+
+#: Queries allowed to plan a BroadcastNestedLoopJoin — every one joins a
+#: 1-ROW side (a global aggregate / sketch blob): the scalar-subquery
+#: shape, where BNLJ is the correct plan. jn_cross_bounded is the
+#: explicitly bounded cross-join demo.
+_BNLJ_ALLOWED = {
+    "llm_tfidf",            # 1-row corpus doc-count
+    "q11_important_stock",  # 1-row global value threshold
+    "q20_excess_shippers",  # 1-row global avg
+    "q22_sales_opportunity",# 1-row global acctbal avg
+    "ag_theta_sketch_setops",  # two 1-row sketch sides
+    "jn_cross_bounded",
+}
+
+
+def test_no_query_plans_an_unbounded_nested_loop(spark):
+    """Repo-wide anti-pattern guard: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin only appears on the
+    allowlisted 1-row-side scalar shapes. A future edit that turns an
+    equi-join into an accidental cross join fails here, not at 100 TB."""
+    from sealnet_etl_spark.registry import all_queries
+
+    offenders = {}
+    for name, fn in all_queries().items():
+        plan = _formatted_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
