@@ -225,7 +225,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = JACCAR
         .filter(F.col("jaccard") >= tau)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    # The verified pair list is bounded by near-dup density (pairs, not
+    # corpus — KBs at any scale), and both the pairs query and the
+    # clustering query derive it from the identical plan: caching lets the
+    # second consumer skip the whole signature→band→verify pipeline.
+    return verified.cache()
 
 
 _NGRAM_ORACLE_TEMPLATE = r"""
