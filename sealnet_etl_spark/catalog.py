@@ -31,6 +31,7 @@ from .operators import (  # noqa: F401
     similarity,
     sorts_sets,
     textstats,
+    trainprep,
     udfs,
     windows,
 )
@@ -112,6 +113,13 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_ivfpq_ann_topk",
         "llm_containment_dedup",
         "etl_cdc_snapshot_diff",
+        "wn_event_funnel",
+        "wn_retention_cohorts",
+        "llm_sequence_pack",
+        "llm_mixture_sample",
+        "llm_keep_best_duplicate",
+        "llm_incremental_dedup",
+        "llm_unigram_logprob",
     }
 )
 

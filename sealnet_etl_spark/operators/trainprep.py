@@ -1,0 +1,307 @@
+"""Training-data preparation operators (SURVEY.md §2.13a round-3 tier):
+the corpus-to-training-run steps that sit BETWEEN dedup/quality filtering
+(dedup.py, textstats.py) and the sharded sink (etl.py) in an LLM data
+pipeline — sequence packing, mixture sampling, canonical-duplicate
+selection, incremental corpus dedup, and unigram LM quality scoring.
+
+Shared discipline: every sampling / assignment decision hashes CONTENT
+KEYS through the md5-hex-prefix integerization that etl_shard_assign
+introduced (cross-engine deterministic — both Spark's ``conv(substring(
+md5(x),1,8),16,10)`` and DuckDB's ``('0x'||substring(md5(x),1,8))::BIGINT``
+integerize the same 32-bit prefix), so re-runs, insertions, and the DuckDB
+oracle all agree row-for-row. No RNG, no row_number-over-nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load_table
+from .dedup import normalized_words
+from .textstats import TOKEN_PATTERN
+
+
+def md5_bucket(key: Column, salt: str, mod: int) -> Column:
+    """Deterministic uniform bucket in [0, mod): integerize the first 8 hex
+    chars of md5(salt || key). The salt decorrelates independent decisions
+    (shard vs. sample vs. split) made on the same key."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+def _md5_bucket_sql(key_expr: str, salt: str, mod: int) -> str:
+    return (
+        f"('0x' || substring(md5('{salt}' || {key_expr}), 1, 8))::BIGINT % {mod}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 2048
+PACK_SHARDS = 8
+
+
+@query(
+    "llm_sequence_pack",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_md5_bucket_sql("doc_id::VARCHAR", "pack:", PACK_SHARDS)}
+                       AS shard,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        )
+        , offsets AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM toks
+            WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, start_offset,
+               start_offset // {SEQ_LEN}                  AS first_seq,
+               (start_offset + n_tokens - 1) // {SEQ_LEN} AS last_seq
+        FROM offsets
+    """,
+)
+def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate each shard's docs in
+    a deterministic order and cut the token stream into SEQ_LEN training
+    sequences; emit every doc's byte-exact placement (start offset, first /
+    last sequence index). This is the addressing step of "pack the corpus
+    into fixed-length samples with documents crossing boundaries" — the
+    writer then slices exactly [first_seq, last_seq] per doc.
+
+    Scale: token counting is a shuffle-free narrow pass; the only shuffle
+    is the hash exchange on the md5 shard key, and the running-sum window
+    is per-shard (shards are the parallel unit — at 100 TB you raise
+    PACK_SHARDS to O(cluster cores), each holding a contiguous token
+    stream; assignment stays deterministic because the shard key is
+    content-hashed, not monotonic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        offset.alias("start_offset"),
+        F.floor(offset / SEQ_LEN).alias("first_seq"),
+        F.floor((offset + F.col("n_tokens") - 1) / SEQ_LEN).alias("last_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture sampling
+# ---------------------------------------------------------------------------
+
+MIX_DENOM = 10_000
+#: per-language keep rates ×10⁴ — the "target mixture" a data recipe fixes
+#: (e.g. downsample dominant English, keep the rest at a higher rate).
+MIX_RATES = {"en": 5_500, "de": 9_000, "fr": 9_000}
+MIX_DEFAULT = 8_000
+
+
+@query(
+    "llm_mixture_sample",
+    survey_id="LLM-9/LLM-11",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_md5_bucket_sql("doc_id::VARCHAR", "mix:", MIX_DENOM)}
+              < CASE lang WHEN 'en' THEN {MIX_RATES['en']}
+                          WHEN 'de' THEN {MIX_RATES['de']}
+                          WHEN 'fr' THEN {MIX_RATES['fr']}
+                          ELSE {MIX_DEFAULT} END
+    """,
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each language (domain) gets a
+    target keep-rate and every doc keeps/drops by comparing its salted
+    md5 bucket against that rate — the reproducible version of "downsample
+    web-English to 55%, keep curated domains at 80-90%" in training-data
+    recipes. Unlike ``df.sample``, membership is a pure function of doc_id,
+    so incremental re-runs and audits reproduce the exact sample.
+
+    Scale: shuffle-free — a narrow filter the parquet scan evaluates
+    per-row; no sort, no sampling pass, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    keep = md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM) < rate
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Canonical-duplicate selection (keep-best, not keep-first)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_keep_best_duplicate",
+    survey_id="LLM-1/LLM-9",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, source, n_chars,
+                   md5(lower(text)) AS content_hash,
+                   COUNT(*) OVER (PARTITION BY md5(lower(text))) AS group_size
+            FROM documents
+        )
+        SELECT content_hash, doc_id, source, n_chars, group_size
+        FROM hashed
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY content_hash ORDER BY n_chars DESC, doc_id
+        ) = 1
+    """,
+)
+def llm_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document selection: among exact duplicates (same
+    normalized-content hash), keep the BEST copy by a quality key (here
+    n_chars, doc_id tiebreak) instead of the arbitrary min-id that
+    llm_exact_dedup keeps — the difference matters when duplicates differ
+    in trailing boilerplate or truncation and you want the fullest copy.
+
+    Scale: one shuffle on the 16-byte content hash; the window computes
+    group size and the keep-rank in the same partitioned pass (a single
+    Exchange feeds both), and only hashes move — never document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.md5(F.lower("text")).alias("content_hash"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )
+    wg = Window.partitionBy("content_hash")
+    wr = wg.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        hashed.withColumn("group_size", F.count(F.lit(1)).over(wg))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("content_hash", "doc_id", "source", "n_chars", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus dedup (new crawl batch vs. existing corpus)
+# ---------------------------------------------------------------------------
+
+NEW_BATCH_SOURCES = ("src1", "src2")
+
+
+@query(
+    "llm_incremental_dedup",
+    survey_id="LLM-1/ETL-5",
+    oracle=f"""
+        SELECT n.doc_id, n.source, md5(lower(n.text)) AS content_hash
+        FROM documents n
+        WHERE n.source IN {NEW_BATCH_SOURCES!r}
+          AND NOT EXISTS (
+              SELECT 1 FROM documents prior
+              WHERE prior.source NOT IN {NEW_BATCH_SOURCES!r}
+                AND md5(lower(prior.text)) = md5(lower(n.text))
+          )
+    """,
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new crawl batch (sources src1/src2
+    stand in for "this week's crawl") is admitted only where its content
+    hash does NOT already exist in the prior corpus — the continuous-
+    ingestion counterpart of one-shot exact dedup.
+
+    Scale: left-anti join on the 16-byte content hash with both sides
+    projected to (hash[, ids]) BEFORE the join, so the shuffle carries
+    hashes, not text. At 100 TB the prior-corpus side is a persisted
+    hash-only table (bucketed on the hash), making each nightly batch a
+    co-located anti join instead of a full-corpus rescan."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*NEW_BATCH_SOURCES)
+    hashed = docs.select(
+        "doc_id", "source", F.md5(F.lower("text")).alias("content_hash")
+    )
+    new_batch = hashed.filter(is_new)
+    prior = hashed.filter(~is_new).select("content_hash")
+    return new_batch.join(prior, "content_hash", "left_anti").select(
+        "doc_id", "source", "content_hash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_unigram_logprob",
+    survey_id="LLM-9/LLM-11",
+    oracle=r"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM words GROUP BY w
+        ), total AS (
+            SELECT SUM(c)::DOUBLE AS n FROM counts
+        )
+        SELECT words.doc_id,
+               COUNT(*)                         AS n_words,
+               ROUND(AVG(-ln(counts.c / total.n)), 6) AS avg_neg_logprob
+        FROM words JOIN counts USING (w) CROSS JOIN total
+        GROUP BY words.doc_id
+    """,
+)
+def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: fit corpus unigram
+    frequencies, then score each document by its mean token surprisal
+    (−ln p(w)) — the cheap stand-in for the KenLM-perplexity gate that
+    training-data pipelines run (unnaturally low OR high surprisal both
+    flag junk). Two aggregate passes over the exploded corpus.
+
+    Scale: pass 1 (vocab counts) is a map-side-combining word aggregate;
+    pass 2 scores docs through a BROADCAST join against the vocab — a
+    min-count-filtered unigram table is MBs even at 100 TB corpus size, so
+    the scoring pass is map-only (no shuffle of the exploded corpus on the
+    heavily skewed word key — stopwords would make that join the skew
+    worst-case). The corpus total rides along as a 1-row scalar cross
+    join (the one BNLJ shape the repo's plan guard allows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        words.join(F.broadcast(counts), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

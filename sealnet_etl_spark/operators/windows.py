@@ -321,3 +321,134 @@ def wn_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("latest_type"),
         F.nth_value("event_type", 2).over(w).alias("second_type"),
     )
+
+
+@query(
+    "wn_event_funnel",
+    survey_id="WN-7",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               epoch_us(v.v_ts::TIMESTAMP) AS view_us,
+               epoch_us(c.c_ts::TIMESTAMP) AS click_us,
+               epoch_us(p.p_ts::TIMESTAMP) AS purchase_us,
+               CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v USING (user_id)
+        LEFT JOIN c USING (user_id)
+        LEFT JOIN p USING (user_id)
+    """,
+)
+def wn_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel per user: first view, first click AFTER that
+    view, first purchase AFTER that click — the staged-minimum shape every
+    product-analytics engine ships (strictly ordered, not bag-of-events).
+
+    Scale: the oracle's three joins collapse into three chained window
+    minima over ONE partitioning — a single Exchange on user_id feeds all
+    three Window operators plus the final per-user aggregate (Spark reuses
+    the hash partitioning), so at 100 TB this is exactly one shuffle of the
+    events table, versus three shuffled self-joins in the naive plan."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts = F.col("ts")
+    with_v = events.withColumn(
+        "v_ts", F.min(F.when(F.col("event_type") == "view", ts)).over(w)
+    )
+    with_c = with_v.withColumn(
+        "c_ts",
+        F.min(
+            F.when((F.col("event_type") == "click") & (ts > F.col("v_ts")), ts)
+        ).over(w),
+    )
+    with_p = with_c.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (ts > F.col("c_ts")), ts
+            )
+        ).over(w),
+    )
+    stage = (
+        F.when(F.col("purchase_us").isNotNull(), 3)
+        .when(F.col("click_us").isNotNull(), 2)
+        .when(F.col("view_us").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        with_p.groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("v_ts")).alias("view_us"),
+            F.min(F.unix_micros("c_ts")).alias("click_us"),
+            F.min(F.unix_micros("p_ts")).alias("purchase_us"),
+        )
+        .withColumn("funnel_stage", stage)
+    )
+
+
+@query(
+    "wn_retention_cohorts",
+    survey_id="WN-8",
+    oracle="""
+        WITH weekly AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', ts::TIMESTAMP)::DATE AS active_week
+            FROM events
+        ), cohort AS (
+            SELECT user_id, MIN(active_week) AS cohort_week
+            FROM weekly GROUP BY user_id
+        )
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, w.active_week) / 7 AS INT)
+                   AS week_offset,
+               COUNT(DISTINCT w.user_id) AS n_users
+        FROM weekly w JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    """,
+)
+def wn_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-active ISO week,
+    counted in every later week they return — the triangle chart behind
+    'week-N retention'.
+
+    Scale: distinct (user, week) first (the big reduction — bounded by
+    users × weeks, not by raw events), then the per-user cohort aggregate
+    and the cohort join both run on user_id — the groupBy output is
+    already hash-partitioned on the join key, so the join adds no new
+    shuffle of the large side; the final (cohort, offset) aggregate is a
+    cells-sized rollup."""
+    events = load_table(spark, sf_dir, "events")
+    weekly = events.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
+    return (
+        weekly.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

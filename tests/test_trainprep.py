@@ -1,0 +1,141 @@
+"""Semantic invariants for the trainprep operators (SURVEY §2.13a
+R3-17..R3-23). The DuckDB mirror (test_oracle_mirror.py) already proves
+value-level equivalence; these pin the PROPERTIES a refactor could silently
+break while still hash-matching a co-broken oracle."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from sealnet_etl_spark.registry import all_queries
+
+    return all_queries()
+
+
+def test_sequence_pack_offsets_are_contiguous_per_shard(spark, queries):
+    """Within each shard, docs tile the token stream exactly: sorted by
+    doc_id, every start_offset equals the previous doc's end."""
+    rows = queries["llm_sequence_pack"](spark, SF_DIR).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    assert len(by_shard) > 1
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expected = 0
+        for r in shard_rows:
+            assert r.start_offset == expected
+            assert r.first_seq == r.start_offset // 2048
+            assert r.last_seq == (r.start_offset + r.n_tokens - 1) // 2048
+            assert r.first_seq <= r.last_seq
+            expected += r.n_tokens
+
+
+def test_mixture_sample_hits_target_rates(spark, queries):
+    """Per-language keep fraction lands near its configured rate, and
+    membership is deterministic (two runs identical)."""
+    from sealnet_etl_spark.operators.trainprep import MIX_DENOM, MIX_DEFAULT, MIX_RATES
+    from sealnet_etl_spark.sources import load_table
+
+    kept = queries["llm_mixture_sample"](spark, SF_DIR)
+    kept_by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total_by_lang = {
+        r.lang: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in total_by_lang.items():
+        if total < 30:
+            continue  # too few docs for a rate assertion
+        rate = MIX_RATES.get(lang, MIX_DEFAULT) / MIX_DENOM
+        frac = kept_by_lang.get(lang, 0) / total
+        assert abs(frac - rate) < 0.15, (lang, frac, rate)
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in queries["llm_mixture_sample"](spark, SF_DIR).collect())
+    assert a == b
+
+
+def test_keep_best_keeps_longest_copy(spark, queries):
+    """One survivor per content hash, and it is a maximal-n_chars member
+    of its duplicate group."""
+    from sealnet_etl_spark.sources import load_table
+
+    survivors = queries["llm_keep_best_duplicate"](spark, SF_DIR).collect()
+    hashes = [r.content_hash for r in survivors]
+    assert len(hashes) == len(set(hashes))
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(F.md5(F.lower("text")).alias("h"), "n_chars")
+        .collect()
+    )
+    max_chars = defaultdict(int)
+    group_n = defaultdict(int)
+    for r in docs:
+        max_chars[r.h] = max(max_chars[r.h], r.n_chars)
+        group_n[r.h] += 1
+    assert len(survivors) == len(max_chars)
+    for r in survivors:
+        assert r.n_chars == max_chars[r.content_hash]
+        assert r.group_size == group_n[r.content_hash]
+
+
+def test_incremental_dedup_admits_only_unseen_hashes(spark, queries):
+    from sealnet_etl_spark.operators.trainprep import NEW_BATCH_SOURCES
+    from sealnet_etl_spark.sources import load_table
+
+    admitted = queries["llm_incremental_dedup"](spark, SF_DIR).collect()
+    assert admitted and all(r.source in NEW_BATCH_SOURCES for r in admitted)
+    prior_hashes = {
+        r.h
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(~F.col("source").isin(*NEW_BATCH_SOURCES))
+        .select(F.md5(F.lower("text")).alias("h"))
+        .collect()
+    }
+    assert all(r.content_hash not in prior_hashes for r in admitted)
+
+
+def test_unigram_logprob_orders_rare_above_common(spark, queries):
+    """Scores are finite and positive, and the doc set is complete."""
+    rows = queries["llm_unigram_logprob"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(r.avg_neg_logprob > 0 for r in rows)
+    # a corpus can't be all-identical surprisal unless degenerate
+    scores = {r.avg_neg_logprob for r in rows}
+    assert len(scores) > 10
+
+
+def test_funnel_stages_are_monotone(spark, queries):
+    """Stage timestamps strictly increase and stage counts are a
+    decreasing funnel (stage k reached ⊇ stage k+1 reached)."""
+    rows = queries["wn_event_funnel"](spark, SF_DIR).collect()
+    n = [0, 0, 0, 0]
+    for r in rows:
+        n[r.funnel_stage] += 1
+        if r.click_us is not None:
+            assert r.view_us is not None and r.click_us > r.view_us
+        if r.purchase_us is not None:
+            assert r.click_us is not None and r.purchase_us > r.click_us
+    reached_1 = n[1] + n[2] + n[3]
+    reached_2 = n[2] + n[3]
+    assert reached_1 >= reached_2 >= n[3] > 0
+
+
+def test_retention_week0_counts_every_cohort_user(spark, queries):
+    """Offset-0 cell of each cohort equals the cohort's size, and user
+    counts never exceed it in later weeks."""
+    rows = queries["wn_retention_cohorts"](spark, SF_DIR).collect()
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_users <= week0[r.cohort_week]
