@@ -120,6 +120,9 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_keep_best_duplicate",
         "llm_incremental_dedup",
         "llm_unigram_logprob",
+        "src_clustered_layout",
+        "etl_dynamic_partition_overwrite",
+        "ag_ddsketch_quantiles",
     }
 )
 

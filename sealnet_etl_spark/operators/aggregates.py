@@ -547,3 +547,70 @@ def ag_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_customers"),
     )
     return prio_est.unionByName(union_est).unionByName(inter_est)
+
+
+#: DDSketch relative-accuracy target: estimates are within ±1% of the true
+#: value (not the true rank) for every quantile, by construction.
+DDSKETCH_ALPHA = 0.01
+DDSKETCH_QUANTILES = (0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+
+
+@query("ag_ddsketch_quantiles", survey_id="AG-7/R3", oracle=None)
+def ag_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile sketch (Masson, Rim & Lee, VLDB'19 — the
+    log-binned, relative-error-guaranteed design): every positive value
+    maps to bin ⌈ln(v)/ln(γ)⌉ with γ=(1+α)/(1-α), bin counts are summed,
+    and quantile q is answered from the first bin whose cumulative count
+    crosses q·N, estimating v̂ = 2γ^bin/(γ+1) — within ±α of the true
+    value by construction. Unlike exact percentiles (global sort) or
+    percentile_approx (opaque), the sketch is a plain additive histogram:
+    mergeable across partitions, days, and tables by summing bins.
+
+    Scale: one map-side-combined groupBy on the bin id — the shuffle
+    carries O(bins) rows (a few hundred for any realistic value range),
+    NEVER the data; the cumulative walk and the final stack run on the
+    sketch itself. No oracle: cross-engine ln() boundary rounding can
+    shift a value's bin, so equality isn't guaranteed — the error-band
+    test (tests/test_trainprep.py) asserts the ±α contract instead."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    gamma = (1 + DDSKETCH_ALPHA) / (1 - DDSKETCH_ALPHA)
+    ln_gamma = math.log(gamma)
+    orders = load_table(spark, sf_dir, "orders")
+    bins = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.ceil(F.log("o_totalprice") / ln_gamma).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    # windows run on the sketch (O(bins) rows), not the data — the one
+    # place a global window is size-bounded by construction
+    cum = bins.select(
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    est_cols = [
+        F.round(
+            F.pow(F.lit(gamma), F.min(F.when(F.col("cum") >= q * F.col("total"), F.col("bin"))))
+            * 2.0
+            / (gamma + 1),
+            4,
+        ).alias(f"q{int(q * 100):02d}")
+        for q in DDSKETCH_QUANTILES
+    ]
+    wide = cum.agg(*est_cols)
+    stack_expr = ", ".join(
+        f"{q}D, q{int(q * 100):02d}" for q in DDSKETCH_QUANTILES
+    )
+    return wide.selectExpr(
+        f"stack({len(DDSKETCH_QUANTILES)}, {stack_expr}) AS (quantile, estimate)"
+    )

@@ -675,3 +675,65 @@ def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.o_totalprice").alias("old_price"),
         )
     )
+
+
+BACKFILL_DAY = "2024-01-15"
+
+
+@query(
+    "etl_dynamic_partition_overwrite",
+    survey_id="ETL-5/SRC-5",
+    oracle=f"""
+        SELECT ts::DATE                    AS event_date,
+               CAST(COUNT(*) AS BIGINT)    AS n_events,
+               ROUND(SUM(CASE WHEN ts::DATE = DATE '{BACKFILL_DAY}'
+                              THEN value * 2 ELSE value END), 2) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill via dynamic partition overwrite: the
+    events table is laid down partitioned by day, then ONE day is
+    recomputed (here: value doubled — a stand-in for a corrected upstream
+    feed) and written with ``partitionOverwriteMode=dynamic`` in OVERWRITE
+    mode — Spark replaces exactly the partitions present in the incoming
+    frame and leaves every other day's files untouched. That is the
+    nightly-backfill primitive: re-running the job for one day is safe,
+    atomic per-partition, and never truncates the table the way static
+    overwrite would. The query re-scans the final on-disk state; the
+    oracle states the logical outcome (one day doubled, all days kept).
+
+    Scale: the initial lay-down is one shuffle on the day key; the
+    backfill touches only the target day's rows (partition-pruned scan)
+    and rewrites only that directory."""
+    from ..sources.ingest import _scratch
+
+    path = _scratch(sf_dir, "events_by_day")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        events.repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    day = spark.read.parquet(path).filter(
+        F.col("event_date") == F.lit(BACKFILL_DAY).cast("date")
+    )
+    corrected = day.withColumn("value", F.col("value") * 2)
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("event_date").cast("date").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -208,3 +208,66 @@ def src_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
+
+
+CLUSTER_EPOCH = "1995-01-01"
+CLUSTER_BUCKET_DAYS = 90
+
+
+@query(
+    "src_clustered_layout",
+    survey_id="SRC-5/SRT-3",
+    oracle=f"""
+        SELECT (date_diff('day', DATE '{CLUSTER_EPOCH}', l_shipdate::DATE)
+                // {CLUSTER_BUCKET_DAYS})      AS ship_bucket,
+               CAST(COUNT(*) AS BIGINT)        AS n_rows,
+               MIN(l_shipdate::DATE)           AS min_ship,
+               MAX(l_shipdate::DATE)           AS max_ship
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def src_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping clustered layout: lineitem is rewritten clustered on
+    ship date — fixed 90-day buckets become physical partitions
+    (directory-level pruning) and rows inside each file are sorted by
+    l_shipdate, so parquet row-group min/max stats are tight and a
+    date-predicate scan skips everything else. The query re-scans the
+    CLUSTERED copy and reports per-bucket row counts + min/max — the
+    exact stats the optimizer's pruning would consult, hash-checked
+    against the logical (layout-invariant) answer.
+
+    Scale: explicit arithmetic buckets, not repartitionByRange — sampled
+    range bounds drift run-to-run, content-derived buckets are stable
+    under re-runs and incremental appends (append a new day → exactly one
+    bucket's files rewritten). One shuffle on the bucket key, each bucket
+    written by one task, sortWithinPartitions is a spillable local sort."""
+    clustered_path = _scratch(sf_dir, "lineitem_clustered")
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(
+        F.datediff(F.to_date("l_shipdate"), F.lit(CLUSTER_EPOCH).cast("date"))
+        / CLUSTER_BUCKET_DAYS
+    )
+    (
+        li.withColumn("ship_bucket", bucket)
+        .repartition(F.col("ship_bucket"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .partitionBy("ship_bucket")
+        .parquet(clustered_path)
+    )
+    return (
+        spark.read.parquet(clustered_path)
+        .groupBy("ship_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.to_date("l_shipdate")).alias("min_ship"),
+            F.max(F.to_date("l_shipdate")).alias("max_ship"),
+        )
+        .select(
+            F.col("ship_bucket").cast("bigint").alias("ship_bucket"),
+            "n_rows",
+            "min_ship",
+            "max_ship",
+        )
+    )

@@ -139,3 +139,59 @@ def test_retention_week0_counts_every_cohort_user(spark, queries):
     for r in rows:
         assert r.week_offset >= 0
         assert r.n_users <= week0[r.cohort_week]
+
+
+def test_ddsketch_holds_relative_error_contract(spark, queries):
+    """Every DDSketch estimate is within the α=1% relative-value guarantee
+    (plus a hair for the discrete rank step) of DuckDB's exact quantile."""
+    import duckdb
+
+    est = {r.quantile: r.estimate for r in queries["ag_ddsketch_quantiles"](spark, SF_DIR).collect()}
+    con = duckdb.connect()
+    for q, e in est.items():
+        (exact,) = con.sql(
+            f"SELECT quantile_cont(o_totalprice, {q}) FROM read_parquet('{SF_DIR}/orders.parquet') WHERE o_totalprice > 0"
+        ).fetchone()
+        assert abs(e - exact) / exact < 0.03, (q, e, exact)
+
+
+def test_ddsketch_is_mergeable_and_partition_invariant(spark, queries):
+    """Same estimates regardless of input partitioning (the mergeability
+    property: bin counts are additive)."""
+    a = sorted(map(tuple, queries["ag_ddsketch_quantiles"](spark, SF_DIR).collect()))
+    n = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, queries["ag_ddsketch_quantiles"](spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+    assert a == b
+
+
+def test_clustered_layout_buckets_do_not_overlap(spark, queries):
+    """Bucket date ranges are disjoint and ordered — the property that
+    makes directory-level pruning sound — and the physical layout exists
+    (one directory per bucket)."""
+    import glob
+    import os
+
+    from sealnet_etl_spark.sources.ingest import _scratch
+
+    rows = sorted(
+        queries["src_clustered_layout"](spark, SF_DIR).collect(),
+        key=lambda r: r.ship_bucket,
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_ship < cur.min_ship
+    dirs = glob.glob(os.path.join(_scratch(SF_DIR, "lineitem_clustered"), "ship_bucket=*"))
+    assert len(dirs) == len(rows)
+
+
+def test_dynamic_overwrite_backfill_is_idempotent(spark, queries):
+    """Running the backfill twice yields the identical table state: the
+    dynamic overwrite replaces the target day wholesale instead of
+    compounding (value*2 each run would be the static-overwrite bug)."""
+    first = sorted(map(tuple, queries["etl_dynamic_partition_overwrite"](spark, SF_DIR).collect()))
+    second = sorted(map(tuple, queries["etl_dynamic_partition_overwrite"](spark, SF_DIR).collect()))
+    assert first == second
+    assert len(first) == 30  # every day survived the partial overwrite
