@@ -123,6 +123,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "src_clustered_layout",
         "etl_dynamic_partition_overwrite",
         "ag_ddsketch_quantiles",
+        "jn_point_in_time",
+        "etl_contiguous_ids",
     }
 )
 

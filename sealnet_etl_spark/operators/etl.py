@@ -737,3 +737,28 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "etl_contiguous_ids",
+    survey_id="ETL-3/WN-5",
+    oracle="""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS sample_id
+        FROM documents
+    """,
+)
+def etl_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free 0-based global sample numbering — what a training run
+    needs for epoch bookkeeping and resumable dataloaders, and exactly
+    what ``monotonically_increasing_id`` does NOT give (its ids jump by
+    partition stride). Built on the distributed two-phase rank: exact,
+    contiguous, and a pure function of the doc_id total order, so re-runs
+    and different partitionings yield identical ids."""
+    from .windows import two_phase_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ranked, _total = two_phase_global_rank(docs, ["doc_id"])
+    return ranked.select(
+        "doc_id", (F.col("rank") - 1).cast("bigint").alias("sample_id")
+    )

@@ -611,3 +611,73 @@ def jn_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "jn_point_in_time",
+    survey_id="JN-8/ETL-5",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_state
+            FROM events
+        ), versions AS (
+            SELECT user_id, event_type AS state, ts AS valid_from
+            FROM marked
+            WHERE prev_state IS DISTINCT FROM event_type
+        ), purchases AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id,
+               epoch_us(p.ts::TIMESTAMP)           AS purchase_us,
+               v.state                             AS asof_state,
+               epoch_us(v.valid_from::TIMESTAMP)   AS state_since_us
+        FROM purchases p JOIN versions v
+          ON v.user_id = p.user_id AND v.valid_from <= p.ts
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p.event_id ORDER BY v.valid_from DESC
+        ) = 1
+    """,
+)
+def jn_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension lookup (the feature-store staple):
+    each purchase is joined to the SCD2 state version that was valid AT
+    the purchase timestamp — never a later one, which would be feature
+    leakage in a training set. Composition of the repo's two temporal
+    primitives: scd2_history builds the versioned dimension, asof_join
+    binds facts to the last version opening at-or-before each fact.
+
+    Scale: the oracle's interval join + rank is expressed as the asof
+    union-window — ONE shuffle on user_id, no (fact × version) candidate
+    explosion; the SCD2 build's windows share the same key partitioning."""
+    from .etl import scd2_history
+
+    events = load_table(spark, sf_dir, "events")
+    versions = scd2_history(
+        events,
+        key_cols=["user_id"],
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "state", "valid_from")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        versions,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state", "valid_from"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("asof_state"),
+        F.unix_micros("asof_valid_from").alias("state_since_us"),
+    )

@@ -175,23 +175,8 @@ def wn_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
-    ranged = customer.repartitionByRange(
-        32, F.col("c_acctbal"), F.col("c_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-    counts = {r["pid"]: r["n"] for r in ranged.groupBy("pid").agg(
-        F.count(F.lit(1)).alias("n")
-    ).collect()}
-    total = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
-    w = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-    ranked = ranged.withColumn(
-        "rank", F.row_number().over(w) + offset_map[F.col("pid")]
+    ranked, total = two_phase_global_rank(
+        customer, ["c_acctbal", "c_custkey"]
     )
     # NTILE semantics: base = N//k, and the first N%k buckets get one extra
     base, rem = total // k, total % k
@@ -204,6 +189,43 @@ def wn_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(decile) + 1).cast("int").alias("decile"),
         F.round((F.col("rank") - 1) / (total - 1), 6).alias("pct_rank"),
     )
+
+
+def two_phase_global_rank(
+    df: DataFrame, order_cols: list[str], num_partitions: int = 32
+) -> tuple[DataFrame, int]:
+    """Distributed exact global rank without a single-partition window:
+    range-repartition on the (total-order) sort key, count rows per
+    partition (≤ num_partitions rows collected — trivially bounded),
+    prefix-sum into per-partition offsets, then global 1-based ``rank`` =
+    offset + within-partition row_number. Returns (ranked df, total rows).
+
+    At 100 TB no task sees more than ~N/num_partitions rows; the only
+    full-data movements are the range exchange and the per-partition
+    window sort. The rank values depend only on the total order — the
+    sampled range bounds shift run-to-run, the ranks never do."""
+    ranged = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = ranged.withColumn(
+        "rank", F.row_number().over(w) + offset_map[F.col("__pid")]
+    ).drop("__pid")
+    return ranked, total
 
 
 SESSION_GAP_MINUTES = 30

@@ -195,3 +195,35 @@ def test_dynamic_overwrite_backfill_is_idempotent(spark, queries):
     second = sorted(map(tuple, queries["etl_dynamic_partition_overwrite"](spark, SF_DIR).collect()))
     assert first == second
     assert len(first) == 30  # every day survived the partial overwrite
+
+
+def test_point_in_time_join_never_leaks_future_state(spark, queries):
+    """The joined state version opened at-or-before the purchase, and no
+    NEWER version exists that also opened at-or-before it (the two ways a
+    PIT join can silently leak or stale-read)."""
+    from collections import defaultdict as dd
+
+    from sealnet_etl_spark.operators.etl import scd2_history
+    from sealnet_etl_spark.sources import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    versions = dd(list)
+    for r in scd2_history(
+        events, key_cols=["user_id"], state_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    ).collect():
+        versions[r.user_id].append(r)
+    joined = queries["jn_point_in_time"](spark, SF_DIR).collect()
+    assert joined
+    for r in joined:
+        assert r.state_since_us <= r.purchase_us
+        later = [
+            v for v in versions[r.user_id]
+            if r.state_since_us < int(v.valid_from.timestamp() * 1_000_000) <= r.purchase_us
+        ]
+        assert later == [], (r.event_id, later)
+
+
+def test_contiguous_ids_are_gap_free_and_order_preserving(spark, queries):
+    rows = sorted(queries["etl_contiguous_ids"](spark, SF_DIR).collect(), key=lambda r: r.doc_id)
+    assert [r.sample_id for r in rows] == list(range(len(rows)))
