@@ -651,8 +651,10 @@ def jn_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     binds facts to the last version opening at-or-before each fact.
 
     Scale: the oracle's interval join + rank is expressed as the asof
-    union-window — ONE shuffle on user_id, no (fact × version) candidate
-    explosion; the SCD2 build's windows share the same key partitioning."""
+    union-window — no (fact × version) candidate explosion, no join
+    operator at all (plan-asserted). Two key shuffles total: the SCD2
+    build's shared window pass and the asof union pass (a union of
+    differently-derived inputs can't preserve partitioning)."""
     from .etl import scd2_history
 
     events = load_table(spark, sf_dir, "events")

@@ -363,6 +363,7 @@ _BNLJ_ALLOWED = {
     "q22_sales_opportunity",# 1-row global acctbal avg
     "ag_theta_sketch_setops",  # two 1-row sketch sides
     "jn_cross_bounded",
+    "llm_unigram_logprob",  # 1-row corpus token total
 }
 
 
@@ -381,3 +382,71 @@ def test_no_query_plans_an_unbounded_nested_loop(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_funnel_plans_single_user_exchange(spark):
+    """The three chained funnel stage-minima plus the final per-user agg
+    must share ONE hash exchange on user_id (the whole point of the
+    window formulation over the oracle's three self-joins)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["wn_event_funnel"](spark, SF_DIR))
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    ]
+    assert len(exchanges) == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_point_in_time_join_is_union_window_not_interval_join(spark):
+    """PIT lookup must plan as the asof union-window with NO join operator
+    at all — an interval join would explode (facts × versions) candidates
+    per user. Exactly two user_id exchanges are allowed: the SCD2 build's
+    window and the asof pass (the union of two differently-derived inputs
+    cannot preserve partitioning, so the second is irreducible)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["jn_point_in_time"](spark, SF_DIR))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join_op not in plan, join_op
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    ]
+    assert len(exchanges) == 2, plan
+
+
+def test_mixture_sample_is_shuffle_free_and_pruned(spark):
+    """Deterministic sampling is a narrow filter: no exchange, and the
+    scan reads only the 4 referenced columns (text stays unread)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_mixture_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    read_schema = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "text" not in read_schema
+
+
+def test_unigram_scoring_joins_are_broadcast(spark):
+    """Doc scoring must broadcast the vocab and the scalar total — a
+    shuffle join on the word key would put every stopword's postings in
+    one task (worst-case skew)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ddsketch_shuffle_carries_bins_not_rows(spark):
+    """The only full-data reduction is the map-side-combined bin count;
+    the quantile walk's windows run on the sketch. Partial aggregation
+    before the exchange is what bounds the shuffle at O(bins)."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["ag_ddsketch_quantiles"](spark, SF_DIR))
+    assert "partial_count" in plan or "Partial" in plan
