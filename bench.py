@@ -50,6 +50,12 @@ def headline_queries() -> list[str]:
         "llm_repetition_filter",
         "llm_boilerplate_ngrams",
         "etl_shard_assign",
+        # round-3 late additions: the heavier trainprep/analytics shapes
+        # (funnel windows, broadcast-vocab scoring, packing window)
+        "wn_event_funnel",
+        "llm_unigram_logprob",
+        "llm_sequence_pack",
+        "jn_point_in_time",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
