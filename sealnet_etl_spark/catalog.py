@@ -125,6 +125,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_ddsketch_quantiles",
         "jn_point_in_time",
         "etl_contiguous_ids",
+        "src_zorder_layout",
     }
 )
 

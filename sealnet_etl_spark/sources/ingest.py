@@ -271,3 +271,98 @@ def src_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ship",
         )
     )
+
+
+ZORDER_GRID_BITS = 8  # each dim normalized to a 256-cell grid
+ZORDER_BUCKET_SHIFT = 2 * ZORDER_GRID_BITS - 5  # top 5 z-bits → 32 buckets
+
+
+def _zorder_oracle() -> str:
+    """DuckDB mirror of the z-value arithmetic (integer-only, so both
+    engines agree bit-for-bit)."""
+    terms = " + ".join(
+        f"((xg >> {i} & 1) << {2 * i}) + ((yg >> {i} & 1) << {2 * i + 1})"
+        for i in range(ZORDER_GRID_BITS)
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT MIN(o_custkey) AS xmin, MAX(o_custkey) AS xmax,
+                   MIN(o_orderdate::DATE) AS dmin, MAX(o_orderdate::DATE) AS dmax
+            FROM orders
+        ), grid AS (
+            SELECT o_orderkey, o_custkey, o_orderdate::DATE AS o_date,
+                   ((o_custkey - xmin) * 256) // (xmax - xmin + 1) AS xg,
+                   (date_diff('day', dmin, o_orderdate::DATE) * 256)
+                       // (date_diff('day', dmin, dmax) + 1)        AS yg
+            FROM orders, bounds
+        )
+        SELECT ({terms}) >> {ZORDER_BUCKET_SHIFT} AS z_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_custkey)           AS min_cust,
+               MAX(o_custkey)           AS max_cust,
+               MIN(o_date)              AS min_date,
+               MAX(o_date)              AS max_date
+        FROM grid
+        GROUP BY 1
+    """
+
+
+@query("src_zorder_layout", survey_id="SRC-5/SRT-3", oracle=_zorder_oracle())
+def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional clustering — the OPTIMIZE
+    ZORDER BY of lakehouse table formats, built from first principles:
+    each dimension is normalized onto a 256-cell grid between its exact
+    min/max, the two grid coordinates' bits are interleaved into a
+    z-value, and the table is laid down bucketed+sorted by it. Unlike the
+    single-dimension clustered layout (src_clustered_layout), EVERY
+    bucket is narrow in BOTH customer and date — so file-level min/max
+    stats prune scans filtered on either dimension (locality asserted in
+    tests/test_trainprep.py). The query re-scans the written layout and
+    reports per-bucket stats.
+
+    Scale: the bounds pass is a 1-row exact aggregate (like the IVF
+    centroid table, trivially collected); the z-value is pure integer
+    codegen arithmetic; ONE shuffle on the bucket key writes the layout.
+    Integer-only math (DIV, bit ops) keeps the oracle bit-identical."""
+    zpath = _scratch(sf_dir, "orders_zorder")
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey").alias("xmin"),
+        F.max("o_custkey").alias("xmax"),
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    ).collect()[0]
+    xspan = b.xmax - b.xmin + 1
+    dspan = (b.dmax - b.dmin).days + 1
+    xg = F.expr(f"CAST(((o_custkey - {b.xmin}) * 256) DIV {xspan} AS BIGINT)")
+    yg = F.expr(
+        f"CAST((datediff(to_date(o_orderdate), DATE '{b.dmin}') * 256) "
+        f"DIV {dspan} AS BIGINT)"
+    )
+    z = None
+    for i in range(ZORDER_GRID_BITS):
+        term = F.shiftleft(F.shiftright(F.col("xg"), i).bitwiseAND(1), 2 * i) + (
+            F.shiftleft(F.shiftright(F.col("yg"), i).bitwiseAND(1), 2 * i + 1)
+        )
+        z = term if z is None else z + term
+    (
+        orders.withColumn("xg", xg)
+        .withColumn("yg", yg)
+        .withColumn("z_bucket", F.shiftright(z, ZORDER_BUCKET_SHIFT))
+        .repartition(F.col("z_bucket"))
+        .sortWithinPartitions("xg", "yg")
+        .write.mode("overwrite")
+        .partitionBy("z_bucket")
+        .parquet(zpath)
+    )
+    return (
+        spark.read.parquet(zpath)
+        .groupBy(F.col("z_bucket").cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min(F.to_date("o_orderdate")).alias("min_date"),
+            F.max(F.to_date("o_orderdate")).alias("max_date"),
+        )
+    )

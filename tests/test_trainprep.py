@@ -227,3 +227,25 @@ def test_point_in_time_join_never_leaks_future_state(spark, queries):
 def test_contiguous_ids_are_gap_free_and_order_preserving(spark, queries):
     rows = sorted(queries["etl_contiguous_ids"](spark, SF_DIR).collect(), key=lambda r: r.doc_id)
     assert [r.sample_id for r in rows] == list(range(len(rows)))
+
+
+def test_zorder_buckets_are_narrow_in_both_dimensions(spark, queries):
+    """The z-order property: every bucket's bounding box is small in BOTH
+    dimensions (a single-dim sort only narrows one), so min/max file
+    stats prune scans filtered on either column."""
+    rows = queries["src_zorder_layout"](spark, SF_DIR).collect()
+    assert len(rows) > 8
+    g_cust = max(r.max_cust for r in rows) - min(r.min_cust for r in rows)
+    g_days = (
+        max(r.max_date for r in rows) - min(r.min_date for r in rows)
+    ).days
+    n = len(rows)
+    avg_cust = sum(r.max_cust - r.min_cust for r in rows) / n
+    avg_days = sum((r.max_date - r.min_date).days for r in rows) / n
+    assert avg_cust < g_cust / 2, (avg_cust, g_cust)
+    assert avg_days < g_days / 4, (avg_days, g_days)
+    # both dims narrow SIMULTANEOUSLY: mean bounding-box area ≤ ~1/8 global
+    avg_area = sum(
+        (r.max_cust - r.min_cust) * (r.max_date - r.min_date).days for r in rows
+    ) / n
+    assert avg_area < g_cust * g_days / 8, (avg_area, g_cust * g_days)
