@@ -126,6 +126,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "jn_point_in_time",
         "etl_contiguous_ids",
         "src_zorder_layout",
+        "str_streaming_funnel",
     }
 )
 

@@ -534,3 +534,124 @@ def str_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(windowed, sf_dir, "str_streaming_sliding")
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+        T.StructField("funnel_stage", T.IntegerType()),
+    ]
+)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("v_us", T.LongType()),
+        T.StructField("c_us", T.LongType()),
+        T.StructField("p_us", T.LongType()),
+    ]
+)
+
+
+def _funnel_stateful(key, pdfs, state):
+    """Per-user funnel state machine: (first view, first click after it,
+    first purchase after that) carried across micro-batches. Operates on
+    JVM-precomputed epoch-µs longs — never on Python-side timestamps, so
+    the logic is session-timezone-proof."""
+    v, c, p = state.get if state.exists else (None, None, None)
+    for pdf in pdfs:
+        for row in pdf.sort_values(["us", "event_id"]).itertuples():
+            us = int(row.us)
+            if row.event_type == "view":
+                if v is None:
+                    v = us
+            elif row.event_type == "click":
+                if v is not None and us > v and c is None:
+                    c = us
+            elif row.event_type == "purchase":
+                if c is not None and us > c and p is None:
+                    p = us
+    state.update((v, c, p))
+    stage = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "view_us": v,
+                "click_us": c,
+                "purchase_us": p,
+                "funnel_stage": stage,
+            }
+        ]
+    )
+
+
+@query(
+    "str_streaming_funnel",
+    survey_id="STR-6/WN-7",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS v_ts FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.v_ts
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               epoch_us(v.v_ts::TIMESTAMP) AS view_us,
+               epoch_us(c.c_ts::TIMESTAMP) AS click_us,
+               epoch_us(p.p_ts::TIMESTAMP) AS purchase_us,
+               CASE WHEN p.p_ts IS NOT NULL THEN 3
+                    WHEN c.c_ts IS NOT NULL THEN 2
+                    WHEN v.v_ts IS NOT NULL THEN 1
+                    ELSE 0 END AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v USING (user_id)
+        LEFT JOIN c USING (user_id)
+        LEFT JOIN p USING (user_id)
+    """,
+)
+def str_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming ordered funnel (applyInPandasWithState): the
+    wn_event_funnel state machine runs incrementally per user over the
+    time-ordered replay, its (view, click-after, purchase-after) triple
+    carried in the StateStore across micro-batches — the live-dashboard
+    form of the batch funnel, proven equal to it by sharing its SQL
+    oracle verbatim (the replay is in event-time order, so the final
+    state IS the batch answer).
+
+    Scale: state is 3 longs per user — bounded by users, not events; in
+    production the state machine is unchanged, only the source swaps from
+    the bounded replay to the live landing dir. Stage values only ever
+    ratchet upward, so the final emission per user is the column-wise max
+    of its update-mode emissions."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    staged = stream.groupBy("user_id").applyInPandasWithState(
+        _funnel_stateful,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emissions = run_available_now(
+        staged, sf_dir, "str_streaming_funnel", output_mode="update"
+    )
+    return emissions.groupBy("user_id").agg(
+        F.max("view_us").alias("view_us"),
+        F.max("click_us").alias("click_us"),
+        F.max("purchase_us").alias("purchase_us"),
+        F.max("funnel_stage").alias("funnel_stage"),
+    )
