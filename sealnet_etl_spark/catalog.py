@@ -127,6 +127,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_contiguous_ids",
         "src_zorder_layout",
         "str_streaming_funnel",
+        "etl_checksum_table_diff",
+        "q3_shipping_priority_sql",
     }
 )
 

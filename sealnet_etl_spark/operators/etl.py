@@ -762,3 +762,89 @@ def etl_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", (F.col("rank") - 1).cast("bigint").alias("sample_id")
     )
+
+
+CHECKSUM_BUCKETS = 64
+DRIFT_DOC_ID = 7  # the replica's simulated silent corruption
+
+
+@query(
+    "etl_checksum_table_diff",
+    survey_id="ETL-6/FN-9",
+    oracle=f"""
+        WITH src AS (
+            SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {CHECKSUM_BUCKETS} AS bucket,
+                   ('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 8))::BIGINT
+                       AS row_sig
+            FROM documents
+        ), rep AS (
+            SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % {CHECKSUM_BUCKETS} AS bucket,
+                   ('0x' || substring(md5(doc_id::VARCHAR || '|' ||
+                       CASE WHEN doc_id = {DRIFT_DOC_ID}
+                            THEN text || ' [corrupted]' ELSE text END), 1, 8))::BIGINT
+                       AS row_sig
+            FROM documents
+        ), sums AS (
+            SELECT s.bucket,
+                   CAST(s.checksum AS BIGINT) AS src_checksum,
+                   CAST(r.checksum AS BIGINT) AS replica_checksum,
+                   s.n                        AS src_rows,
+                   r.n                        AS replica_rows
+            FROM (SELECT bucket, SUM(row_sig) AS checksum, COUNT(*) AS n
+                  FROM src GROUP BY bucket) s
+            JOIN (SELECT bucket, SUM(row_sig) AS checksum, COUNT(*) AS n
+                  FROM rep GROUP BY bucket) r USING (bucket)
+        )
+        SELECT * FROM sums WHERE src_checksum <> replica_checksum
+                              OR src_rows <> replica_rows
+    """,
+)
+def etl_checksum_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table comparison: two copies of a table (here: the
+    documents table vs. a replica with one silently-corrupted row) are
+    compared by ORDER-INDEPENDENT per-bucket checksums — sum of row
+    content signatures, grouped by a hash bucket — and only diverging
+    buckets surface. This is how replicated 100 TB tables are validated
+    without shipping or sorting either copy: each side aggregates locally
+    to CHECKSUM_BUCKETS rows, the comparison join moves kilobytes, and a
+    reported bucket narrows repair to 1/{buckets} of the data.
+
+    The full-row diff (etl_cdc_snapshot_diff) is the REPAIR step run only
+    on flagged buckets; this operator is the cheap detection step."""
+    docs = load_table(spark, sf_dir, "documents")
+    replica = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == DRIFT_DOC_ID,
+            F.concat(F.col("text"), F.lit(" [corrupted]")),
+        ).otherwise(F.col("text")),
+    )
+
+    def bucket_sums(df: DataFrame, checksum_name: str, n_name: str) -> DataFrame:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % CHECKSUM_BUCKETS
+        )
+        row_sig = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "text")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy(bucket.alias("bucket")).agg(
+            F.sum(row_sig).alias(checksum_name),
+            F.count(F.lit(1)).alias(n_name),
+        )
+
+    src = bucket_sums(docs, "src_checksum", "src_rows")
+    rep = bucket_sums(replica, "replica_checksum", "replica_rows")
+    return src.join(rep, "bucket").filter(
+        (F.col("src_checksum") != F.col("replica_checksum"))
+        | (F.col("src_rows") != F.col("replica_rows"))
+    )

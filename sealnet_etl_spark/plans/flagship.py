@@ -1168,3 +1168,35 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+_Q3_SQL = """
+    SELECT
+        l_orderkey,
+        ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        o_orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+@query("q3_shipping_priority_sql", survey_id="JN-1/API", oracle=_Q3_SQL)
+def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL API surface: the exact ANSI text the DuckDB oracle
+    runs is executed by ``spark.sql`` over temp views — proving a
+    reference user can bring their SQL untranslated (one engine-portable
+    string is both the query and its oracle). Catalyst compiles it to the
+    same physical plan as the DataFrame q3 (broadcast joins, pushed
+    filters, TakeOrderedAndProject), because DataFrame and SQL share one
+    logical plan representation — there is no separate SQL slow path."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL)
