@@ -129,6 +129,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "str_streaming_funnel",
         "etl_checksum_table_diff",
         "q3_shipping_priority_sql",
+        "wn_timeseries_similarity",
     }
 )
 

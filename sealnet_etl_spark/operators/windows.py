@@ -474,3 +474,74 @@ def wn_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+TS_PROBE_USERS = (1, 2, 3)
+TS_MIN_COMMON_DAYS = 10
+TS_TOP_K = 5
+
+
+@query(
+    "wn_timeseries_similarity",
+    survey_id="WN-8/LLM-4",
+    oracle=f"""
+        WITH series AS (
+            SELECT user_id, ts::DATE AS day,
+                   SUM(value) AS v
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT p.user_id AS probe_id, s.user_id AS other_id,
+                   ROUND(corr(p.v, s.v), 6) AS corr_v,
+                   COUNT(*)                 AS n_common
+            FROM series p
+            JOIN series s ON p.day = s.day AND p.user_id <> s.user_id
+            WHERE p.user_id IN {TS_PROBE_USERS!r}
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {TS_MIN_COMMON_DAYS}
+        )
+        SELECT probe_id, other_id, corr_v, n_common
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY probe_id ORDER BY corr_v DESC, other_id
+        ) <= {TS_TOP_K}
+    """,
+)
+def wn_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the distributed-streaming-similarity
+    shape of EDBT'19): per-user daily activity series, then the top-k
+    most-correlated users for each PROBE series over their aligned active days.
+
+    Scale: the all-pairs correlation matrix is quadratic in users and is
+    never built — probes are a fixed small set, so the probe series
+    BROADCASTS and the corpus series streams through a map-side equi-join
+    on the day key (no corpus shuffle for the join; one shuffle for the
+    per-pair corr aggregate, which is map-side combined on the co-moment
+    partials). Growing the probe set scales cost linearly, not
+    quadratically."""
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    probes = series.filter(F.col("user_id").isin(*TS_PROBE_USERS)).select(
+        F.col("user_id").alias("probe_id"),
+        "day",
+        F.col("v").alias("pv"),
+    )
+    pairs = (
+        series.join(F.broadcast(probes), "day")
+        .filter(F.col("user_id") != F.col("probe_id"))
+        .groupBy("probe_id", F.col("user_id").alias("other_id"))
+        .agg(
+            F.round(F.corr("pv", "v"), 6).alias("corr_v"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .filter(F.col("n_common") >= TS_MIN_COMMON_DAYS)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("corr_v").desc(), F.col("other_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TS_TOP_K)
+        .select("probe_id", "other_id", "corr_v", "n_common")
+    )
