@@ -130,6 +130,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_checksum_table_diff",
         "q3_shipping_priority_sql",
         "wn_timeseries_similarity",
+        "llm_sentiment_lexicon",
     }
 )
 

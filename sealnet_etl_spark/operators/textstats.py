@@ -549,3 +549,85 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_boilerplate") > 0)
     )
+
+
+#: Minimal AFINN-style valence lexicon (public-domain word list pattern);
+#: a production run broadcasts the full ~3k-word table the same way.
+SENTIMENT_LEXICON = {
+    "good": 3, "great": 3, "excellent": 4, "love": 3, "best": 3,
+    "happy": 3, "nice": 2, "better": 2, "amazing": 4, "win": 2,
+    "bad": -3, "terrible": -4, "hate": -3, "worst": -3, "awful": -4,
+    "sad": -2, "poor": -2, "worse": -2, "broken": -2, "fail": -2,
+}
+
+
+def _sentiment_values_sql() -> str:
+    rows = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+    return f"(VALUES {rows}) lex(word, score)"
+
+
+@query(
+    "llm_sentiment_lexicon",
+    survey_id="LLM-7/LLM-9",
+    oracle=rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), hits AS (
+            SELECT words.doc_id, lex.score
+            FROM words JOIN {_sentiment_values_sql()} ON words.w = lex.word
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0)                 AS n_hits,
+               COALESCE(h.sentiment, 0)              AS sentiment,
+               CASE WHEN COALESCE(h.sentiment, 0) > 0 THEN 'positive'
+                    WHEN COALESCE(h.sentiment, 0) < 0 THEN 'negative'
+                    ELSE 'neutral' END               AS label
+        FROM documents d
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_hits,
+                   CAST(SUM(score) AS BIGINT) AS sentiment
+            FROM hits GROUP BY doc_id
+        ) h USING (doc_id)
+    """,
+)
+def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring (the EDBT'16 Spark-at-scale shape):
+    per-doc valence = sum of matched lexicon word scores, with a
+    positive/neutral/negative label. The integer-sum formulation (not a
+    float average) keeps the oracle exact.
+
+    Scale: the lexicon is a literal in-plan table BROADCAST to every
+    task, so the corpus is scored in a map-only pass — the exploded words
+    never shuffle on the (stopword-skewed) word key; the only exchange is
+    the per-doc aggregate, map-side combined. Swapping in a real 3k-word
+    AFINN table changes nothing structurally."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "word string, score int"
+    )
+    words = docs.select(
+        "doc_id", F.explode(normalized_words(F.col("text"))).alias("w")
+    )
+    scored = (
+        words.join(F.broadcast(lex), words.w == lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("score").cast("bigint").alias("sentiment"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("sentiment", F.lit(0)).alias("sentiment"),
+            F.when(F.coalesce("sentiment", F.lit(0)) > 0, "positive")
+            .when(F.coalesce("sentiment", F.lit(0)) < 0, "negative")
+            .otherwise("neutral")
+            .alias("label"),
+        )
+    )
