@@ -450,3 +450,46 @@ def test_ddsketch_shuffle_carries_bins_not_rows(spark):
 
     plan = _formatted_plan(all_queries()["ag_ddsketch_quantiles"](spark, SF_DIR))
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The documented skew strategy (SCALE.md): manual salting is for
+    known-hot keys; for emergent skew the engine relies on AQE's skew-join
+    split. Prove the runtime actually does it: a 90%-one-key join must
+    execute with `skew=true` on the sort-merge join under the tuned
+    thresholds — if Spark ever stops splitting, salting becomes mandatory
+    and this test says so."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k, v in {
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 50), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 30_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        counted = left.join(right, "k").select(F.count(F.lit(1)).alias("n"))
+        (row,) = counted.collect()  # executes THIS df's queryExecution
+        assert row.n == 273_000
+        plan = counted._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
