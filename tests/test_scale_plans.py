@@ -493,3 +493,16 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sql_twin_compiles_to_dataframe_plan_shapes(spark):
+    """q3's spark.sql twin must get the same physical treatment as the
+    DataFrame form — broadcast joins, pushed date filters, and the
+    TakeOrderedAndProject top-k — proving there is no SQL slow path."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["q3_shipping_priority_sql"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
