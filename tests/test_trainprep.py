@@ -249,3 +249,26 @@ def test_zorder_buckets_are_narrow_in_both_dimensions(spark, queries):
         (r.max_cust - r.min_cust) * (r.max_date - r.min_date).days for r in rows
     ) / n
     assert avg_area < g_cust * g_days / 8, (avg_area, g_cust * g_days)
+
+
+def test_cli_list_names_every_registered_query(capsys, monkeypatch):
+    """tools/run_query.py --list prints one line per registered query
+    without needing a SparkSession."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "run_query",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools", "run_query.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(sys, "argv", ["run_query.py", "--list"])
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    from sealnet_etl_spark.registry import QUERIES
+
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == len(QUERIES)
+    assert any("q3_shipping_priority " in l and "hash-oracled" in l for l in lines)
