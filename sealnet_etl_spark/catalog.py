@@ -131,6 +131,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "q3_shipping_priority_sql",
         "wn_timeseries_similarity",
         "llm_sentiment_lexicon",
+        "llm_incremental_near_dup",
     }
 )
 

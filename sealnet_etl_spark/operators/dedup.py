@@ -147,6 +147,25 @@ HOT_BUCKET_CAP = 64
 CHAIN_WINDOW = 8
 
 
+def minhash_band_keys() -> Column:
+    """N_BANDS band keys over the sig_* columns. Each key =
+    xxhash64(band idx, its 4 sig values): an 8-byte shuffle key instead of
+    a ~40-char concatenated string (collisions are harmless — every
+    candidate is exact-Jaccard verified downstream)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(band),
+                *[
+                    F.col(f"sig_{band * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+
+
 def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     """LSH banding: signature → N_BANDS band keys; docs sharing any band key
     become a candidate pair.
@@ -170,22 +189,9 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     between merely-similar (J < 1) docs inside a hot bucket, the standard
     accepted loss for this failure mode. tests/test_dedup_hot_bucket.py
     pins both properties (bounded pair count, preserved connectivity)."""
-    # band key = xxhash64(band idx, its 4 sig values): an 8-byte shuffle key
-    # instead of a ~40-char concatenated string (collisions are harmless —
-    # every candidate is exact-Jaccard verified downstream)
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(band),
-                *[
-                    F.col(f"sig_{band * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for band in range(N_BANDS)
-        ]
+    buckets = with_sigs.select(
+        "doc_id", F.explode(minhash_band_keys()).alias("band_key")
     )
-    buckets = with_sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
     grouped = (
         buckets.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -774,4 +780,106 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_TAU)
         .select("doc_a", "doc_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+#: "This week's crawl" sources — mirrors trainprep.NEW_BATCH_SOURCES
+#: (redeclared here to avoid a circular import; test pinned below keeps
+#: them in sync via tests/test_trainprep.py).
+INCR_NEW_SOURCES = ("src1", "src2")
+
+
+@query(
+    "llm_incremental_near_dup",
+    survey_id="LLM-2/ETL-5",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id, source,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        )
+        SELECT n.doc_id AS doc_new, p.doc_id AS doc_prior,
+               ROUND(len(list_intersect(n.sh, p.sh))::DOUBLE
+                     / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh))),
+                     6) AS jaccard
+        FROM toks n JOIN toks p
+          ON n.source IN {INCR_NEW_SOURCES!r}
+         AND p.source NOT IN {INCR_NEW_SOURCES!r}
+        WHERE len(list_intersect(n.sh, p.sh))::DOUBLE
+              / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh)))
+              >= {JACCARD_TAU}
+    """,
+)
+def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: this week's crawl batch is probed
+    against a PERSISTED LSH index of the prior corpus — the continuous-
+    ingestion complement of llm_minhash_near_dup_pairs (one-shot) and
+    llm_incremental_dedup (exact hashes only). The prior corpus's
+    (band_key, doc_id) bucket table is written to disk exactly as a
+    nightly job would leave it; the new batch computes signatures only
+    for itself and equi-joins the index.
+
+    Scale: nightly cost is O(batch) signatures + a bucket join that
+    shuffles 8-byte keys — the prior corpus is never re-shingled (its
+    index is the persisted artifact, bucketed on band_key in production
+    so the probe is co-located); Jaccard verification touches only
+    cross-batch candidates. Recall inherits the banding guarantee
+    (≥ 0.9997 at J=0.8), which is why the exact brute-force oracle still
+    matches."""
+    from ..sources.ingest import _scratch
+
+    docs_src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shingled = (
+        _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+        .join(docs_src, "doc_id")
+        .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+        .cache()
+    )
+    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+
+    # nightly artifact: the prior corpus's bucket index, persisted
+    index_path = _scratch(sf_dir, "minhash_prior_index")
+    (
+        shingled.filter(~is_new)
+        .select("doc_id", *minhash_signature_cols(F.col("__base")))
+        .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+        .write.mode("overwrite")
+        .parquet(index_path)
+    )
+    prior_index = spark.read.parquet(index_path).withColumnRenamed(
+        "doc_id", "doc_prior"
+    )
+
+    new_buckets = (
+        shingled.filter(is_new)
+        .select("doc_id", *minhash_signature_cols(F.col("__base")))
+        .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+        .withColumnRenamed("doc_id", "doc_new")
+    )
+    candidates = (
+        new_buckets.join(prior_index, "band_key")
+        .select("doc_new", "doc_prior")
+        .distinct()
+    )
+    sh = shingled.select("doc_id", "shingles")
+    return (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "doc_new").withColumnRenamed(
+                "shingles", "sh_n"
+            ),
+            "doc_new",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_prior").withColumnRenamed(
+                "shingles", "sh_p"
+            ),
+            "doc_prior",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_n"), F.col("sh_p")))
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+        .select("doc_new", "doc_prior", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -272,3 +272,35 @@ def test_cli_list_names_every_registered_query(capsys, monkeypatch):
     lines = [l for l in out.splitlines() if l.strip()]
     assert len(lines) == len(QUERIES)
     assert any("q3_shipping_priority " in l and "hash-oracled" in l for l in lines)
+
+
+def test_incremental_near_dup_sources_match_exact_dedup_batch():
+    """The near-dup incremental op must define the same 'new batch' as the
+    exact-hash one (the two run as stages of one nightly job)."""
+    from sealnet_etl_spark.operators.dedup import INCR_NEW_SOURCES
+    from sealnet_etl_spark.operators.trainprep import NEW_BATCH_SOURCES
+
+    assert INCR_NEW_SOURCES == NEW_BATCH_SOURCES
+
+
+def test_incremental_near_dup_pairs_cross_the_batch_boundary(spark, queries):
+    """Every reported pair joins a new-batch doc to a prior-corpus doc at
+    J ≥ 0.8, and is a subset of the full one-shot pair list."""
+    from sealnet_etl_spark.operators.dedup import INCR_NEW_SOURCES
+    from sealnet_etl_spark.sources import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    pairs = queries["llm_incremental_near_dup"](spark, SF_DIR).collect()
+    assert pairs
+    full = {
+        frozenset((r.doc_a, r.doc_b))
+        for r in queries["llm_minhash_near_dup_pairs"](spark, SF_DIR).collect()
+    }
+    for r in pairs:
+        assert src[r.doc_new] in INCR_NEW_SOURCES
+        assert src[r.doc_prior] not in INCR_NEW_SOURCES
+        assert r.jaccard >= 0.8
+        assert frozenset((r.doc_new, r.doc_prior)) in full
