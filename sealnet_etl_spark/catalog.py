@@ -132,6 +132,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_timeseries_similarity",
         "llm_sentiment_lexicon",
         "llm_incremental_near_dup",
+        "src_schema_evolution",
     }
 )
 

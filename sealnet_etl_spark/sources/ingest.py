@@ -366,3 +366,65 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.to_date("o_orderdate")).alias("max_date"),
         )
     )
+
+
+EVOLUTION_CUTOFF_DOC = 250  # docs below = generation 1, rest = generation 2
+
+
+@query(
+    "src_schema_evolution",
+    survey_id="SRC-1/ETL-1",
+    oracle=f"""
+        SELECT CASE WHEN doc_id < {EVOLUTION_CUTOFF_DOC} THEN 1 ELSE 2 END
+                   AS generation,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN doc_id >= {EVOLUTION_CUTOFF_DOC}
+                                THEN 1 END) AS BIGINT) AS n_with_quality,
+               CAST(SUM(CASE WHEN doc_id >= {EVOLUTION_CUTOFF_DOC}
+                             THEN n_chars % 100 END) AS BIGINT) AS sum_quality
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: generation 1 was
+    written before a `quality` column existed; generation 2 carries it.
+    A `mergeSchema` read unions the footers into one schema and
+    null-fills the legacy rows — the additive-evolution contract every
+    long-lived lake table depends on (new columns never break old
+    readers or require rewriting history). The query re-scans the merged
+    table and proves: both generations present, `quality` populated only
+    where it was written, values intact.
+
+    Scale: schema merging is a footer-only operation (one small task per
+    file footer at planning time) — data files are untouched; the read
+    itself remains a normal pruned columnar scan."""
+    path = _scratch(sf_dir, "documents_evolving")
+    import shutil as _shutil
+
+    _shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    gen1 = docs.filter(F.col("doc_id") < EVOLUTION_CUTOFF_DOC).select(
+        "doc_id", "source", "n_chars"
+    )
+    gen2 = docs.filter(F.col("doc_id") >= EVOLUTION_CUTOFF_DOC).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("n_chars") % 100).alias("quality"),
+    )
+    gen1.write.mode("append").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        merged.groupBy(
+            F.when(F.col("doc_id") < EVOLUTION_CUTOFF_DOC, 1)
+            .otherwise(2)
+            .alias("generation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum("quality").alias("sum_quality"),
+        )
+    )
