@@ -133,6 +133,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_sentiment_lexicon",
         "llm_incremental_near_dup",
         "src_schema_evolution",
+        "etl_user_erasure",
     }
 )
 

@@ -848,3 +848,68 @@ def etl_checksum_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src_checksum") != F.col("replica_checksum"))
         | (F.col("src_rows") != F.col("replica_rows"))
     )
+
+
+ERASE_USER_ID = 42
+
+
+@query(
+    "etl_user_erasure",
+    survey_id="ETL-5/LLM-9",
+    oracle=f"""
+        SELECT ts::DATE                 AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE user_id <> {ERASE_USER_ID}
+        GROUP BY 1
+    """,
+)
+def etl_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten: delete ONE user's rows from a
+    day-partitioned table by rewriting only the partitions that contain
+    them. The erasure job (1) finds the user's affected days with a
+    partition-pruned scan, (2) rewrites just those days minus the user
+    via dynamic partition overwrite — every other day's files are
+    physically untouched (byte-identical, no lineage through the
+    rewrite). At 100 TB an erasure request costs O(user's days), not a
+    table rewrite — the pattern GDPR/CCPA pipelines run nightly over
+    batched requests. The query re-scans the final table; the oracle
+    states the logical outcome (user gone, everything else intact).
+
+    Complement of etl_pseudonymize: pseudonymization for released
+    extracts, physical erasure for the system of record."""
+    from ..sources.ingest import _scratch
+
+    path = _scratch(sf_dir, "events_erasure")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    (
+        events.repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    table = spark.read.parquet(path)
+    affected_days = [
+        r.event_date
+        for r in table.filter(F.col("user_id") == ERASE_USER_ID)
+        .select("event_date")
+        .distinct()
+        .collect()
+    ]
+    rewritten = table.filter(
+        F.col("event_date").isin(affected_days)
+        & (F.col("user_id") != ERASE_USER_ID)
+    )
+    (
+        rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("event_date").cast("date").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
