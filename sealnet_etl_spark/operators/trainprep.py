@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
-from .dedup import normalized_words
+from .dedup import NEW_BATCH_SOURCES, normalized_words
 from .textstats import TOKEN_PATTERN
 
 
@@ -209,9 +209,6 @@ def llm_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental corpus dedup (new crawl batch vs. existing corpus)
 # ---------------------------------------------------------------------------
 
-NEW_BATCH_SOURCES = ("src1", "src2")
-
-
 @query(
     "llm_incremental_dedup",
     survey_id="LLM-1/ETL-5",
@@ -253,11 +250,15 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram LM quality scoring
 # ---------------------------------------------------------------------------
 
+#: Words must appear at least this often corpus-wide to enter the scoring
+#: vocabulary — the filter that keeps the broadcast table bounded at scale.
+UNIGRAM_MIN_COUNT = 2
+
 
 @query(
     "llm_unigram_logprob",
     survey_id="LLM-9/LLM-11",
-    oracle=r"""
+    oracle=rf"""
         WITH words AS (
             SELECT doc_id,
                    unnest(string_split_regex(lower(text), '\s+')) AS w
@@ -266,11 +267,13 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT w, COUNT(*) AS c FROM words GROUP BY w
         ), total AS (
             SELECT SUM(c)::DOUBLE AS n FROM counts
+        ), vocab AS (
+            SELECT w, c FROM counts WHERE c >= {UNIGRAM_MIN_COUNT}
         )
         SELECT words.doc_id,
                COUNT(*)                         AS n_words,
-               ROUND(AVG(-ln(counts.c / total.n)), 6) AS avg_neg_logprob
-        FROM words JOIN counts USING (w) CROSS JOIN total
+               ROUND(AVG(-ln(vocab.c / total.n)), 6) AS avg_neg_logprob
+        FROM words JOIN vocab USING (w) CROSS JOIN total
         GROUP BY words.doc_id
     """,
 )
@@ -282,20 +285,26 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag junk). Two aggregate passes over the exploded corpus.
 
     Scale: pass 1 (vocab counts) is a map-side-combining word aggregate;
-    pass 2 scores docs through a BROADCAST join against the vocab — a
-    min-count-filtered unigram table is MBs even at 100 TB corpus size, so
-    the scoring pass is map-only (no shuffle of the exploded corpus on the
+    pass 2 scores docs through a BROADCAST join against the MIN-COUNT-
+    FILTERED vocab (hapax legomena — the long tail that makes the raw
+    vocabulary grow with corpus size — are dropped from scoring, exactly
+    as real LM gates do; what remains is MBs even at 100 TB), so the
+    scoring pass is map-only: no shuffle of the exploded corpus on the
     heavily skewed word key — stopwords would make that join the skew
-    worst-case). The corpus total rides along as a 1-row scalar cross
-    join (the one BNLJ shape the repo's plan guard allows)."""
+    worst-case. Out-of-vocab words simply don't contribute to a doc's
+    mean surprisal (n_words counts in-vocab tokens). The corpus total
+    stays the UNFILTERED token count so kept-word probabilities remain
+    true corpus frequencies; it rides along as a 1-row scalar cross join
+    (the one BNLJ shape the repo's plan guard allows)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(normalized_words(F.col("text"))).alias("w")
     )
     counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").cast("double").alias("n"))
+    vocab = counts.filter(F.col("c") >= UNIGRAM_MIN_COUNT)
     return (
-        words.join(F.broadcast(counts), "w")
+        words.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -345,10 +345,7 @@ def wn_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "wn_event_funnel",
-    survey_id="WN-7",
-    oracle="""
+FUNNEL_ORACLE_SQL = """
         WITH v AS (
             SELECT user_id, MIN(ts) AS v_ts FROM events
             WHERE event_type = 'view' GROUP BY user_id
@@ -375,7 +372,13 @@ def wn_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN v USING (user_id)
         LEFT JOIN c USING (user_id)
         LEFT JOIN p USING (user_id)
-    """,
+    """
+
+
+@query(
+    "wn_event_funnel",
+    survey_id="WN-7",
+    oracle=FUNNEL_ORACLE_SQL,
 )
 def wn_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event funnel per user: first view, first click AFTER that

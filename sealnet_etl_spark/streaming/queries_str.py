@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from ..registry import query
 from ..sources import load_table
 from ..sources.ingest import _scratch
+from ..operators.windows import FUNNEL_ORACLE_SQL
 from .replay import events_replay_dir, read_events_stream, run_available_now
 
 WATERMARK = "10 minutes"
@@ -560,18 +561,27 @@ def _funnel_stateful(key, pdfs, state):
     JVM-precomputed epoch-µs longs — never on Python-side timestamps, so
     the logic is session-timezone-proof."""
     v, c, p = state.get if state.exists else (None, None, None)
-    for pdf in pdfs:
-        for row in pdf.sort_values(["us", "event_id"]).itertuples():
-            us = int(row.us)
-            if row.event_type == "view":
-                if v is None:
-                    v = us
-            elif row.event_type == "click":
-                if v is not None and us > v and c is None:
-                    c = us
-            elif row.event_type == "purchase":
-                if c is not None and us > c and p is None:
-                    p = us
+    # ONE sort over the whole micro-batch: a user's rows can span several
+    # Arrow chunks (maxRecordsPerBatch), and sorting each chunk alone
+    # would replay events out of time order across the chunk boundary.
+    # Memory is bounded by one user's rows in one micro-batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    batch = (
+        pd.concat(chunks).sort_values(["us", "event_id"])
+        if chunks
+        else pd.DataFrame(columns=["us", "event_id", "event_type"])
+    )
+    for row in batch.itertuples():
+        us = int(row.us)
+        if row.event_type == "view":
+            if v is None:
+                v = us
+        elif row.event_type == "click":
+            if v is not None and us > v and c is None:
+                c = us
+        elif row.event_type == "purchase":
+            if c is not None and us > c and p is None:
+                p = us
     state.update((v, c, p))
     stage = 3 if p is not None else 2 if c is not None else 1 if v is not None else 0
     yield pd.DataFrame(
@@ -590,34 +600,7 @@ def _funnel_stateful(key, pdfs, state):
 @query(
     "str_streaming_funnel",
     survey_id="STR-6/WN-7",
-    oracle="""
-        WITH v AS (
-            SELECT user_id, MIN(ts) AS v_ts FROM events
-            WHERE event_type = 'view' GROUP BY user_id
-        ), c AS (
-            SELECT e.user_id, MIN(e.ts) AS c_ts
-            FROM events e JOIN v USING (user_id)
-            WHERE e.event_type = 'click' AND e.ts > v.v_ts
-            GROUP BY e.user_id
-        ), p AS (
-            SELECT e.user_id, MIN(e.ts) AS p_ts
-            FROM events e JOIN c USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
-            GROUP BY e.user_id
-        )
-        SELECT u.user_id,
-               epoch_us(v.v_ts::TIMESTAMP) AS view_us,
-               epoch_us(c.c_ts::TIMESTAMP) AS click_us,
-               epoch_us(p.p_ts::TIMESTAMP) AS purchase_us,
-               CASE WHEN p.p_ts IS NOT NULL THEN 3
-                    WHEN c.c_ts IS NOT NULL THEN 2
-                    WHEN v.v_ts IS NOT NULL THEN 1
-                    ELSE 0 END AS funnel_stage
-        FROM (SELECT DISTINCT user_id FROM events) u
-        LEFT JOIN v USING (user_id)
-        LEFT JOIN c USING (user_id)
-        LEFT JOIN p USING (user_id)
-    """,
+    oracle=FUNNEL_ORACLE_SQL,
 )
 def str_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming ordered funnel (applyInPandasWithState): the

@@ -274,19 +274,10 @@ def test_cli_list_names_every_registered_query(capsys, monkeypatch):
     assert any("q3_shipping_priority " in l and "hash-oracled" in l for l in lines)
 
 
-def test_incremental_near_dup_sources_match_exact_dedup_batch():
-    """The near-dup incremental op must define the same 'new batch' as the
-    exact-hash one (the two run as stages of one nightly job)."""
-    from sealnet_etl_spark.operators.dedup import INCR_NEW_SOURCES
-    from sealnet_etl_spark.operators.trainprep import NEW_BATCH_SOURCES
-
-    assert INCR_NEW_SOURCES == NEW_BATCH_SOURCES
-
-
 def test_incremental_near_dup_pairs_cross_the_batch_boundary(spark, queries):
     """Every reported pair joins a new-batch doc to a prior-corpus doc at
     J ≥ 0.8, and is a subset of the full one-shot pair list."""
-    from sealnet_etl_spark.operators.dedup import INCR_NEW_SOURCES
+    from sealnet_etl_spark.operators.dedup import NEW_BATCH_SOURCES
     from sealnet_etl_spark.sources import load_table
 
     src = {
@@ -300,7 +291,34 @@ def test_incremental_near_dup_pairs_cross_the_batch_boundary(spark, queries):
         for r in queries["llm_minhash_near_dup_pairs"](spark, SF_DIR).collect()
     }
     for r in pairs:
-        assert src[r.doc_new] in INCR_NEW_SOURCES
-        assert src[r.doc_prior] not in INCR_NEW_SOURCES
+        assert src[r.doc_new] in NEW_BATCH_SOURCES
+        assert src[r.doc_prior] not in NEW_BATCH_SOURCES
         assert r.jaccard >= 0.8
         assert frozenset((r.doc_new, r.doc_prior)) in full
+
+
+def test_user_erasure_drops_single_user_days(spark, tmp_path, monkeypatch):
+    """A partition whose EVERY row belongs to the erased user must be
+    physically removed — dynamic overwrite alone can't replace a
+    partition absent from the incoming frame (review finding)."""
+    import sealnet_etl_spark.operators.etl as etl_mod
+    from sealnet_etl_spark.sources.ingest import _scratch
+
+    # craft a tiny table where user 42 owns one whole day
+    rows = [
+        (1, "2024-06-01T10:00:00", 42, "view", 1.0, "{}"),
+        (2, "2024-06-01T11:00:00", 42, "click", 1.0, "{}"),
+        (3, "2024-06-02T10:00:00", 42, "view", 1.0, "{}"),
+        (4, "2024-06-02T11:00:00", 7, "view", 1.0, "{}"),
+        (5, "2024-06-03T10:00:00", 7, "purchase", 1.0, "{}"),
+    ]
+    src = spark.createDataFrame(
+        [(a, __import__("datetime").datetime.fromisoformat(b), c, d, e, f) for a, b, c, d, e, f in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    sf_stub = str(tmp_path / "sfstub")
+    src.write.mode("overwrite").parquet(f"{sf_stub}/events.parquet")
+    out = {r.event_date.isoformat(): r.n_events
+           for r in etl_mod.etl_user_erasure(spark, sf_stub).collect()}
+    # day 1 was 100% user 42 → gone entirely; days 2/3 keep only user 7
+    assert out == {"2024-06-02": 1, "2024-06-03": 1}
