@@ -134,6 +134,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_incremental_near_dup",
         "src_schema_evolution",
         "etl_user_erasure",
+        "llm_doc_chunking",
     }
 )
 

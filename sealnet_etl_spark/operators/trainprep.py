@@ -314,3 +314,56 @@ def llm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CHUNK_WORDS = 100
+CHUNK_STRIDE = 80  # 20-word overlap between consecutive chunks
+
+
+@query(
+    "llm_doc_chunking",
+    survey_id="LLM-11/LLM-7",
+    oracle=rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(s / {CHUNK_STRIDE} AS BIGINT)     AS chunk_idx,
+               len(w[s+1:s+{CHUNK_WORDS}])            AS n_chunk_words,
+               array_to_string(w[s+1:s+{CHUNK_WORDS}], ' ') AS chunk_text
+        FROM words, unnest(range(0, len(w), {CHUNK_STRIDE})) AS t(s)
+        WHERE len(w) > 0
+    """,
+)
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking — the RAG/embedding-prep step that
+    splits long documents into CHUNK_WORDS-word windows every
+    CHUNK_STRIDE words (20-word overlap preserves context across cuts),
+    emitting one addressable chunk row per window. Downstream this feeds
+    the embedding featurizer (LLM-4/5) and the multimodal batch harness.
+
+    Scale: pure narrow explode — split, windowed slices, and re-joining
+    are all JVM higher-order array functions evaluated per row at scan
+    speed; no shuffle, no UDF. Output size is input × (1/overlap factor),
+    the expected blow-up of any chunker."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", normalized_words(F.col("text")).alias("w")
+    ).filter(F.size("w") > 0)
+    starts = F.sequence(
+        F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE)
+    )
+    return (
+        words.select("doc_id", "w", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor(F.col("s") / CHUNK_STRIDE).alias("chunk_idx"),
+            F.size(F.slice("w", F.col("s") + 1, CHUNK_WORDS)).alias(
+                "n_chunk_words"
+            ),
+            F.concat_ws(" ", F.slice("w", F.col("s") + 1, CHUNK_WORDS)).alias(
+                "chunk_text"
+            ),
+        )
+    )
