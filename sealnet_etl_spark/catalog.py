@@ -135,6 +135,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "src_schema_evolution",
         "etl_user_erasure",
         "llm_doc_chunking",
+        "src_orc_roundtrip",
     }
 )
 

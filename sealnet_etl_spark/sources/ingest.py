@@ -428,3 +428,39 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quality").alias("sum_quality"),
         )
     )
+
+
+@query(
+    "src_orc_roundtrip",
+    survey_id="SRC-1/SRC-5",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)     AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents
+        GROUP BY source
+    """,
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format: the documents table round-trips through
+    ORC (Spark-native, zstd-compressed) and is re-aggregated off the ORC
+    copy — proving the engine isn't parquet-bound (ORC carries the same
+    schema, stats and predicate-pushdown machinery; a reference user's
+    ORC lake reads with a one-word change). The aggregate matching the
+    parquet-derived oracle proves the round-trip is lossless.
+
+    Scale: same columnar pruned-scan properties as parquet; the write is
+    one narrow pass (no repartition needed for a like-for-like copy)."""
+    path = _scratch(sf_dir, "documents_orc")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").option("compression", "zstd").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
