@@ -322,3 +322,30 @@ def test_user_erasure_drops_single_user_days(spark, tmp_path, monkeypatch):
            for r in etl_mod.etl_user_erasure(spark, sf_stub).collect()}
     # day 1 was 100% user 42 → gone entirely; days 2/3 keep only user 7
     assert out == {"2024-06-02": 1, "2024-06-03": 1}
+
+
+def test_chunking_reconstructs_documents_with_exact_overlap(spark, queries):
+    """Chunks tile each document: sorted by chunk_idx, stripping the
+    20-word overlap from every chunk after the first reconstructs the
+    original word sequence exactly — the property that makes chunked
+    embeddings traceable back to documents."""
+    from sealnet_etl_spark.operators.trainprep import CHUNK_STRIDE, CHUNK_WORDS
+    from sealnet_etl_spark.sources import load_table
+
+    docs = {
+        r.doc_id: r.text.lower().split()
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    by_doc = defaultdict(list)
+    for r in queries["llm_doc_chunking"](spark, SF_DIR).collect():
+        by_doc[r.doc_id].append(r)
+    assert set(by_doc) == {d for d, w in docs.items() if w}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        words = []
+        for i, r in enumerate(chunks):
+            cw = r.chunk_text.split(" ") if r.chunk_text else []
+            assert len(cw) == r.n_chunk_words <= CHUNK_WORDS
+            keep = cw if i == 0 else cw[CHUNK_WORDS - CHUNK_STRIDE:]
+            words.extend(keep)
+        assert words == docs[doc_id], doc_id
