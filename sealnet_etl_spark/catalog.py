@@ -98,6 +98,11 @@ _DRIVER_VERIFIED: frozenset = frozenset(
 #: instead of pushing VERDICT r2's planned regrades out of the driver's
 #: bounded (~50-row) window; any spillover is local-mirror-green now and
 #: enters the window in round 4.
+#:
+#: ROUND-4 PLAN: once CORRECTNESS_r03 lands, fold its green rows into
+#: _DRIVER_VERIFIED and promote this set to the front of the window —
+#: the round-3-late tier (~30 queries) plus whatever r03 misses is the
+#: entire remaining never-graded population.
 _ROUND3_LATE: frozenset = frozenset(
     {
         "llm_repetition_filter",
@@ -136,6 +141,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_user_erasure",
         "llm_doc_chunking",
         "src_orc_roundtrip",
+        "wn_activity_streaks",
     }
 )
 

@@ -548,3 +548,57 @@ def wn_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TS_TOP_K)
         .select("probe_id", "other_id", "corr_v", "n_common")
     )
+
+
+@query(
+    "wn_activity_streaks",
+    survey_id="WN-8/WN-3",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        ), islands AS (
+            SELECT user_id, day,
+                   day - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS INT) AS island
+            FROM days
+        ), streaks AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS streak_days,
+                   MIN(day)                 AS streak_start
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id, streak_days, streak_start
+        FROM streaks
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY streak_days DESC, streak_start
+        ) = 1
+    """,
+)
+def wn_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days (the engagement-streak metric). The classic trick — day minus
+    its per-user rank is constant within a consecutive run — turns streak
+    detection into a plain groupBy, no self-join or iterative logic.
+
+    Scale: distinct (user, day) first (the users×days reduction), then
+    ONE exchange on user_id feeds the rank window, the island aggregate
+    and the final keep-longest window — three keyed passes, one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    days = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w_rank = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w_rank))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )
