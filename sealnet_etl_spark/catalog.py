@@ -142,6 +142,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_doc_chunking",
         "src_orc_roundtrip",
         "wn_activity_streaks",
+        "ag_mad_robust_stats",
     }
 )
 

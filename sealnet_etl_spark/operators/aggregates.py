@@ -614,3 +614,47 @@ def ag_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(DDSKETCH_QUANTILES)}, {stack_expr}) AS (quantile, estimate)"
     )
+
+
+@query(
+    "ag_mad_robust_stats",
+    survey_id="AG-7/R3",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med_value
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(m.med_value, 6)                                    AS med_value,
+               ROUND(quantile_cont(abs(e.value - m.med_value), 0.5), 6) AS mad_value
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med_value
+    """,
+)
+def ag_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per group: median absolute deviation — the
+    outlier-resistant stddev replacement every data-QA profile needs
+    (one wild value moves stddev arbitrarily, MAD not at all).
+
+    Scale: two grouped exact-percentile passes over the same key; the
+    per-group medians table is groups-sized and BROADCAST back for the
+    deviation pass, so the fact table shuffles only for the final
+    aggregate (map-side combined)."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_value")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_value")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med_value")), 0.5), 6
+            ).alias("mad_value")
+        )
+        .select(
+            "event_type",
+            F.round("med_value", 6).alias("med_value"),
+            "mad_value",
+        )
+    )
