@@ -143,6 +143,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "src_orc_roundtrip",
         "wn_activity_streaks",
         "ag_mad_robust_stats",
+        "ag_ratio_to_parent",
+        "ag_cumulative_distinct_users",
     }
 )
 

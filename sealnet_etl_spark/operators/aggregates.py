@@ -658,3 +658,101 @@ def ag_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mad_value",
         )
     )
+
+
+@query(
+    "ag_ratio_to_parent",
+    survey_id="AG-1/WN-4",
+    oracle="""
+        WITH nation_rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   SUM(o.o_totalprice) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation,
+               ROUND(revenue, 2) AS revenue,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+                   AS share_of_region
+        FROM nation_rev
+    """,
+)
+def ag_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent: each nation's share of its region's revenue — the
+    share-of-total OLAP report (pct-of-parent in every BI tool).
+
+    Scale: the base aggregate reduces to (region × nation) rows BEFORE
+    the share window, so the window runs on a dims-sized table — never
+    window-over-fact. Dims broadcast into the fact aggregate (q5 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("region")
+    return nation_rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "share_of_region"
+        ),
+    )
+
+
+@query(
+    "ag_cumulative_distinct_users",
+    survey_id="AG-2/WN-4",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(ts::DATE) AS first_day
+            FROM events GROUP BY user_id
+        ), per_day AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM first_seen GROUP BY first_day
+        )
+        SELECT day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM per_day
+    """,
+)
+def ag_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth curve. A naive
+    running COUNT(DISTINCT) re-scans all history per day; the first-seen
+    reformulation makes it exact with two bounded aggregates: distinct
+    users collapse to their first-active day, and the cumulative sum runs
+    over the DAYS-sized series (the one global window here is bounded by
+    the calendar, like the DDSketch walk — never by events)."""
+    from pyspark.sql.window import Window as _W
+
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = _W.orderBy("day").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
