@@ -145,6 +145,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_mad_robust_stats",
         "ag_ratio_to_parent",
         "ag_cumulative_distinct_users",
+        "wn_period_over_period",
+        "fn_struct",
     }
 )
 

@@ -397,3 +397,36 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("user_id").alias("popcount"),
         F.bitwise_not("user_id").alias("complement"),
     )
+
+
+@query(
+    "fn_struct",
+    survey_id="FN-6/FN-7",
+    oracle="""
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'price': ROUND(o_totalprice, 2)}.status       AS status_field,
+               {'status': o_orderstatus,
+                'price': ROUND(o_totalprice, 2)}.price        AS price_field,
+               CAST(ROW(o_orderkey, o_custkey) = ROW(o_orderkey, o_custkey)
+                    AS INT)                                   AS self_eq
+        FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family: build a named struct, project fields back out, and
+    compare structs as values (ordered field-wise comparison) — the
+    complex-type surface that nested survey records round-trip through.
+    Completes FN coverage alongside the array/map/json families."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.named_struct(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("price"), F.round("o_totalprice", 2),
+    )
+    pair = F.struct(F.col("o_orderkey"), F.col("o_custkey"))
+    return orders.select(
+        "o_orderkey",
+        s.getField("status").alias("status_field"),
+        s.getField("price").alias("price_field"),
+        (pair == pair).cast("int").alias("self_eq"),
+    )

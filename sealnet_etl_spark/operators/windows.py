@@ -602,3 +602,51 @@ def wn_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+@query(
+    "wn_period_over_period",
+    survey_id="WN-3/AG-1",
+    oracle="""
+        WITH daily AS (
+            SELECT ts::DATE AS day, event_type,
+                   ROUND(SUM(value), 2) AS daily_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, event_type, daily_value,
+               ROUND(daily_value - LAG(daily_value) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ), 2) AS dod_change,
+               ROUND((daily_value - LAG(daily_value, 7) OVER (
+                   PARTITION BY event_type ORDER BY day
+               )) / LAG(daily_value, 7) OVER (
+                   PARTITION BY event_type ORDER BY day
+               ), 6) AS wow_pct
+        FROM daily
+    """,
+)
+def wn_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas: day-over-day absolute change and
+    week-over-week percent change of daily value per event type — the
+    trend panel of every metrics dashboard.
+
+    Scale: the fact table reduces to the (days × types) series FIRST
+    (map-side combined aggregate); both lag windows then run on that
+    calendar-sized table partitioned by type — window-over-aggregate,
+    never window-over-fact."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("daily_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev_day = F.lag("daily_value").over(w)
+    prev_week = F.lag("daily_value", 7).over(w)
+    return daily.select(
+        "day",
+        "event_type",
+        "daily_value",
+        F.round(F.col("daily_value") - prev_day, 2).alias("dod_change"),
+        F.round((F.col("daily_value") - prev_week) / prev_week, 6).alias(
+            "wow_pct"
+        ),
+    )
