@@ -147,6 +147,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_cumulative_distinct_users",
         "wn_period_over_period",
         "fn_struct",
+        "llm_balanced_sample",
     }
 )
 

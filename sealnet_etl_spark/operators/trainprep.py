@@ -367,3 +367,38 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BALANCED_N = 10
+
+
+@query(
+    "llm_balanced_sample",
+    survey_id="ETL-3/LLM-9",
+    oracle=rf"""
+        SELECT doc_id, lang
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY lang
+            ORDER BY md5('bal:' || doc_id::VARCHAR), doc_id
+        ) <= {BALANCED_N}
+    """,
+)
+def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N balanced sampling: exactly BALANCED_N documents per
+    language, chosen by rank in salted-md5 order — the reproducible way
+    to build a class-balanced eval set (fraction-based sampling gives
+    only EXPECTED counts; hash-ordering gives exact counts, no RNG, and
+    stable membership under re-runs until the underlying pool changes).
+
+    Scale: one shuffle on the stratum key; Spark's InferWindowGroupLimit
+    turns the rank-filter into a per-partition N-sized heap, so no group
+    is ever fully sorted."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BALANCED_N)
+        .select("doc_id", "lang")
+    )
