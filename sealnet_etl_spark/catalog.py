@@ -148,6 +148,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_period_over_period",
         "fn_struct",
         "llm_balanced_sample",
+        "llm_negative_sampling",
     }
 )
 

@@ -402,3 +402,81 @@ def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BALANCED_N)
         .select("doc_id", "lang")
     )
+
+
+NEG_PER_ANCHOR = 4
+
+
+@query(
+    "llm_negative_sampling",
+    survey_id="LLM-4/LLM-11",
+    oracle=rf"""
+        WITH ranked AS (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos
+            FROM embeddings
+        ), n AS (
+            SELECT COUNT(*) AS total FROM embeddings
+        ), probes AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label, j.j,
+                   ('0x' || substring(
+                        md5('neg:' || a.vec_id::VARCHAR || ':' || j.j::VARCHAR),
+                        1, 8))::BIGINT % n.total AS cand_pos
+            FROM embeddings a
+            CROSS JOIN (VALUES (1), (2), (3), (4)) AS j(j)
+            CROSS JOIN n
+        )
+        SELECT p.anchor_id, p.j, r.vec_id AS negative_id, r.label AS negative_label
+        FROM probes p JOIN ranked r ON r.pos = p.cand_pos
+        WHERE r.label <> p.anchor_label
+    """,
+)
+def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor draws NEG_PER_ANCHOR probe positions from the corpus via
+    salted md5 (reproducible — the training set is a pure function of
+    the data, unlike RNG sampling), keeping probes whose label differs
+    from the anchor's (same-label collisions are simply dropped, so an
+    anchor yields UP TO K negatives — the standard in-batch-negatives
+    trade).
+
+    Scale: positions come from the distributed two-phase global rank
+    (never a one-partition window); probes explode to N×K (anchor, pos)
+    pairs of ids only and equi-join the rank table on position — one
+    shuffle of 8-byte keys, no embedding vectors move."""
+    from .windows import two_phase_global_rank
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    ranked, total = two_phase_global_rank(emb, ["vec_id"])
+    ranked = ranked.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        (F.col("rank") - 1).alias("pos"),
+    )
+    probes = (
+        emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR))
+            ).alias("j"),
+        )
+        .withColumn(
+            "cand_pos",
+            md5_bucket(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("j").cast("string"),
+                ),
+                "neg:",
+                total,
+            ),
+        )
+    )
+    return (
+        probes.join(ranked, probes.cand_pos == ranked.pos)
+        .filter(F.col("negative_label") != F.col("anchor_label"))
+        .select("anchor_id", "j", "negative_id", "negative_label")
+    )
