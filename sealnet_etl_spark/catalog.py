@@ -149,6 +149,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "fn_struct",
         "llm_balanced_sample",
         "llm_negative_sampling",
+        "llm_hard_negatives",
     }
 )
 

@@ -833,3 +833,116 @@ def llm_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("src_id", "nbr_id", "cos_sim")
     )
+
+
+def _write_labeled_tile(spark: SparkSession, corpus_df: DataFrame, sf_dir: str) -> str:
+    """Label-carrying corpus tile for label-aware scoring (separate path
+    from the standard tiles — different schema)."""
+    import os
+    import re
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = re.sub("^file:(//)?", "", warehouse)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(warehouse, "_sim_tiles", f"{tag}_labeled")
+    corpus_df.select("vec_id", "embedding", "label").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(base)
+    return base
+
+
+def _load_labeled_tile(path: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    hit = _TILE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    tbl = pq.read_table(path, columns=["vec_id", "embedding", "label"])
+    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    labels = np.asarray(tbl.column("label").to_pylist())
+    if mat.size == 0:
+        mat = mat.reshape(0, EMBED_DIM)
+    order = np.argsort(ids, kind="stable")
+    ids, mat, labels = ids[order], mat[order], labels[order]
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    _TILE_CACHE.clear()
+    _TILE_CACHE[path] = (ids, mat, norms, labels)
+    return ids, mat, norms, labels
+
+
+@query(
+    "llm_hard_negatives",
+    survey_id="LLM-4/LLM-11",
+    oracle=f"""
+        SELECT a.vec_id AS src_id, a.label AS src_label,
+               b.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                     b.vec_id
+        ) <= {TOP_K}
+    """,
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: each anchor's top-k most-SIMILAR vectors with
+    a DIFFERENT label — the contrastive-training complement of
+    llm_negative_sampling's random draws (hard negatives near the
+    decision boundary are what sharpen embedding models).
+
+    Scale: same corpus-tile BLAS path as llm_topk_cosine, with the label
+    mask applied in-kernel (same-label columns zeroed before the top-k
+    argsort) — exact, no candidate-margin guesswork, and the mask costs
+    one vectorized comparison per batch. Labels ride in the tile (bytes
+    per vector); the anchor side streams its own labels through the same
+    Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    tile = _write_labeled_tile(spark, emb, sf_dir)
+
+    def hard_neg_batches(batches):
+        ids, mat, norms, labels = _load_labeled_tile(tile)
+        for pdf in batches:
+            if ids.size == 0 or not len(pdf):
+                yield pd.DataFrame(
+                    {"src_id": [], "src_label": [], "nbr_id": [], "cos_sim": []}
+                ).astype(
+                    {"src_id": "int64", "src_label": "int64",
+                     "nbr_id": "int64", "cos_sim": "float64"}
+                )
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = np.round(q @ mat.T / (qn[:, None] * norms[None, :]), 6)
+            src_ids = pdf["vec_id"].to_numpy()
+            src_labels = pdf["label"].to_numpy()
+            out = {"src_id": [], "src_label": [], "nbr_id": [], "cos_sim": []}
+            for row in range(len(src_ids)):
+                scores = cos[row].copy()
+                scores[labels == src_labels[row]] = -np.inf
+                order = np.argsort(-scores, kind="stable")
+                taken = 0
+                for j in order:
+                    if scores[j] == -np.inf or ids[j] == src_ids[row]:
+                        continue
+                    out["src_id"].append(src_ids[row])
+                    out["src_label"].append(src_labels[row])
+                    out["nbr_id"].append(ids[j])
+                    out["cos_sim"].append(scores[j])
+                    taken += 1
+                    if taken == TOP_K:
+                        break
+            yield pd.DataFrame(out)
+
+    return emb.mapInPandas(
+        hard_neg_batches,
+        "src_id bigint, src_label bigint, nbr_id bigint, cos_sim double",
+    )
