@@ -56,6 +56,8 @@ def headline_queries() -> list[str]:
         "llm_unigram_logprob",
         "llm_sequence_pack",
         "jn_point_in_time",
+        # the four-stage training-data pipeline composition (capstone)
+        "llm_pipeline_e2e",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -150,6 +150,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_balanced_sample",
         "llm_negative_sampling",
         "llm_hard_negatives",
+        "llm_pipeline_e2e",
     }
 )
 

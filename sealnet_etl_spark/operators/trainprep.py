@@ -480,3 +480,73 @@ def llm_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("negative_label") != F.col("anchor_label"))
         .select("anchor_id", "j", "negative_id", "negative_label")
     )
+
+
+PIPE_MIN_CHARS = 200
+
+
+@query(
+    "llm_pipeline_e2e",
+    survey_id="LLM-9/LLM-11/ETL-3",
+    oracle=f"""
+        WITH gated AS (
+            SELECT doc_id, lang, n_chars, lower(text) AS norm_text
+            FROM documents
+            WHERE n_chars >= {PIPE_MIN_CHARS}
+        ), canonical AS (
+            SELECT doc_id, lang, n_chars
+            FROM gated
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(norm_text) ORDER BY n_chars DESC, doc_id
+            ) = 1
+        ), sampled AS (
+            SELECT doc_id, lang, n_chars
+            FROM canonical
+            WHERE {_md5_bucket_sql("doc_id::VARCHAR", "mix:", MIX_DENOM)}
+                  < CASE lang WHEN 'en' THEN {MIX_RATES['en']}
+                              WHEN 'de' THEN {MIX_RATES['de']}
+                              WHEN 'fr' THEN {MIX_RATES['fr']}
+                              ELSE {MIX_DEFAULT} END
+        )
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64
+                   AS shard,
+               CAST(COUNT(*) AS BIGINT)     AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM sampled
+        GROUP BY 1
+    """,
+)
+def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: quality gate → keep-best exact dedup →
+    domain-mixture sample → training-shard assignment, chained as ONE
+    lazy plan — the end-to-end skeleton of a training-data build,
+    proving the individual operators compose (one Catalyst plan, shared
+    scan, no materialization between stages).
+
+    Scale: the whole chain is a narrow filter + one content-hash window
+    + a narrow hash filter + one shard aggregate — two shuffles total for
+    four pipeline stages, because every sampling/assignment decision is a
+    pure hash function (no RNG, no recomputation drift between stages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(F.col("n_chars") >= PIPE_MIN_CHARS).select(
+        "doc_id", "lang", "n_chars", F.md5(F.lower("text")).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    canonical = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "content_hash")
+    )
+    rate = F.lit(MIX_DEFAULT)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    sampled = canonical.filter(
+        md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM) < rate
+    )
+    shard = md5_bucket(F.col("doc_id").cast("string"), "", 64)
+    return sampled.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
