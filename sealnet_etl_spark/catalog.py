@@ -151,6 +151,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_negative_sampling",
         "llm_hard_negatives",
         "llm_pipeline_e2e",
+        "wn_session_conversion",
     }
 )
 

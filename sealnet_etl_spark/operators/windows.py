@@ -650,3 +650,73 @@ def wn_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wow_pct"
         ),
     )
+
+
+@query(
+    "wn_session_conversion",
+    survey_id="WN-6/AG-1",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN ts::TIMESTAMP
+                          - LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), numbered AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)       AS n_sessions,
+               CAST(SUM(converted) AS BIGINT) AS n_converted,
+               ROUND(SUM(converted) / COUNT(*)::DOUBLE, 6) AS conversion_rate
+        FROM sessions
+        GROUP BY user_id
+    """,
+)
+def wn_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session conversion rate: share of a user's sessions that contain a
+    purchase — sessionization (WN-6) composed with per-session outcome
+    aggregation, the metric behind 'X% of visits convert'.
+
+    Scale: the session numbering and both aggregates all key on user_id —
+    one exchange feeds the lag window, the cumulative-sum window, the
+    per-session reduce and the per-user rollup."""
+    events = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    sessions = (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+    )
