@@ -152,6 +152,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_hard_negatives",
         "llm_pipeline_e2e",
         "wn_session_conversion",
+        "str_foreach_batch_upsert",
     }
 )
 

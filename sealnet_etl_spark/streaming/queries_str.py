@@ -638,3 +638,72 @@ def str_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("purchase_us").alias("purchase_us"),
         F.max("funnel_stage").alias("funnel_stage"),
     )
+
+
+@query(
+    "str_foreach_batch_upsert",
+    survey_id="STR-8/ETL-5",
+    oracle="""
+        SELECT user_id,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent streaming UPSERT via foreachBatch + versioned state:
+    each micro-batch merges its per-user aggregates into the previous
+    state snapshot and writes state version ``batch_id`` — a pure
+    function of (previous state, batch), so a replayed batch after a
+    crash rewrites the SAME version instead of double-counting. This is
+    the write-ahead-by-batchId pattern behind exactly-once aggregated
+    sinks on stores without transactions (plain parquet/object storage).
+
+    Scale: per-batch work is one map-side-combined aggregate plus a
+    key-partitioned full-outer merge against a users-sized state table;
+    the final state equals the batch aggregate, which the oracle states
+    exactly."""
+    import os
+
+    base = _scratch(sf_dir, "upsert_state")
+    shutil.rmtree(base, ignore_errors=True)
+    last_version = {"v": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        prev = last_version["v"]
+        if prev is not None:
+            state = sess.read.parquet(f"{base}/v{prev}")
+            agg = (
+                state.withColumnRenamed("n_events", "p_n")
+                .withColumnRenamed("total_value", "p_v")
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("p_n", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias("n_events"),
+                    (F.coalesce("p_v", F.lit(0.0)) + F.coalesce("total_value", F.lit(0.0))).alias("total_value"),
+                )
+            )
+        agg.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+        last_version["v"] = batch_id
+
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    checkpoint = _scratch(sf_dir, "str_foreach_batch_upsert_ckpt")
+    shutil.rmtree(checkpoint, ignore_errors=True)
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = spark.read.parquet(f"{base}/v{last_version['v']}")
+    return final.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    )
