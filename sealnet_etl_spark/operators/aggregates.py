@@ -686,14 +686,16 @@ def ag_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the base aggregate reduces to (region × nation) rows BEFORE
     the share window, so the window runs on a dims-sized table — never
-    window-over-fact. Dims broadcast into the fact aggregate (q5 shape)."""
+    window-over-fact. The true q5 shape: customer (which GROWS with SF —
+    tables.py's BROADCAST_DIMS excludes it) shuffle-joins on the key;
+    only the fixed-size nation/region dims broadcast."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     nation_rev = (
         orders.join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             orders.o_custkey == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)

@@ -111,14 +111,16 @@ def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TILE_CACHE: dict = {}
 
 
-def _load_tile(path: str):
+def _load_tile(path: str, with_labels: bool = False):
     import numpy as np
     import pyarrow.parquet as pq
 
-    hit = _TILE_CACHE.get(path)
+    key = (path, with_labels)
+    hit = _TILE_CACHE.get(key)
     if hit is not None:
         return hit
-    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    tbl = pq.read_table(path, columns=cols)
     ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
     if mat.size == 0:
@@ -126,18 +128,28 @@ def _load_tile(path: str):
     order = np.argsort(ids, kind="stable")
     ids, mat = ids[order], mat[order]
     norms = np.sqrt((mat * mat).sum(axis=1))
+    out = (ids, mat, norms)
+    if with_labels:
+        labels = np.asarray(tbl.column("label").to_pylist())[order]
+        out = (ids, mat, norms, labels)
     _TILE_CACHE.clear()
-    _TILE_CACHE[path] = (ids, mat, norms)
-    return ids, mat, norms
+    _TILE_CACHE[key] = out
+    return out
 
 
 def _write_corpus_tiles(
-    spark: SparkSession, corpus_df: DataFrame, sf_dir: str, n_tiles: int
+    spark: SparkSession,
+    corpus_df: DataFrame,
+    sf_dir: str,
+    n_tiles: int,
+    extra_cols: tuple = (),
 ) -> str:
     """Write the corpus as ``tile=<vec_id mod n_tiles>`` parquet partitions
     under the Spark warehouse dir (shared storage on a real cluster) and
-    return the base path. Deterministic path per (sf, n_tiles) → idempotent
-    overwrite, no unbounded temp growth; the driver never holds vector data.
+    return the base path. Deterministic path per (sf, n_tiles, extra_cols)
+    → idempotent overwrite, no unbounded temp growth; the driver never
+    holds vector data. ``extra_cols`` (e.g. label) ride along for
+    label-aware scoring — a schema-distinct tile gets its own directory.
     """
     import os
     import re
@@ -145,9 +157,10 @@ def _write_corpus_tiles(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = re.sub("^file:(//)?", "", warehouse)
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(warehouse, "_sim_tiles", f"{tag}_t{n_tiles}")
+    suffix = ("_" + "_".join(extra_cols)) if extra_cols else ""
+    base = os.path.join(warehouse, "_sim_tiles", f"{tag}_t{n_tiles}{suffix}")
     (
-        corpus_df.select("vec_id", "embedding")
+        corpus_df.select("vec_id", "embedding", *extra_cols)
         .withColumn("tile", F.pmod(F.col("vec_id"), F.lit(n_tiles)))
         .write.mode("overwrite")
         .partitionBy("tile")
@@ -835,43 +848,6 @@ def llm_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_labeled_tile(spark: SparkSession, corpus_df: DataFrame, sf_dir: str) -> str:
-    """Label-carrying corpus tile for label-aware scoring (separate path
-    from the standard tiles — different schema)."""
-    import os
-    import re
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    warehouse = re.sub("^file:(//)?", "", warehouse)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = os.path.join(warehouse, "_sim_tiles", f"{tag}_labeled")
-    corpus_df.select("vec_id", "embedding", "label").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(base)
-    return base
-
-
-def _load_labeled_tile(path: str):
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    hit = _TILE_CACHE.get(path)
-    if hit is not None:
-        return hit
-    tbl = pq.read_table(path, columns=["vec_id", "embedding", "label"])
-    ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    labels = np.asarray(tbl.column("label").to_pylist())
-    if mat.size == 0:
-        mat = mat.reshape(0, EMBED_DIM)
-    order = np.argsort(ids, kind="stable")
-    ids, mat, labels = ids[order], mat[order], labels[order]
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    _TILE_CACHE.clear()
-    _TILE_CACHE[path] = (ids, mat, norms, labels)
-    return ids, mat, norms, labels
-
-
 @query(
     "llm_hard_negatives",
     survey_id="LLM-4/LLM-11",
@@ -906,10 +882,11 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    tile = _write_labeled_tile(spark, emb, sf_dir)
+    base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
+    tile = f"{base}/tile=0"
 
     def hard_neg_batches(batches):
-        ids, mat, norms, labels = _load_labeled_tile(tile)
+        ids, mat, norms, labels = _load_tile(tile, with_labels=True)
         for pdf in batches:
             if ids.size == 0 or not len(pdf):
                 yield pd.DataFrame(

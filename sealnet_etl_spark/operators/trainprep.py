@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 from ..registry import query
 from ..sources import load_table
 from .dedup import NEW_BATCH_SOURCES, normalized_words
+from .etl import N_SHARDS as _N_SHARDS
 from .textstats import TOKEN_PATTERN
 
 
@@ -405,6 +406,7 @@ def llm_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEG_PER_ANCHOR = 4
+_NEG_J_VALUES = ", ".join(f"({j})" for j in range(1, NEG_PER_ANCHOR + 1))
 
 
 @query(
@@ -423,7 +425,7 @@ NEG_PER_ANCHOR = 4
                         md5('neg:' || a.vec_id::VARCHAR || ':' || j.j::VARCHAR),
                         1, 8))::BIGINT % n.total AS cand_pos
             FROM embeddings a
-            CROSS JOIN (VALUES (1), (2), (3), (4)) AS j(j)
+            CROSS JOIN (VALUES {_NEG_J_VALUES}) AS j(j)
             CROSS JOIN n
         )
         SELECT p.anchor_id, p.j, r.vec_id AS negative_id, r.label AS negative_label
@@ -508,7 +510,7 @@ PIPE_MIN_CHARS = 200
                               WHEN 'fr' THEN {MIX_RATES['fr']}
                               ELSE {MIX_DEFAULT} END
         )
-        SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64
+        SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {_N_SHARDS}
                    AS shard,
                CAST(COUNT(*) AS BIGINT)     AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -545,7 +547,7 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = canonical.filter(
         md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM) < rate
     )
-    shard = md5_bucket(F.col("doc_id").cast("string"), "", 64)
+    shard = md5_bucket(F.col("doc_id").cast("string"), "", _N_SHARDS)
     return sampled.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),

@@ -231,6 +231,22 @@ def two_phase_global_rank(
 SESSION_GAP_MINUTES = 30
 
 
+def events_with_session_ids(events: DataFrame) -> DataFrame:
+    """Append ``session_id``: a gap longer than SESSION_GAP_MINUTES opens
+    a new session (lag -> new-session flag -> cumulative sum). THE single
+    session definition — wn_sessionize_events and wn_session_conversion
+    both derive from it, so session semantics can never desynchronize.
+    One shuffle on user_id; both window passes share the partitioning."""
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
+    ).otherwise(0)
+    return events.withColumn("session_id", F.sum(is_new).over(w_cum))
+
+
 @query(
     "wn_sessionize_events",
     survey_id="WN-6",
@@ -261,18 +277,11 @@ SESSION_GAP_MINUTES = 30
 )
 def wn_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity closes a session):
-    lag → new-session flag → cumulative sum = session id → per-session agg.
-    One shuffle on user_id; both window passes share the partitioning."""
+    lag → new-session flag → cumulative sum = session id → per-session agg
+    (the shared events_with_session_ids helper)."""
     events = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
-    is_new = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
-    ).otherwise(0)
     return (
-        events.withColumn("session_id", F.sum(is_new).over(w_cum))
+        events_with_session_ids(events)
         .groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -692,20 +701,11 @@ def wn_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the session numbering and both aggregates all key on user_id —
     one exchange feeds the lag window, the cumulative-sum window, the
-    per-session reduce and the per-user rollup."""
+    per-session reduce and the per-user rollup. Session ids come from the
+    shared events_with_session_ids helper (one session definition)."""
     events = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_cum = w_order.rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros("ts")).over(w_order)
-    is_new = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
-    ).otherwise(0)
     sessions = (
-        events.withColumn("is_new", is_new)
-        .withColumn("session_id", F.sum("is_new").over(w_cum))
+        events_with_session_ids(events)
         .groupBy("user_id", "session_id")
         .agg(
             F.max(

@@ -664,11 +664,12 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-partitioned full-outer merge against a users-sized state table;
     the final state equals the batch aggregate, which the oracle states
     exactly."""
+    import glob
     import os
+    import re as _re
 
     base = _scratch(sf_dir, "upsert_state")
     shutil.rmtree(base, ignore_errors=True)
-    last_version = {"v": None}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -676,9 +677,15 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
         )
-        prev = last_version["v"]
-        if prev is not None:
-            state = sess.read.parquet(f"{base}/v{prev}")
+        # The merge base is DERIVED FROM batch_id, never from driver
+        # memory: a replayed batch k (commit failed, or the process
+        # restarted) re-reads v{k-1} — which can never contain batch k's
+        # rows — and rewrites v{k} to the identical contents. A mutable
+        # last-written pointer would instead re-merge on top of v{k}
+        # (double count) or, after a restart, start from scratch.
+        prev_path = f"{base}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.isdir(prev_path):
+            state = sess.read.parquet(prev_path)
             agg = (
                 state.withColumnRenamed("n_events", "p_n")
                 .withColumnRenamed("total_value", "p_v")
@@ -690,7 +697,6 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         agg.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
-        last_version["v"] = batch_id
 
     replay = events_replay_dir(spark, sf_dir)
     stream = read_events_stream(spark, replay)
@@ -703,7 +709,13 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination()
     )
-    final = spark.read.parquet(f"{base}/v{last_version['v']}")
+    # the newest on-disk version IS the recovery record — no driver state
+    versions = [
+        int(m.group(1))
+        for d in glob.glob(f"{base}/v*")
+        if (m := _re.fullmatch(r"v(\d+)", os.path.basename(d)))
+    ]
+    final = spark.read.parquet(f"{base}/v{max(versions)}")
     return final.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )

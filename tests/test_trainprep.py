@@ -332,8 +332,12 @@ def test_chunking_reconstructs_documents_with_exact_overlap(spark, queries):
     from sealnet_etl_spark.operators.trainprep import CHUNK_STRIDE, CHUNK_WORDS
     from sealnet_etl_spark.sources import load_table
 
+    import re
+
+    # mirror the operator's split(lower(text), '\\s+') exactly — unlike
+    # str.split(), the regex split keeps '' tokens at string edges
     docs = {
-        r.doc_id: r.text.lower().split()
+        r.doc_id: re.split(r"\s+", r.text.lower())
         for r in load_table(spark, SF_DIR, "documents").collect()
     }
     by_doc = defaultdict(list)
