@@ -153,6 +153,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_pipeline_e2e",
         "wn_session_conversion",
         "str_foreach_batch_upsert",
+        "etl_skew_report",
     }
 )
 

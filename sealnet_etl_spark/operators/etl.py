@@ -932,3 +932,54 @@ def etl_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("event_date").cast("date").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+SKEW_TOP_N = 10
+
+
+@query(
+    "etl_skew_report",
+    survey_id="ETL-6/JN-1",
+    oracle=f"""
+        WITH counts AS (
+            SELECT o_custkey AS key, COUNT(*) AS n_rows
+            FROM orders GROUP BY o_custkey
+        ), stats AS (
+            SELECT quantile_cont(n_rows, 0.5) AS median_n,
+                   MAX(n_rows)::DOUBLE        AS max_n
+            FROM counts
+        )
+        SELECT c.key, c.n_rows,
+               ROUND(c.n_rows / s.median_n, 4) AS skew_factor
+        FROM counts c CROSS JOIN stats s
+        QUALIFY ROW_NUMBER() OVER (ORDER BY c.n_rows DESC, c.key) <= {SKEW_TOP_N}
+    """,
+)
+def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top-N heaviest keys and each one's
+    multiple of the median key weight — the report an engineer runs
+    BEFORE a big join to decide between plain AQE, salting
+    (jn_salted_skew), and key isolation. A skew_factor in the hundreds
+    means one task will hold that key's entire row set.
+
+    Scale: one map-side-combined count per key, then everything runs on
+    the keys-sized count table (median via exact percentile over keys,
+    top-N as a TakeOrdered heap, the 1-row stats cross join is the
+    allowlisted scalar shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    stats = counts.agg(
+        F.percentile("n_rows", 0.5).alias("median_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("median_n"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(SKEW_TOP_N)
+    )
