@@ -364,6 +364,7 @@ _BNLJ_ALLOWED = {
     "ag_theta_sketch_setops",  # two 1-row sketch sides
     "jn_cross_bounded",
     "llm_unigram_logprob",  # 1-row corpus token total
+    "etl_skew_report",      # 1-row median-weight stats
 }
 
 
