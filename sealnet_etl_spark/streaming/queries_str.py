@@ -640,6 +640,43 @@ def str_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def make_versioned_upsert(base: str):
+    """foreachBatch callback factory: merge each batch's per-user
+    aggregates into state version ``batch_id``.
+
+    The merge base is DERIVED FROM batch_id, never from driver memory: a
+    replayed batch k (commit failed, or the process restarted) re-reads
+    v{k-1} — which can never contain batch k's rows — and rewrites v{k}
+    to identical contents. A mutable last-written pointer would instead
+    re-merge on top of v{k} (double count) or, after a restart, start
+    from scratch. Replay idempotence is pinned by
+    tests/test_streaming_restart.py."""
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        prev_path = f"{base}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.isdir(prev_path):
+            state = sess.read.parquet(prev_path)
+            agg = (
+                state.withColumnRenamed("n_events", "p_n")
+                .withColumnRenamed("total_value", "p_v")
+                .join(agg, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("p_n", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias("n_events"),
+                    (F.coalesce("p_v", F.lit(0.0)) + F.coalesce("total_value", F.lit(0.0))).alias("total_value"),
+                )
+            )
+        agg.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+
+    return upsert
+
+
 @query(
     "str_foreach_batch_upsert",
     survey_id="STR-8/ETL-5",
@@ -670,33 +707,7 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _scratch(sf_dir, "upsert_state")
     shutil.rmtree(base, ignore_errors=True)
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        agg = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
-        )
-        # The merge base is DERIVED FROM batch_id, never from driver
-        # memory: a replayed batch k (commit failed, or the process
-        # restarted) re-reads v{k-1} — which can never contain batch k's
-        # rows — and rewrites v{k} to the identical contents. A mutable
-        # last-written pointer would instead re-merge on top of v{k}
-        # (double count) or, after a restart, start from scratch.
-        prev_path = f"{base}/v{batch_id - 1}"
-        if batch_id > 0 and os.path.isdir(prev_path):
-            state = sess.read.parquet(prev_path)
-            agg = (
-                state.withColumnRenamed("n_events", "p_n")
-                .withColumnRenamed("total_value", "p_v")
-                .join(agg, "user_id", "full_outer")
-                .select(
-                    "user_id",
-                    (F.coalesce("p_n", F.lit(0)) + F.coalesce("n_events", F.lit(0))).alias("n_events"),
-                    (F.coalesce("p_v", F.lit(0.0)) + F.coalesce("total_value", F.lit(0.0))).alias("total_value"),
-                )
-            )
-        agg.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+    upsert = make_versioned_upsert(base)
 
     replay = events_replay_dir(spark, sf_dir)
     stream = read_events_stream(spark, replay)

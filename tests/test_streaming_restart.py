@@ -61,3 +61,36 @@ def test_checkpointed_sink_is_exactly_once_across_restarts(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == n_first + n_rest
     assert out.select("event_id").distinct().count() == n_first + n_rest
+
+
+def test_versioned_upsert_replay_is_idempotent(spark, tmp_path):
+    """The review-found failure mode, pinned: re-invoking the foreachBatch
+    callback with the SAME batch_id (commit failed → engine replays) must
+    rewrite identical state, never double-count; and the merge chain must
+    come from disk, not driver memory."""
+    from sealnet_etl_spark.streaming.queries_str import make_versioned_upsert
+
+    base = str(tmp_path / "state")
+    upsert = make_versioned_upsert(base)
+    b0 = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 5.0)], "user_id long, value double"
+    )
+    b1 = spark.createDataFrame([(1, 1.0), (3, 4.0)], "user_id long, value double")
+
+    def state(v):
+        return {
+            r.user_id: (r.n_events, round(r.total_value, 2))
+            for r in spark.read.parquet(f"{base}/v{v}").collect()
+        }
+
+    upsert(b0, 0)
+    assert state(0) == {1: (2, 5.0), 2: (1, 5.0)}
+    upsert(b0, 0)  # replayed batch 0
+    assert state(0) == {1: (2, 5.0), 2: (1, 5.0)}
+    upsert(b1, 1)
+    expected = {1: (3, 6.0), 2: (1, 5.0), 3: (1, 4.0)}
+    assert state(1) == expected
+    # replay batch 1 from a FRESH callback (simulates a driver restart:
+    # no in-memory pointer survives) — state must be unchanged
+    make_versioned_upsert(base)(b1, 1)
+    assert state(1) == expected
