@@ -154,6 +154,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_session_conversion",
         "str_foreach_batch_upsert",
         "etl_skew_report",
+        "llm_vocab_induction",
     }
 )
 

@@ -552,3 +552,46 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+VOCAB_SIZE = 500
+
+
+@query(
+    "llm_vocab_induction",
+    survey_id="LLM-9/LLM-11",
+    oracle=rf"""
+        WITH counts AS (
+            SELECT w, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                  FROM documents)
+            GROUP BY w
+        )
+        SELECT w AS token, freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, w) - 1 AS token_id
+        FROM counts
+        QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, w) <= {VOCAB_SIZE}
+    """,
+)
+def llm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-V corpus words with stable,
+    frequency-ranked token ids — the artifact-build step before unigram
+    scoring / tokenization (word-level stand-in for BPE merges; the
+    frequency table IS what BPE's first iteration consumes).
+
+    Scale: one map-side-combined word count, then the top-V cut is a
+    TakeOrdered heap over (freq, word) — the full vocabulary is never
+    globally sorted; ids are dense ranks of the V-sized result (V is
+    thousands — driver-safe by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(normalized_words(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    # the rank window runs on the V-sized result, not the vocabulary
+    return top.select(
+        "token", "freq", (F.row_number().over(w) - 1).cast("bigint").alias("token_id")
+    )

@@ -353,3 +353,21 @@ def test_chunking_reconstructs_documents_with_exact_overlap(spark, queries):
             keep = cw if i == 0 else cw[CHUNK_WORDS - CHUNK_STRIDE:]
             words.extend(keep)
         assert words == docs[doc_id], doc_id
+
+
+def test_md5_bucket_is_uniform_and_salt_decorrelated(spark):
+    """The hash behind every sampling/assignment decision: buckets spread
+    uniformly (max/min bucket load bounded) and different salts give
+    independent assignments (same-bucket agreement ≈ 1/mod)."""
+    from sealnet_etl_spark.operators.trainprep import md5_bucket
+
+    n, mod = 20_000, 16
+    df = spark.range(n).select(
+        md5_bucket(F.col("id").cast("string"), "a:", mod).alias("ba"),
+        md5_bucket(F.col("id").cast("string"), "b:", mod).alias("bb"),
+    )
+    loads = [r.n for r in df.groupBy("ba").agg(F.count("*").alias("n")).collect()]
+    assert len(loads) == mod
+    assert max(loads) / min(loads) < 1.25, loads
+    agree = df.filter(F.col("ba") == F.col("bb")).count() / n
+    assert abs(agree - 1 / mod) < 0.02, agree
