@@ -155,6 +155,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "str_foreach_batch_upsert",
         "etl_skew_report",
         "llm_vocab_induction",
+        "llm_bigram_pmi",
     }
 )
 

@@ -595,3 +595,80 @@ def llm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "token", "freq", (F.row_number().over(w) - 1).cast("bigint").alias("token_id")
     )
+
+
+PMI_MIN_PAIR = 5
+
+
+@query(
+    "llm_bigram_pmi",
+    survey_id="LLM-7/LLM-11",
+    oracle=rf"""
+        WITH words AS (
+            SELECT string_split_regex(lower(text), '\s+') AS w FROM documents
+        ), bigrams AS (
+            SELECT w[i] AS a, w[i+1] AS b
+            FROM words, unnest(range(1, len(w))) AS t(i)
+        ), pair_counts AS (
+            SELECT a, b, COUNT(*) AS n_ab FROM bigrams GROUP BY a, b
+        ), uni_a AS (
+            SELECT a, COUNT(*) AS n_a FROM bigrams GROUP BY a
+        ), uni_b AS (
+            SELECT b, COUNT(*) AS n_b FROM bigrams GROUP BY b
+        ), total AS (
+            SELECT SUM(n_ab)::DOUBLE AS n_pairs FROM pair_counts
+        )
+        SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab,
+               ROUND(ln(p.n_ab * t.n_pairs / (ua.n_a * ub.n_b)), 6) AS pmi
+        FROM pair_counts p
+        JOIN uni_a ua USING (a)
+        JOIN uni_b ub USING (b)
+        CROSS JOIN total t
+        WHERE p.n_ab >= {PMI_MIN_PAIR}
+    """,
+)
+def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram pointwise mutual information over the corpus — the
+    collocation statistic behind phrase detection (word2vec's phrase
+    pass) and embedding-pretraining co-occurrence inputs: PMI(a,b) =
+    ln(c_ab·N / (c_a·c_b)) over adjacent word pairs, min-count filtered.
+
+    Scale: bigram generation is a narrow array-zip explode; pair and
+    unigram counts are map-side combined; the unigram table (vocab-sized,
+    MBs after min-count) BROADCASTS into the pair scoring — the pair
+    table never shuffles on the skewed word key. The pair total is the
+    1-row scalar shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    bigrams = (
+        docs.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(w, 1, F.size(w) - 1).alias("a"),
+                    F.slice(w, 2, F.size(w) - 1).alias("b"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    pair_counts = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # directed-PMI marginals: P(a, ·) over first positions, P(·, b) over
+    # second positions — the textbook denominators for bigram PMI
+    ua = F.broadcast(bigrams.groupBy("a").agg(F.count(F.lit(1)).alias("n_a")))
+    ub = F.broadcast(bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("n_b")))
+    total = pair_counts.agg(F.sum("n_ab").cast("double").alias("n_pairs"))
+    return (
+        pair_counts.filter(F.col("n_ab") >= PMI_MIN_PAIR)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n_pairs") / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
