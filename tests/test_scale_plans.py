@@ -365,6 +365,7 @@ _BNLJ_ALLOWED = {
     "jn_cross_bounded",
     "llm_unigram_logprob",  # 1-row corpus token total
     "etl_skew_report",      # 1-row median-weight stats
+    "llm_bigram_pmi",       # 1-row pair total
 }
 
 
