@@ -156,6 +156,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_skew_report",
         "llm_vocab_induction",
         "llm_bigram_pmi",
+        "set_intersect_all",
+        "set_except_all",
     }
 )
 

@@ -142,3 +142,51 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return all_users.exceptAll(big_buyers)
+
+
+@query(
+    "set_intersect_all",
+    survey_id="SET-2",
+    oracle="""
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+        ) INTERSECT ALL
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a user appears min(#clicks,
+    #purchases) times, not once. The bag-vs-set distinction matters when
+    the multiplicity IS the signal (e.g. per-interaction sampling weight);
+    both engines implement it as a per-key min of the two counts, so the
+    shuffle still carries counts, never row duplicates."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersectAll(buyers)
+
+
+@query(
+    "set_except_all",
+    survey_id="SET-3",
+    oracle="""
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'view'
+        ) EXCEPT ALL
+        SELECT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        )
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each user keeps
+    max(0, #views − #purchases) occurrences (the 'unconverted view
+    events' bag). Same count-based execution as INTERSECT ALL — the
+    multiplicities are computed per key, never materialized as
+    duplicated rows mid-plan."""
+    events = load_table(spark, sf_dir, "events")
+    viewers = events.filter(F.col("event_type") == "view").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.exceptAll(buyers)
