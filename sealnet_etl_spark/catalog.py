@@ -158,6 +158,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_bigram_pmi",
         "set_intersect_all",
         "set_except_all",
+        "srt_nulls_ordering",
     }
 )
 

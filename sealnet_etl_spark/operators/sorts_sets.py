@@ -190,3 +190,34 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewers = events.filter(F.col("event_type") == "view").select("user_id")
     buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
     return viewers.exceptAll(buyers)
+
+
+@query(
+    "srt_nulls_ordering",
+    survey_id="SRT-1",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE ROUND(o_totalprice, 2) END AS price_or_null
+        FROM orders
+        ORDER BY price_or_null DESC NULLS LAST, o_orderkey
+        LIMIT 100
+    """,
+)
+def srt_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in sorts: nullable measure sorted DESC with
+    NULLS LAST (+ unique tiebreak) — engines DISAGREE by default on where
+    nulls sort (Spark: nulls first on asc; DuckDB: nulls last), so
+    portable pipelines must always state it. Plans as TakeOrderedAndProject
+    like any top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_or_null = F.when(
+        F.col("o_orderstatus") == "P", F.lit(None).cast("double")
+    ).otherwise(F.round("o_totalprice", 2))
+    return (
+        orders.select("o_orderkey", price_or_null.alias("price_or_null"))
+        .orderBy(
+            F.col("price_or_null").desc_nulls_last(), F.col("o_orderkey")
+        )
+        .limit(100)
+    )
