@@ -159,6 +159,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "set_intersect_all",
         "set_except_all",
         "srt_nulls_ordering",
+        "llm_embedding_qa",
+        "llm_dedup_degree_report",
     }
 )
 

@@ -900,3 +900,57 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_TAU)
         .select("doc_new", "doc_prior", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+@query(
+    "llm_dedup_degree_report",
+    survey_id="LLM-2/ETL-6",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                       AS jac
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= {JACCARD_TAU}
+        ), directed AS (
+            SELECT da AS doc_id, jac FROM pairs
+            UNION ALL
+            SELECT db AS doc_id, jac FROM pairs
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+               ROUND(MAX(jac), 6)       AS max_jaccard
+        FROM directed GROUP BY doc_id
+    """,
+)
+def llm_dedup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication report: per-document near-dup degree and closest
+    match similarity — the triage view ('which docs are heavily
+    duplicated, and how badly') an engineer reads before choosing a
+    dedup threshold. Derives from the CACHED verified MinHash pair list,
+    so it costs one tiny aggregate when run alongside the dedup itself.
+
+    Scale: the pair list is bounded by near-dup density (KBs of id pairs
+    at any corpus size); both the direction-union and the per-doc
+    aggregate run on it, never on documents."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    directed = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("jaccard").alias("jac")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("jaccard").alias("jac"))
+    )
+    return directed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.round(F.max("jac"), 6).alias("max_jaccard"),
+    )

@@ -923,3 +923,55 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_neg_batches,
         "src_id bigint, src_label bigint, nbr_id bigint, cos_sim double",
     )
+
+
+@query(
+    "llm_embedding_qa",
+    survey_id="LLM-4/ETL-6",
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, len(embedding) AS dim,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                x -> x * x))) AS l2
+            FROM embeddings
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)           AS n_vectors,
+               CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_distinct_dims,
+               MIN(dim)                            AS min_dim,
+               ROUND(MIN(l2), 6)                   AS min_norm,
+               ROUND(AVG(l2), 6)                   AS avg_norm,
+               ROUND(MAX(l2), 6)                   AS max_norm,
+               CAST(SUM(CASE WHEN l2 < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_vectors
+        FROM norms
+    """,
+)
+def llm_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA: the sanity report run BEFORE building any ANN
+    index — dimension consistency (a single ragged vector breaks every
+    BLAS path), L2-norm distribution (collapsed-norm vectors poison
+    cosine), and zero-vector count (unembeddable inputs that should have
+    been filtered).
+
+    Scale: one narrow pass (JVM array fold per row) into a global
+    aggregate — scan speed, no shuffle beyond the 1-row combine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = emb.select(F.size("embedding").alias("dim"), l2.alias("l2"))
+    return norms.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.count_distinct("dim").alias("n_distinct_dims"),
+        F.min("dim").alias("min_dim"),
+        F.round(F.min("l2"), 6).alias("min_norm"),
+        F.round(F.avg("l2"), 6).alias("avg_norm"),
+        F.round(F.max("l2"), 6).alias("max_norm"),
+        F.sum(F.when(F.col("l2") < 1e-12, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_vectors"),
+    )
