@@ -161,6 +161,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "srt_nulls_ordering",
         "llm_embedding_qa",
         "llm_dedup_degree_report",
+        "wn_ranking_semantics",
     }
 )
 

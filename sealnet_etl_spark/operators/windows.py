@@ -720,3 +720,41 @@ def wn_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted") / F.count(F.lit(1)).cast("double"), 6
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "wn_ranking_semantics",
+    survey_id="WN-2/WN-5",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               RANK()       OVER w AS qty_rank,
+               DENSE_RANK() OVER w AS qty_dense_rank,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_quantity DESC, l_linenumber
+               ) AS qty_row_number
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity DESC)
+    """,
+)
+def wn_ranking_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ranking functions side-by-side on a tie-prone measure:
+    rank() leaves gaps after ties, dense_rank() doesn't, row_number()
+    breaks ties (and therefore NEEDS the unique tiebreak column — the
+    other two are deterministic on ties by construction, which is why
+    only row_number's window carries l_linenumber). Choosing wrongly is
+    a classic silent-dedup/top-k bug; this query pins all three
+    semantics against the oracle at once."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    w_ties = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    w_total = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), F.col("l_linenumber")
+    )
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w_ties).alias("qty_rank"),
+        F.dense_rank().over(w_ties).alias("qty_dense_rank"),
+        F.row_number().over(w_total).alias("qty_row_number"),
+    )
