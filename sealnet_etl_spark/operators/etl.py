@@ -655,20 +655,24 @@ def etl_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
         "o_orderstatus",
     )
-    c = curr.alias("c")
-    p = prev.alias("p")
+    # presence is detected by EXPLICIT flags, never by nullability of a
+    # compared column — a legitimately-NULL value in either snapshot would
+    # otherwise be misclassified as an insert/delete (review finding; the
+    # oracle keys on join-key presence for the same reason)
+    c = curr.withColumn("__c", F.lit(1)).alias("c")
+    p = prev.withColumn("__p", F.lit(1)).alias("p")
     joined = c.join(p, on="o_orderkey", how="full")
     return (
         joined.filter(
-            F.col("p.o_totalprice").isNull()
-            | F.col("c.o_totalprice").isNull()
-            | (F.col("c.o_totalprice") != F.col("p.o_totalprice"))
-            | (F.col("c.o_orderstatus") != F.col("p.o_orderstatus"))
+            F.col("p.__p").isNull()
+            | F.col("c.__c").isNull()
+            | ~F.col("c.o_totalprice").eqNullSafe(F.col("p.o_totalprice"))
+            | ~F.col("c.o_orderstatus").eqNullSafe(F.col("p.o_orderstatus"))
         )
         .select(
             "o_orderkey",
-            F.when(F.col("p.o_totalprice").isNull(), "insert")
-            .when(F.col("c.o_totalprice").isNull(), "delete")
+            F.when(F.col("p.__p").isNull(), "insert")
+            .when(F.col("c.__c").isNull(), "delete")
             .otherwise("update")
             .alias("change_type"),
             F.col("c.o_totalprice").alias("new_price"),

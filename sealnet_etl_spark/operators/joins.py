@@ -567,7 +567,12 @@ def jn_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     orders_t, lineitem_t = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
-    if not spark.catalog.tableExists(orders_t):
+    # BOTH tables must exist — guarding on one alone wedges the query
+    # forever if a prior run died between the two writes (review finding)
+    if not (
+        spark.catalog.tableExists(orders_t)
+        and spark.catalog.tableExists(lineitem_t)
+    ):
         # a prior session's managed-table files may survive while the
         # in-memory catalog is fresh — clear the stale locations first
         warehouse = re.sub(

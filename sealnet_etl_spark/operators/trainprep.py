@@ -126,6 +126,25 @@ MIX_RATES = {"en": 5_500, "de": 9_000, "fr": 9_000}
 MIX_DEFAULT = 8_000
 
 
+def mixture_keep_rate() -> Column:
+    """The configured per-language keep-rate (×1/MIX_DENOM) as a column —
+    THE single mixture definition, shared by llm_mixture_sample and the
+    llm_pipeline_e2e capstone so the two can't desynchronize."""
+    rate = F.lit(MIX_DEFAULT)
+    for lang, r in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return rate
+
+
+def keep_best_window() -> Window:
+    """Keep-best-duplicate ranking window (quality key: n_chars desc,
+    doc_id tiebreak) over the content hash — shared by
+    llm_keep_best_duplicate and the capstone."""
+    return Window.partitionBy("content_hash").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+
+
 @query(
     "llm_mixture_sample",
     survey_id="LLM-9/LLM-11",
@@ -150,10 +169,10 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: shuffle-free — a narrow filter the parquet scan evaluates
     per-row; no sort, no sampling pass, no driver state."""
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.lit(MIX_DEFAULT)
-    for lang, r in MIX_RATES.items():
-        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
-    keep = md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM) < rate
+    keep = (
+        md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM)
+        < mixture_keep_rate()
+    )
     return docs.filter(keep).select("doc_id", "lang", "source")
 
 
@@ -197,10 +216,9 @@ def llm_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
     )
     wg = Window.partitionBy("content_hash")
-    wr = wg.orderBy(F.col("n_chars").desc(), "doc_id")
     return (
         hashed.withColumn("group_size", F.count(F.lit(1)).over(wg))
-        .withColumn("rn", F.row_number().over(wr))
+        .withColumn("rn", F.row_number().over(keep_best_window()))
         .filter(F.col("rn") == 1)
         .select("content_hash", "doc_id", "source", "n_chars", "group_size")
     )
@@ -533,19 +551,14 @@ def llm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.filter(F.col("n_chars") >= PIPE_MIN_CHARS).select(
         "doc_id", "lang", "n_chars", F.md5(F.lower("text")).alias("content_hash")
     )
-    w = Window.partitionBy("content_hash").orderBy(
-        F.col("n_chars").desc(), "doc_id"
-    )
     canonical = (
-        gated.withColumn("rn", F.row_number().over(w))
+        gated.withColumn("rn", F.row_number().over(keep_best_window()))
         .filter(F.col("rn") == 1)
         .drop("rn", "content_hash")
     )
-    rate = F.lit(MIX_DEFAULT)
-    for lang, r in MIX_RATES.items():
-        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
     sampled = canonical.filter(
-        md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM) < rate
+        md5_bucket(F.col("doc_id").cast("string"), "mix:", MIX_DENOM)
+        < mixture_keep_rate()
     )
     shard = md5_bucket(F.col("doc_id").cast("string"), "", _N_SHARDS)
     return sampled.groupBy(shard.alias("shard")).agg(

@@ -184,10 +184,19 @@ def wn_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile = F.when(
         F.col("rank") <= cutoff, (F.col("rank") - 1) / (base + 1)
     ).otherwise(rem + (F.col("rank") - cutoff - 1) / base)
+    # PERCENT_RANK of a single row is 0 by definition — (rank-1)/(total-1)
+    # would be 0/0 → NULL (review finding); the decile arithmetic is safe
+    # for total < k because cutoff == total there (no row reaches the
+    # base-divisor branch)
+    pct = (
+        F.lit(0.0)
+        if total <= 1
+        else F.round((F.col("rank") - 1) / (total - 1), 6)
+    )
     return ranked.select(
         "c_custkey",
         (F.floor(decile) + 1).cast("int").alias("decile"),
-        F.round((F.col("rank") - 1) / (total - 1), 6).alias("pct_rank"),
+        pct.alias("pct_rank"),
     )
 
 
@@ -203,10 +212,21 @@ def two_phase_global_rank(
     At 100 TB no task sees more than ~N/num_partitions rows; the only
     full-data movements are the range exchange and the per-partition
     window sort. The rank values depend only on the total order — the
-    sampled range bounds shift run-to-run, the ranks never do."""
-    ranged = df.repartitionByRange(
-        num_partitions, *[F.col(c) for c in order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
+    sampled range bounds shift run-to-run, the ranks never do.
+
+    CORRECTNESS REQUIREMENT (review finding): ``ranged`` MUST be
+    persisted before the counts collect. The offsets are keyed by
+    physical partition id, and repartitionByRange samples its bounds
+    per execution — without the persist, the counts job and the later
+    rank job could draw DIFFERENT bounds once partitions exceed the
+    range-sampler's per-partition sample size, silently misaligning
+    offsets with partitions (duplicated/gapped "exact" ranks). The
+    persist pins one physical partitioning that both jobs reuse."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
     counts = {
         r["__pid"]: r["n"]
         for r in ranged.groupBy("__pid")

@@ -651,7 +651,15 @@ def make_versioned_upsert(base: str):
     re-merge on top of v{k} (double count) or, after a restart, start
     from scratch. Replay idempotence is pinned by
     tests/test_streaming_restart.py."""
-    import os
+
+    def _fs_exists(sess: SparkSession, path: str) -> bool:
+        """Hadoop-FS existence check — works on HDFS/S3/object storage,
+        where an os.path check on the driver is silently False and every
+        batch would discard accumulated state (review finding)."""
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -660,7 +668,7 @@ def make_versioned_upsert(base: str):
             F.sum("value").alias("total_value"),
         )
         prev_path = f"{base}/v{batch_id - 1}"
-        if batch_id > 0 and os.path.isdir(prev_path):
+        if batch_id > 0 and _fs_exists(sess, prev_path):
             state = sess.read.parquet(prev_path)
             agg = (
                 state.withColumnRenamed("n_events", "p_n")
