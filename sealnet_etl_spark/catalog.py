@@ -162,6 +162,13 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_embedding_qa",
         "llm_dedup_degree_report",
         "wn_ranking_semantics",
+        "wn_transition_matrix",
+        "wn_attribution_last_touch",
+        "wn_gap_fill_locf",
+        "jn_null_safe",
+        "llm_quality_percentile_filter",
+        "llm_compression_ratio",
+        "llm_triangle_count",
     }
 )
 

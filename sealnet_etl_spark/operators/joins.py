@@ -704,3 +704,50 @@ def jn_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_state"),
         F.unix_micros("asof_valid_from").alias("state_since_us"),
     )
+
+
+@query(
+    "jn_null_safe",
+    survey_id="JN-1",
+    oracle="""
+        WITH c AS (
+            SELECT c_custkey,
+                   NULLIF(c_mktsegment, 'HOUSEHOLD') AS seg,
+                   c_acctbal
+            FROM customer
+        ), stats AS (
+            SELECT seg, COUNT(*) AS seg_count,
+                   ROUND(AVG(c_acctbal), 2) AS seg_avg_bal
+            FROM c GROUP BY seg
+        )
+        SELECT c.c_custkey, c.seg, s.seg_count, s.seg_avg_bal
+        FROM c JOIN stats s ON c.seg IS NOT DISTINCT FROM s.seg
+    """,
+)
+def jn_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): rows whose join
+    key is NULL match the NULL group instead of silently dropping — the
+    semantics dimension-enrichment needs when the key is legitimately
+    absent (here: a sentinel segment nulled out via NULLIF, re-joined to
+    its own per-key stats so every customer keeps a row).
+
+    A plain equi-join would lose every NULL-key row (NULL = NULL is
+    unknown); eqNullSafe keeps them AND stays a hash join — Spark hashes
+    the null bucket like any other key, so the broadcast build side and
+    single-pass probe are unchanged. Scale: stats side is |keys| rows →
+    pinned broadcast; the fact side never shuffles."""
+    customer = load_table(spark, sf_dir, "customer")
+    c = customer.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("HOUSEHOLD")).alias("seg"),
+        "c_acctbal",
+    )
+    stats = c.groupBy(F.col("seg").alias("s_seg")).agg(
+        F.count(F.lit(1)).alias("seg_count"),
+        F.round(F.avg("c_acctbal"), 2).alias("seg_avg_bal"),
+    )
+    return (
+        c.join(
+            F.broadcast(stats), F.col("seg").eqNullSafe(F.col("s_seg"))
+        ).select("c_custkey", "seg", "seg_count", "seg_avg_bal")
+    )

@@ -631,3 +631,94 @@ def llm_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label"),
         )
     )
+
+
+@query(
+    "llm_quality_percentile_filter",
+    survey_id="LLM-9",
+    oracle=r"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   ROUND(len(list_distinct(w)) / len(w)::DOUBLE, 6) AS ttr
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 1
+        ), thresholds AS (
+            SELECT lang, ROUND(quantile_cont(ttr, 0.75), 6) AS ttr_p75
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.ttr, t.ttr_p75
+        FROM scored s JOIN thresholds t USING (lang)
+        WHERE s.ttr >= t.ttr_p75
+    """,
+)
+def llm_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language DYNAMIC quality gate: keep each language's top quartile
+    by type-token ratio — thresholds adapt to the corpus instead of the
+    hand-tuned constants of llm_quality_filter, the usual second-pass
+    refinement in production quality pipelines.
+
+    Scale shape deliberately avoids the per-lang percent_rank window
+    (|langs| is tiny, so a lang-partitioned window is the max-skew shape):
+    per-lang exact interpolated percentiles reduce via ONE partial-agg
+    shuffle to |langs| rows, which broadcast-join back onto the scored
+    stream — the heavy side never reorders. At 100 TB swap F.percentile
+    for approx_percentile(score, 0.75, eps) with identical plumbing;
+    scores are pre-rounded to 6 dp so both engines interpolate from
+    identical inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = normalized_words(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.size(F.array_distinct(w)) / F.size(w).cast("double"), 6
+        ).alias("ttr"),
+    ).filter(F.size(w) >= 1)
+    thresholds = scored.groupBy("lang").agg(
+        F.round(F.percentile("ttr", F.lit(0.75)), 6).alias("ttr_p75")
+    )
+    return scored.join(F.broadcast(thresholds), "lang").filter(
+        F.col("ttr") >= F.col("ttr_p75")
+    ).select("doc_id", "lang", "ttr", "ttr_p75")
+
+
+@query("llm_compression_ratio", survey_id="LLM-9", oracle=None)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal: highly repetitive/boilerplate
+    text compresses far below normal prose, so ratio thresholds are a
+    standard cheap filter in web-corpus pipelines (complementing the
+    explicit repeated-n-gram gates of llm_quality_filter with a
+    model-free redundancy measure).
+
+    No SQL twin exists for zlib, so this is rows-only by design; the
+    deterministic byte-level semantics are pinned by a planted-fixture
+    test instead (tests/test_llm_semantics.py). Scale shape: mapInPandas
+    over Arrow batches — compression runs in C per batch with zero
+    shuffle; output carries only ids + scalars, never the text."""
+    import pandas as pd  # noqa: F401  (Arrow batch interface)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _compress_batches(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            raw_len = raw.map(len)
+            out = pdf[["doc_id"]].copy()
+            out["raw_bytes"] = raw_len
+            out["compressed_bytes"] = comp_len
+            out["compression_ratio"] = (comp_len / raw_len).round(6)
+            yield out
+
+    schema = (
+        "doc_id bigint, raw_bytes bigint, compressed_bytes bigint, "
+        "compression_ratio double"
+    )
+    scored = docs.mapInPandas(_compress_batches, schema=schema)
+    return scored.withColumn(
+        "is_low_entropy", F.col("compression_ratio") < 0.35
+    )

@@ -778,3 +778,183 @@ def wn_ranking_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_ties).alias("qty_dense_rank"),
         F.row_number().over(w_total).alias("qty_row_number"),
     )
+
+
+@query(
+    "wn_transition_matrix",
+    survey_id="WN-3",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type,
+               COUNT(*) AS n_transitions,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY event_type),
+                     6) AS p_transition
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+)
+def wn_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next_type | event_type), the standard behavioural-model / anomaly
+    baseline over clickstreams.
+
+    Scale shape: ONE shuffle for the per-user lead() window (key-partitioned,
+    linear per group), then the pair counts collapse to |event_type|² rows —
+    at most a few hundred — so the row-normalising window over `event_type`
+    runs on a trivially small aggregate, not on events. At 100 TB nothing
+    after the first window touches more than the matrix itself."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counts = (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(row_total), 6
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "wn_attribution_last_touch",
+    survey_id="WN-3/JN-8",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(event_id) AS click_id
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ), purchases AS (
+            SELECT event_id, user_id, ts, ROUND(value, 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id AS purchase_id,
+               p.user_id  AS user_id,
+               p.purchase_value,
+               c.click_id AS attributed_click_id,
+               epoch_us(p.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP)
+                   AS click_to_purchase_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def wn_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the same
+    user's most recent click at-or-before it (purchases with no prior
+    click kept, unattributed) — the canonical marketing-attribution shape,
+    and a second consumer of the generic as-of join.
+
+    Scale shape: identical to jn_asof_event_order — clicks are pre-deduped
+    to one row per (user, ts) (max event_id wins ties, mirroring the
+    oracle), then the union-window composition does ONE shuffle on
+    user_id and a single ordered pass; no range-candidate explosion at any
+    scale. The oracle cross-checks against DuckDB's native ASOF LEFT JOIN."""
+    from .joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))  # carried through the as-of
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id", "click_ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "purchase_value",
+        F.col("asof_click_id").alias("attributed_click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_click_ts")).alias(
+            "click_to_purchase_us"
+        ),
+    )
+
+
+@query(
+    "wn_gap_fill_locf",
+    survey_id="WN-4/ETL-6",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day,
+                   ROUND(SUM(value), 2) AS day_value
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM span
+        )
+        SELECT s.user_id, s.day, d.day_value,
+               LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value,
+               d.day_value IS NULL AS is_gap
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def wn_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's daily value series over
+    their own [first_day, last_day] span and forward-fill missing days
+    with the last observation carried forward (LOCF) — the standard
+    regularisation step before feature windows or resampling.
+
+    Scale shape: the daily pre-aggregate collapses events to ≤ users×days
+    rows BEFORE any spine work, the per-user span is a cheap second agg of
+    that, and sequence()+explode densifies without a driver loop. Fill is
+    last(ignorenulls) over a user-partitioned window — ONE shuffle on
+    user_id shared by join and window. Spine size is bounded by span×users,
+    not by raw event count, so at 100 TB the heavy table is touched once."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "day_value",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+            F.col("day_value").isNull().alias("is_gap"),
+        )
+    )

@@ -299,3 +299,29 @@ def test_ivfpq_ann_recall(spark, queries, exact_topk):
     }
     recall = len(exact_topk & ann) / len(exact_topk)
     assert 0.35 <= recall <= 0.60, f"IVF-PQ recall left its band: {recall:.3f}"
+
+
+def test_compression_ratio_semantics(spark, queries):
+    """The zlib ratio has no SQL twin; pin its byte-level contract
+    directly: ratios reproduce zlib.compress(level=6) on the raw utf-8
+    bytes, every doc appears exactly once, and repetitive text scores
+    strictly below diverse text (the signal the filter exists for)."""
+    import zlib
+
+    rows = {r.doc_id: r for r in queries["llm_compression_ratio"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    sample = docs.orderBy("doc_id").limit(20).collect()
+    assert len(rows) == docs.count()
+    for d in sample:
+        raw = d.text.encode("utf-8")
+        expect = len(zlib.compress(raw, 6))
+        got = rows[d.doc_id]
+        assert got.raw_bytes == len(raw)
+        assert got.compressed_bytes == expect, d.doc_id
+        assert got.compression_ratio == pytest.approx(expect / len(raw), abs=1e-6)
+    # ordering signal: pure repetition compresses far below varied prose
+    rep = ("spam " * 200).strip()
+    varied = " ".join(f"w{i}x{i * 7 % 101}" for i in range(200))
+    rep_r = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    var_r = len(zlib.compress(varied.encode(), 6)) / len(varied.encode())
+    assert rep_r < 0.1 < var_r

@@ -366,6 +366,7 @@ _BNLJ_ALLOWED = {
     "llm_unigram_logprob",  # 1-row corpus token total
     "etl_skew_report",      # 1-row median-weight stats
     "llm_bigram_pmi",       # 1-row pair total
+    "llm_triangle_count",   # two 1-row scalar sides (edge + triangle counts)
 }
 
 
