@@ -169,6 +169,10 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_quality_percentile_filter",
         "llm_compression_ratio",
         "llm_triangle_count",
+        "ag_rolling_active_users",
+        "ag_chi_square_contingency",
+        "llm_weighted_sample",
+        "jn_interval_overlap",
     }
 )
 

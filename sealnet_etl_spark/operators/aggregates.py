@@ -758,3 +758,108 @@ def ag_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "ag_rolling_active_users",
+    survey_id="AG-2/WN-4",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day
+            FROM events
+        ), days AS (SELECT DISTINCT day FROM active)
+        SELECT d.day, COUNT(DISTINCT a.user_id) AS wau_7d
+        FROM days d
+        JOIN active a ON a.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    """,
+)
+def ag_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve): for every day
+    with activity, the exact count of distinct users seen in [day-6, day].
+
+    Rolling DISTINCT can't ride an ordinary window frame (distinct doesn't
+    decompose over sliding sums), and the oracle's range self-join is
+    quadratic in days×activity. The scale shape instead EXPLODES each
+    (user, day) activity fact into the ≤7 window-end days it can serve,
+    then runs one exact distinct agg per window day — cost is 7× the
+    deduped activity table (users×days, already tiny next to raw events),
+    one shuffle, no range join anywhere. Window ends beyond the observed
+    day set are trimmed with a broadcast semi-join on the distinct-days
+    list. At 100 TB swap countDistinct for approx_count_distinct at
+    identical plumbing when ±2% is acceptable."""
+    events = load_table(spark, sf_dir, "events")
+    active = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    days = active.select("day").distinct()
+    exploded = active.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+        ).alias("day"),
+    )
+    return (
+        exploded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+
+
+@query(
+    "ag_chi_square_contingency",
+    survey_id="AG-7/ETL-6",
+    oracle="""
+        WITH obs AS (
+            SELECT lang, source, COUNT(*) AS n
+            FROM documents GROUP BY lang, source
+        ), lt AS (SELECT lang, SUM(n) AS nl FROM obs GROUP BY lang),
+        st AS (SELECT source, SUM(n) AS ns FROM obs GROUP BY source),
+        g AS (SELECT SUM(n) AS total FROM obs),
+        grid AS (
+            SELECT lt.lang, st.source, lt.nl, st.ns, g.total,
+                   COALESCE(obs.n, 0) AS n
+            FROM lt CROSS JOIN st CROSS JOIN g
+            LEFT JOIN obs USING (lang, source)
+        )
+        SELECT ROUND(SUM(POW(n - nl * ns / total::DOUBLE, 2)
+                         / (nl * ns / total::DOUBLE)), 6) AS chi_square,
+               (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                   AS dof,
+               MAX(total)::BIGINT AS n_docs
+        FROM grid
+    """,
+)
+def ag_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the lang × source contingency
+    table — the corpus-QA check for 'is language mix independent of
+    ingestion source, or is one source skewing a language?'.
+
+    The only pass over documents is the ONE partial-agg shuffle building
+    observed cell counts; margins, the full expected grid (including
+    empty cells — omitting them understates chi², the classic SQL bug
+    the dense grid here avoids), and the statistic all derive from that
+    |langs|×|sources| table. The tiny cross joins are bounded by label
+    cardinalities, never data volume, and are allowlisted scalar shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    lt = obs.groupBy("lang").agg(F.sum("n").alias("nl"))
+    st = obs.groupBy("source").agg(F.sum("n").alias("ns"))
+    g = obs.agg(F.sum("n").alias("total"))
+    grid = (
+        lt.crossJoin(st)
+        .crossJoin(g)
+        .join(obs, ["lang", "source"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    expected = F.col("nl") * F.col("ns") / F.col("total").cast("double")
+    return grid.agg(
+        F.round(F.sum(F.pow(F.col("n") - expected, 2) / expected), 6).alias(
+            "chi_square"
+        ),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.max("total").alias("n_docs"),
+    )

@@ -751,3 +751,67 @@ def jn_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(stats), F.col("seg").eqNullSafe(F.col("s_seg"))
         ).select("c_custkey", "seg", "seg_count", "seg_avg_bal")
     )
+
+
+@query(
+    "jn_interval_overlap",
+    survey_id="JN-7",
+    oracle="""
+        WITH win AS (
+            SELECT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day,
+                   MIN(ts::TIMESTAMP) AS w_start,
+                   MAX(ts::TIMESTAMP) AS w_end
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, day
+        )
+        SELECT a.day, a.user_id AS user_a, b.user_id AS user_b,
+               epoch_us(LEAST(a.w_end, b.w_end))
+                 - epoch_us(GREATEST(a.w_start, b.w_start)) AS overlap_us
+        FROM win a JOIN win b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+    """,
+)
+def jn_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of users whose same-day ERROR
+    activity windows [first_error, last_error] overlap, with the overlap
+    duration — the correlated-failure / co-activity detection shape
+    (which incidents hit the same users at the same time?).
+
+    Spark has no native interval join either; the scale path here is the
+    jn_range_binned doctrine applied to interval×interval: intervals are
+    pre-aggregated per (user, day) — collapsing raw events BEFORE any
+    pairing — then candidates block on the equi-key `day` and the exact
+    overlap predicate prunes within a block. Pair cost is quadratic only
+    within a day-block of interval OWNERS (users), never of events; for
+    denser co-activity the block key refines to (day, hour) exactly as
+    jn_range_binned's bin width note prescribes, and AQE splits hot days.
+    a.user < b.user orients each unordered pair once."""
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    a, b = win.alias("a"), win.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.w_start") <= F.col("b.w_end"))
+            & (F.col("b.w_start") <= F.col("a.w_end")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            (
+                F.unix_micros(F.least("a.w_end", "b.w_end"))
+                - F.unix_micros(F.greatest("a.w_start", "b.w_start"))
+            ).alias("overlap_us"),
+        )
+    )

@@ -685,3 +685,52 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_WSAMP_DENOM = 1_000_000_000
+_WSAMP_K = 100
+
+
+@query(
+    "llm_weighted_sample",
+    survey_id="LLM-9/ETL-3",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ROUND(ln(({_md5_bucket_sql('doc_id', 'wsamp:', _WSAMP_DENOM)}
+                             + 0.5) / {_WSAMP_DENOM}.0)
+                         / n_chars, 12) AS priority
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars, priority
+        FROM keyed
+        ORDER BY priority DESC, doc_id
+        LIMIT {_WSAMP_K}
+    """,
+)
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each doc draws a reproducible uniform
+    u ∈ (0,1) from its salted md5 bucket and gets priority ln(u)/weight
+    (monotone with u^(1/w)); the global top-k by priority IS a weighted
+    sample without replacement — here weight = n_chars, the 'prefer
+    longer documents' mixing heuristic.
+
+    Unlike df.sample or rand(), membership is a pure function of doc_id,
+    so re-runs, audits, and incremental extensions reproduce the exact
+    sample (same property llm_mixture_sample relies on, same salted-hash
+    helper, property-tested for uniformity). Scale: priorities are a
+    narrow per-row projection; top-k plans as TakeOrderedAndProject —
+    per-partition k-heaps, no global sort, no shuffle of non-winners."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        md5_bucket(F.col("doc_id").cast("string"), "wsamp:", _WSAMP_DENOM)
+        + F.lit(0.5)
+    ) / F.lit(float(_WSAMP_DENOM))
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 12).alias("priority"),
+    )
+    return keyed.orderBy(F.desc("priority"), "doc_id").limit(_WSAMP_K)

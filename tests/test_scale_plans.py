@@ -367,6 +367,8 @@ _BNLJ_ALLOWED = {
     "etl_skew_report",      # 1-row median-weight stats
     "llm_bigram_pmi",       # 1-row pair total
     "llm_triangle_count",   # two 1-row scalar sides (edge + triangle counts)
+    "ag_chi_square_contingency",  # |langs|x|sources| grid build (bounded by
+                                  # label cardinalities, not data volume)
 }
 
 
