@@ -173,6 +173,9 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_chi_square_contingency",
         "llm_weighted_sample",
         "jn_interval_overlap",
+        "etl_anomaly_zscore",
+        "ag_entropy",
+        "src_jsonl_roundtrip",
     }
 )
 

@@ -863,3 +863,43 @@ def ag_chi_square_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dof"),
         F.max("total").alias("n_docs"),
     )
+
+
+@query(
+    "ag_entropy",
+    survey_id="AG-7/ETL-6",
+    oracle="""
+        WITH obs AS (
+            SELECT source, lang, COUNT(*) AS n
+            FROM documents GROUP BY source, lang
+        ), tot AS (SELECT source, SUM(n) AS t FROM obs GROUP BY source)
+        SELECT o.source,
+               CAST(MAX(t.t) AS BIGINT) AS n_docs,
+               ROUND(-SUM((o.n::DOUBLE / t.t) * log2(o.n::DOUBLE / t.t)), 6)
+                   AS lang_entropy_bits
+        FROM obs o JOIN tot t USING (source)
+        GROUP BY o.source
+    """,
+)
+def ag_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language distribution — the
+    corpus-balance QA number ('is src3 English-only while src0 is evenly
+    mixed?') that mixture planning reads before setting per-source rates;
+    0 bits = monolingual source, log2(|langs|) = perfectly mixed.
+
+    Scale: one partial-agg shuffle builds (source, lang) cell counts;
+    totals and the entropy sum both run on that label-cardinality-bounded
+    table with a broadcast join — the documents table is scanned once,
+    projecting two columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.groupBy("source").agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    return (
+        obs.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").alias("n_docs"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy_bits"),
+        )
+    )

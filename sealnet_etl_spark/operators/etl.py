@@ -987,3 +987,61 @@ def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("key"))
         .limit(SKEW_TOP_N)
     )
+
+
+@query(
+    "etl_anomaly_zscore",
+    survey_id="ETL-6/AG-7",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med_value
+            FROM events GROUP BY event_type
+        ), disp AS (
+            SELECT e.event_type, m.med_value,
+                   quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med_value
+        )
+        SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+               ROUND(0.6745 * (e.value - d.med_value) / d.mad_value, 6)
+                   AS robust_z
+        FROM events e JOIN disp d USING (event_type)
+        WHERE abs(0.6745 * (e.value - d.med_value) / d.mad_value) > 3.5
+    """,
+)
+def etl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: flag events whose modified z-score
+    (0.6745·(x − median)/MAD, the Iglewicz–Hoaglin statistic) exceeds
+    |3.5| within their event type — the data-QA anomaly gate that, unlike
+    mean/stddev z-scores, is not dragged by the very outliers it hunts
+    (the consumer view of ag_mad_robust_stats' dispersion numbers).
+
+    Scale: two grouped exact-percentile passes (median, then MAD of
+    deviations) reduce to a groups-sized table that BROADCASTS back onto
+    the stream, so flagging is a narrow filter on the final pass; at
+    100 TB swap F.percentile for approx_percentile — thresholds move by
+    the sketch error, plumbing is identical."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med_value")
+    )
+    disp = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_value")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med_value")), 0.5).alias(
+                "mad_value"
+            )
+        )
+    )
+    z = 0.6745 * (F.col("value") - F.col("med_value")) / F.col("mad_value")
+    return (
+        events.join(F.broadcast(disp), "event_type")
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -464,3 +464,52 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "src_jsonl_roundtrip",
+    survey_id="SRC-1/SRC-3/SRC-5",
+    oracle="""
+        SELECT event_type,
+               COUNT(*)                      AS n_events,
+               ROUND(SUM(value), 2)          AS total_value,
+               MIN(epoch_us(ts::TIMESTAMP))  AS first_ts_us,
+               MAX(epoch_us(ts::TIMESTAMP))  AS last_ts_us
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON as a real file format: events round-trip
+    through gzipped JSONL and re-aggregate off the JSONL copy — the
+    interchange format most ingestion partners actually deliver. The
+    aggregate matching the parquet-derived oracle proves the trip is
+    lossless.
+
+    Two deliberate choices carry the 100 TB lesson: timestamps travel as
+    integer microseconds (ts_us) because bare JSON has no timestamp type
+    and string round-trips invite timezone drift; and the read-back pins
+    an EXPLICIT schema — schema inference on JSON is a full extra pass
+    over the data before the real one, the classic doubled-scan mistake
+    at scale. gzip keeps the text format splittable-per-file; production
+    layouts size files so per-file parallelism suffices."""
+    path = _scratch(sf_dir, "events_jsonl")
+    events = load_table(spark, sf_dir, "events")
+    events.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema(
+        "event_id bigint, ts_us bigint, user_id bigint, "
+        "event_type string, value double, props string"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+    )
