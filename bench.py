@@ -58,6 +58,13 @@ def headline_queries() -> list[str]:
         "jn_point_in_time",
         # the four-stage training-data pipeline composition (capstone)
         "llm_pipeline_e2e",
+        # round-3 continuation: the second analytics batch's heavier
+        # shapes (rolling-distinct explode, day-blocked interval pairing,
+        # asof attribution) — tracked so a regression to a range self-join
+        # or a global window shows up as a number
+        "ag_rolling_active_users",
+        "jn_interval_overlap",
+        "wn_attribution_last_touch",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -176,6 +176,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_anomaly_zscore",
         "ag_entropy",
         "src_jsonl_roundtrip",
+        "ag_heavy_hitters",
+        "wn_pareto_share",
     }
 )
 

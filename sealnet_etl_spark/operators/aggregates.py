@@ -903,3 +903,77 @@ def ag_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 6).alias("lang_entropy_bits"),
         )
     )
+
+
+_HH_K = 200          # report words with frequency > n_total / _HH_K
+_HH_COUNTERS = 256   # Misra-Gries counters per Arrow batch (>= _HH_K)
+
+
+@query(
+    "ag_heavy_hitters",
+    survey_id="AG-3/LLM-7",
+    oracle=rf"""
+        WITH w AS (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents
+        ), tot AS (SELECT COUNT(*) AS n FROM w)
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM w, tot
+        GROUP BY word, tot.n
+        HAVING COUNT(*) > tot.n / {_HH_K}.0
+    """,
+)
+def ag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item (heavy-hitter) mining over corpus words: exactly the
+    words occurring more than n/200 times, found WITHOUT shuffling the
+    full term distribution. A Misra-Gries summary runs per Arrow batch
+    (256 counters, plain Python dict over the batch — the sanctioned
+    custom-sketch shape); the union of batch survivors is a GUARANTEED
+    superset of every true heavy hitter (an item dropped by every batch
+    summary has total count ≤ Σ n_batch/(k+1) < n/200), so one exact
+    recount restricted to the broadcast candidate set yields the precise
+    answer — candidate pruning makes the result EXACT and oracle-checkable,
+    unlike a bare sketch.
+
+    Scale: the full term stream never shuffles — batches reduce locally to
+    ≤256 survivors each; the recount's semi-join probe is a broadcast of
+    the (bounded) candidate vocabulary, and only candidate occurrences
+    enter the final partial-agg shuffle. The 1-row corpus total is the
+    allowlisted scalar join."""
+    from .dedup import normalized_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(normalized_words(F.col("text"))).alias("word"))
+
+    def _mg_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            counters: dict = {}
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < _HH_COUNTERS:
+                    counters[w] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = words.mapInPandas(_mg_batches, "word string").distinct()
+    recount = (
+        words.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        recount.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("n_total") / F.lit(float(_HH_K)))
+        .select("word", "n_occurrences")
+    )

@@ -958,3 +958,110 @@ def wn_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("is_gap"),
         )
     )
+
+
+def two_phase_global_cumsum(
+    df: DataFrame, order_exprs: list, value_col: str, num_partitions: int = 32
+):
+    """two_phase_global_rank's pattern extended to running SUMS: range-
+    repartition on the total order, reduce each partition to (row count,
+    value sum) — ≤ num_partitions rows collected — prefix-sum BOTH into
+    per-partition offsets, then global rank = offset + row_number and
+    global cumulative sum = sum offset + within-partition running sum.
+    Returns (df + rank/cum columns, total_rows, total_sum).
+
+    Same persist-before-collect requirement as two_phase_global_rank
+    (range bounds are sampled per execution; the persist pins one physical
+    partitioning for both the offsets job and the window job). No task
+    ever holds more than ~N/num_partitions rows."""
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    parts = {
+        r["__pid"]: (r["n"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    total_n = sum(n for n, _ in parts.values())
+    total_s = sum(s for _, s in parts.values())
+    n_off, s_off, acc_n, acc_s = {}, {}, 0, 0.0
+    for pid in sorted(parts):
+        n_off[pid], s_off[pid] = acc_n, acc_s
+        acc_n += parts[pid][0]
+        acc_s += parts[pid][1]
+    n_map = F.create_map(*[F.lit(v) for kv in n_off.items() for v in kv])
+    s_map = F.create_map(*[F.lit(v) for kv in s_off.items() for v in kv])
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranged.withColumn(
+            "rank", F.row_number().over(w) + n_map[F.col("__pid")]
+        )
+        .withColumn(
+            "cum_sum", F.sum(value_col).over(w_cum) + s_map[F.col("__pid")]
+        )
+        .drop("__pid")
+    )
+    return out, total_n, total_s
+
+
+@query(
+    "wn_pareto_share",
+    survey_id="WN-5/AG-1",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+        ), r AS (
+            SELECT o_custkey, revenue,
+                   ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey)
+                       AS rev_rank,
+                   SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                      ROWS UNBOUNDED PRECEDING) AS cum_rev,
+                   SUM(revenue) OVER () AS tot
+            FROM rev
+        )
+        SELECT o_custkey, revenue, rev_rank,
+               ROUND(cum_rev / tot, 6) AS cum_share,
+               ROUND((cum_rev - revenue) / tot, 6) < 0.8 AS is_pareto_head
+        FROM r
+    """,
+)
+def wn_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / Lorenz concentration analysis: customers ranked by total
+    revenue with their CUMULATIVE revenue share, flagging the minimal
+    head set covering 80% of revenue — the 'which 20% of customers pay
+    for everything' report, and the revenue twin of data-skew triage
+    (etl_skew_report asks the same question of join keys).
+
+    The global running sum CANNOT use a single-partition window at scale;
+    this is the two-phase pattern extended from ranks to sums
+    (two_phase_global_cumsum): per-customer revenues reduce first, range-
+    repartition on (revenue DESC, custkey), per-partition (count, sum)
+    offsets collect (≤32 rows), and rank + cumulative sum are offset +
+    within-partition window — no task holds more than ~1/32 of customers.
+    Revenues are pre-rounded so both engines accumulate identical values;
+    the head flag uses the PRE-row share (a customer is head if the total
+    BEFORE them is still under 80%), rounded before comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    ranked, _, total_rev = two_phase_global_cumsum(
+        rev, [F.col("revenue").desc(), F.col("o_custkey")], "revenue"
+    )
+    return ranked.select(
+        "o_custkey",
+        "revenue",
+        F.col("rank").alias("rev_rank"),
+        F.round(F.col("cum_sum") / F.lit(total_rev), 6).alias("cum_share"),
+        (
+            F.round(
+                (F.col("cum_sum") - F.col("revenue")) / F.lit(total_rev), 6
+            )
+            < 0.8
+        ).alias("is_pareto_head"),
+    )

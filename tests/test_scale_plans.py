@@ -160,6 +160,11 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         "wn_sessionize_events",
         "llm_minhash_near_dup_pairs",
         "jn_range_binned",
+        # two-phase global cumsum (sampled range bounds) and Misra-Gries
+        # candidate pruning (batch-dependent summaries) must both erase
+        # their physical nondeterminism from the final result
+        "wn_pareto_share",
+        "ag_heavy_hitters",
     ]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -369,6 +374,7 @@ _BNLJ_ALLOWED = {
     "llm_triangle_count",   # two 1-row scalar sides (edge + triangle counts)
     "ag_chi_square_contingency",  # |langs|x|sources| grid build (bounded by
                                   # label cardinalities, not data volume)
+    "ag_heavy_hitters",     # 1-row corpus word total
 }
 
 
