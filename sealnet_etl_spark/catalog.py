@@ -178,6 +178,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "src_jsonl_roundtrip",
         "ag_heavy_hitters",
         "wn_pareto_share",
+        "ag_market_basket",
+        "etl_fk_integrity_audit",
     }
 )
 

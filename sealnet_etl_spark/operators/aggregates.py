@@ -977,3 +977,81 @@ def ag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") > F.col("n_total") / F.lit(float(_HH_K)))
         .select("word", "n_occurrences")
     )
+
+
+@query(
+    "ag_market_basket",
+    survey_id="AG-1/JN-10",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pc AS (
+            SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY 1
+        ), n AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_both
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT part_a, part_b, n_both,
+               ROUND(n_both * n.n_orders
+                     / (pa.n_part * pb.n_part)::DOUBLE, 6) AS lift
+        FROM pairs
+        CROSS JOIN n
+        JOIN pc pa ON pa.l_partkey = part_a
+        JOIN pc pb ON pb.l_partkey = part_b
+    """,
+)
+def ag_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: parts co-purchased in ≥2 orders, with
+    LIFT (observed co-rate vs independence) — the association-rule
+    primitive behind 'frequently bought together'.
+
+    Scale shape: baskets bound the quadratic — the pair join is
+    co-partitioned on the basket key (one shuffle of the deduped
+    (order, part) item list, TPC-H orders hold ≤13 lines) so pair cost is
+    Σ basket², never |items|²; a pathological mega-basket gets the
+    HOT_BUCKET_CAP treatment from the dedup family. Per-part frequencies
+    are a dim-sized broadcast for the lift denominators and the 1-row
+    order total is the allowlisted scalar join. The HAVING ≥2 prune runs
+    BEFORE lift enrichment, so singleton noise pairs never join."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_orders")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

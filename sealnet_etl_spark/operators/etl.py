@@ -1045,3 +1045,60 @@ def etl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "etl_fk_integrity_audit",
+    survey_id="ETL-2/JN-6",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}.{ck}->{p}' AS fk_edge,
+               COUNT(*) AS n_child_rows,
+               COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS n_orphans
+        FROM {c} c LEFT JOIN {p} p ON c.{ck} = p.{pk}
+        """
+        for c, ck, p, pk in _FK_EDGES
+    ),
+)
+def etl_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit: one report row per
+    foreign-key edge with its child row count and orphan count — the
+    single pane an engineer checks after every load before unleashing
+    joins that would silently drop orphans.
+
+    Each edge is ONE pass: left-join the parent's key (unique PK, so no
+    fan-out) and count null-hits conditionally — not a second anti-join
+    scan. Dimension parents broadcast; the two fact→fact edges shuffle
+    once on their key exactly like the production joins they vouch for.
+    The 7 one-row aggregates union into the report, so the audit's cost
+    is the same as running each integrity check once — and at 100 TB the
+    per-edge passes are independent jobs the scheduler can overlap."""
+    rows = []
+    for child, ck, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk"), F.lit(1).alias("__hit")
+        )
+        joined = c.join(p, F.col(ck) == F.col("__pk"), "left")
+        rows.append(
+            joined.agg(
+                F.lit(f"{child}.{ck}->{parent}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -375,6 +375,7 @@ _BNLJ_ALLOWED = {
     "ag_chi_square_contingency",  # |langs|x|sources| grid build (bounded by
                                   # label cardinalities, not data volume)
     "ag_heavy_hitters",     # 1-row corpus word total
+    "ag_market_basket",     # 1-row order total for the lift denominator
 }
 
 
