@@ -180,6 +180,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_pareto_share",
         "ag_market_basket",
         "etl_fk_integrity_audit",
+        "wn_event_paths",
+        "ag_seasonality_profile",
     }
 )
 

@@ -1055,3 +1055,38 @@ def ag_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "ag_seasonality_profile",
+    survey_id="AG-1/FN-3",
+    oracle="""
+        SELECT dayofweek(ts::TIMESTAMP) + 1          AS dow,
+               hour(ts::TIMESTAMP)                    AS hod,
+               COUNT(*)                               AS n_events,
+               ROUND(AVG(value), 6)                   AS avg_value,
+               COUNT(DISTINCT user_id)                AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ag_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity profile — the seasonality
+    heatmap behind capacity planning and anomaly baselines ('is Tuesday
+    3 am traffic normal?').
+
+    Cross-engine calendar trap pinned here on purpose: Spark's
+    dayofweek() is 1=Sunday..7=Saturday while DuckDB's dayofweek() is
+    0=Sunday..6=Saturday — the oracle shifts by +1 so both agree (the
+    same off-by-one that silently rotates weekly reports between
+    engines). Scale: one partial-agg shuffle onto a ≤168-cell profile;
+    the distinct-user count is the only expansion and swaps to
+    approx_count_distinct beyond exactness needs."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

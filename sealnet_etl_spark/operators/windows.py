@@ -1065,3 +1065,65 @@ def wn_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.8
         ).alias("is_pareto_head"),
     )
+
+
+@query(
+    "wn_event_paths",
+    survey_id="WN-3/WN-6",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts::TIMESTAMP
+                          - LAG(ts::TIMESTAMP) OVER w > INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), paths AS (
+            SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                       || '>' || LEAD(event_type, 2) OVER w2 AS path
+            FROM sess
+            WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+        )
+        SELECT path, COUNT(*) AS n_occurrences
+        FROM paths WHERE path IS NOT NULL
+        GROUP BY path
+    """,
+)
+def wn_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: every 3-step event-type path users walk
+    WITHIN a session, with occurrence counts — the Sankey/flow-diagram
+    feed and the n-step generalization of wn_transition_matrix (which
+    sees only adjacent pairs and ignores session boundaries).
+
+    Derives sessions from events_with_session_ids — the SINGLE session
+    definition shared with sessionize/conversion, so path and session
+    analytics can never disagree on boundaries. Scale: the two lead()
+    calls share one (user, session)-keyed window pass (one shuffle,
+    linear per group); paths then collapse to the |event_types|³-bounded
+    path vocabulary in a partial-agg shuffle of counts."""
+    events = load_table(spark, sf_dir, "events")
+    sess = events_with_session_ids(events)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    path = F.concat_ws(
+        ">",
+        F.col("event_type"),
+        F.lead("event_type", 1).over(w),
+        F.lead("event_type", 2).over(w),
+    )
+    # concat_ws skips nulls (no 3-step suffix at session tails); require
+    # the full 3 steps like the oracle's || which nulls out instead
+    return (
+        sess.select(
+            path.alias("path"),
+            F.lead("event_type", 2).over(w).isNotNull().alias("__full"),
+        )
+        .filter(F.col("__full"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
