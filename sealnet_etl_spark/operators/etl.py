@@ -998,15 +998,21 @@ def etl_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY event_type
         ), disp AS (
             SELECT e.event_type, m.med_value,
-                   quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value
+                   quantile_cont(abs(e.value - m.med_value), 0.5) AS mad_value,
+                   AVG(abs(e.value - m.med_value))                AS meanad_value
             FROM events e JOIN med m USING (event_type)
             GROUP BY e.event_type, m.med_value
+        ), z AS (
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN d.mad_value > 0
+                        THEN 0.6745 * (e.value - d.med_value) / d.mad_value
+                        ELSE 0.7979 * (e.value - d.med_value) / d.meanad_value
+                   END AS robust_z
+            FROM events e JOIN disp d USING (event_type)
         )
-        SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
-               ROUND(0.6745 * (e.value - d.med_value) / d.mad_value, 6)
-                   AS robust_z
-        FROM events e JOIN disp d USING (event_type)
-        WHERE abs(0.6745 * (e.value - d.med_value) / d.mad_value) > 3.5
+        SELECT event_id, event_type, ROUND(value, 2) AS value,
+               ROUND(robust_z, 6) AS robust_z
+        FROM z WHERE abs(robust_z) > 3.5
     """,
 )
 def etl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,10 +1037,21 @@ def etl_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.percentile(F.abs(F.col("value") - F.col("med_value")), 0.5).alias(
                 "mad_value"
-            )
+            ),
+            F.avg(F.abs(F.col("value") - F.col("med_value"))).alias(
+                "meanad_value"
+            ),
         )
     )
-    z = 0.6745 * (F.col("value") - F.col("med_value")) / F.col("mad_value")
+    # MAD = 0 whenever a majority of a group equals its median (constant
+    # heartbeat metrics) — dividing by it NULLs the score and the gate
+    # silently passes extreme outliers (review finding). Iglewicz-Hoaglin's
+    # fallback: 0.7979·dev/meanAD; if meanAD is also 0 every value equals
+    # the median and there is genuinely nothing to flag.
+    dev = F.col("value") - F.col("med_value")
+    z = F.when(
+        F.col("mad_value") > 0, 0.6745 * dev / F.col("mad_value")
+    ).otherwise(0.7979 * dev / F.col("meanad_value"))
     return (
         events.join(F.broadcast(disp), "event_type")
         .filter(F.abs(z) > 3.5)

@@ -711,7 +711,11 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pdf[["doc_id"]].copy()
             out["raw_bytes"] = raw_len
             out["compressed_bytes"] = comp_len
-            out["compression_ratio"] = (comp_len / raw_len).round(6)
+            # empty docs divide by zero -> inf and would sail through the
+            # ratio gate (review finding); null the ratio instead and let
+            # the degenerate-doc flag below catch them explicitly
+            ratio = (comp_len / raw_len.where(raw_len > 0)).round(6)
+            out["compression_ratio"] = ratio
             yield out
 
     schema = (
@@ -720,5 +724,8 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = docs.mapInPandas(_compress_batches, schema=schema)
     return scored.withColumn(
-        "is_low_entropy", F.col("compression_ratio") < 0.35
+        "is_low_entropy",
+        # empty/degenerate docs are maximally redundant by definition
+        (F.col("raw_bytes") == 0)
+        | (F.col("compression_ratio") < 0.35),
     )

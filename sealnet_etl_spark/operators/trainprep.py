@@ -687,7 +687,10 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WSAMP_DENOM = 1_000_000_000
+#: MUST divide 2^32: md5_bucket integerizes 8 hex chars (32 bits), so a
+#: non-divisor modulus (e.g. 1e9) leaves a ~25% density step in the
+#: low residues and the draw is no longer uniform (review finding).
+_WSAMP_DENOM = 1 << 30
 _WSAMP_K = 100
 
 
@@ -698,7 +701,7 @@ _WSAMP_K = 100
         WITH keyed AS (
             SELECT doc_id, lang, n_chars,
                    ROUND(ln(({_md5_bucket_sql('doc_id', 'wsamp:', _WSAMP_DENOM)}
-                             + 0.5) / {_WSAMP_DENOM}.0)
+                             + 0.5) / {float(_WSAMP_DENOM)})
                          / n_chars, 12) AS priority
             FROM documents
         )

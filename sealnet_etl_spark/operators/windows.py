@@ -221,31 +221,15 @@ def two_phase_global_rank(
     rank job could draw DIFFERENT bounds once partitions exceed the
     range-sampler's per-partition sample size, silently misaligning
     offsets with partitions (duplicated/gapped "exact" ranks). The
-    persist pins one physical partitioning that both jobs reuse."""
-    ranged = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    persist pins one physical partitioning that both jobs reuse.
+
+    Implemented as two_phase_global_cumsum with a constant weight of 1
+    (rank IS the cumulative count), so exactly ONE implementation owns
+    the persist-before-collect requirement (review finding)."""
+    ranked, total, _ = two_phase_global_cumsum(
+        df, [F.col(c) for c in order_cols], F.lit(1), num_partitions
     )
-    counts = {
-        r["__pid"]: r["n"]
-        for r in ranged.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    total = sum(counts.values())
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offset_map = F.create_map(
-        *[F.lit(v) for pid_off in offsets.items() for v in pid_off]
-    )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = ranged.withColumn(
-        "rank", F.row_number().over(w) + offset_map[F.col("__pid")]
-    ).drop("__pid")
-    return ranked, total
+    return ranked.drop("cum_sum"), total
 
 
 SESSION_GAP_MINUTES = 30
@@ -961,7 +945,7 @@ def wn_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def two_phase_global_cumsum(
-    df: DataFrame, order_exprs: list, value_col: str, num_partitions: int = 32
+    df: DataFrame, order_exprs: list, value_col, num_partitions: int = 32
 ):
     """two_phase_global_rank's pattern extended to running SUMS: range-
     repartition on the total order, reduce each partition to (row count,
