@@ -905,6 +905,30 @@ def ag_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def misra_gries(seq, k: int) -> dict:
+    """Misra-Gries frequent-items summary: at most ``k`` counters; any
+    item with true frequency > n/(k+1) is guaranteed to survive, and each
+    surviving counter undercounts its item by at most n/(k+1). Pinned by
+    a property test (tests/test_properties.py) because the guarantee —
+    not any single run — is what ag_heavy_hitters' candidate pruning
+    relies on."""
+    counters: dict = {}
+    for w in seq:
+        if w in counters:
+            counters[w] += 1
+        elif len(counters) < k:
+            counters[w] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 _HH_K = 200          # report words with frequency > n_total / _HH_K
 _HH_COUNTERS = 256   # Misra-Gries counters per Arrow batch (>= _HH_K)
 
@@ -952,20 +976,7 @@ def ag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            counters: dict = {}
-            for w in pdf["word"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < _HH_COUNTERS:
-                    counters[w] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            counters = misra_gries(pdf["word"], _HH_COUNTERS)
             # sentinel row carries the batch's word count so the corpus
             # total falls out of the SAME pass — a separate words.count()
             # would re-tokenize the whole corpus a third time (review

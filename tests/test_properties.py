@@ -326,3 +326,33 @@ def test_scd2_matches_python_reference(spark, rows):
             (key, s, vf, vt, int(vt is None)) for s, vf, vt in vers
         ]
     assert out == sorted(expected)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=5),
+)
+def test_misra_gries_superset_guarantee(stream, k, n_batches):
+    """The property ag_heavy_hitters' candidate pruning stands on: for ANY
+    batch split, every item with total frequency > n/(k+1) survives in at
+    least one batch summary (union of survivors ⊇ true heavy hitters),
+    and each surviving counter undercounts by at most n_batch/(k+1)."""
+    from collections import Counter
+
+    from sealnet_etl_spark.operators.aggregates import misra_gries
+
+    n = len(stream)
+    bounds = [round(i * n / n_batches) for i in range(n_batches + 1)]
+    batches = [stream[bounds[i]:bounds[i + 1]] for i in range(n_batches)]
+    summaries = [misra_gries(b, k) for b in batches]
+    survivors = set().union(*[set(s) for s in summaries])
+    exact = Counter(stream)
+    for item, cnt in exact.items():
+        if cnt > n / (k + 1):
+            assert item in survivors, (item, cnt, n, k)
+    for batch, summary in zip(batches, summaries):
+        local = Counter(batch)
+        for item, est in summary.items():
+            assert est <= local[item]
+            assert local[item] - est <= len(batch) / (k + 1)
