@@ -101,8 +101,10 @@ _DRIVER_VERIFIED: frozenset = frozenset(
 #:
 #: ROUND-4 PLAN: once CORRECTNESS_r03 lands, fold its green rows into
 #: _DRIVER_VERIFIED and promote this set to the front of the window —
-#: the round-3-late tier (~30 queries) plus whatever r03 misses is the
-#: entire remaining never-graded population.
+#: the round-3-late tier (~90 queries after the continuation session's
+#: analytics/QA batches) plus whatever r03 misses is the entire
+#: remaining never-graded population; at ~50 rows per round it drains
+#: over rounds 4-5, newest additions last.
 _ROUND3_LATE: frozenset = frozenset(
     {
         "llm_repetition_filter",
@@ -182,6 +184,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_fk_integrity_audit",
         "wn_event_paths",
         "ag_seasonality_profile",
+        "llm_leakage_free_split",
     }
 )
 

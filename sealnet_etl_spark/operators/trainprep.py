@@ -737,3 +737,69 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(u) / F.col("n_chars"), 12).alias("priority"),
     )
     return keyed.orderBy(F.desc("priority"), "doc_id").limit(_WSAMP_K)
+
+
+_LSPLIT_MOD = 16      # power of two: unbiased residues on the 32-bit hash
+_LSPLIT_TRAIN = 13    # 13/16 ≈ 81% train / 19% test
+
+
+def _leakage_split_oracle() -> str:
+    from .dedup import _CLUSTER_ORACLE
+
+    # _CLUSTER_ORACLE is "WITH RECURSIVE <ctes> SELECT <labels>"; refit its
+    # CTE chain and wrap the label select as one more CTE.
+    body = _CLUSTER_ORACLE.strip()
+    prefix = "WITH RECURSIVE "
+    assert body.startswith(prefix)
+    ctes, label_select = body[len(prefix):].rsplit("SELECT", 1)
+    root = "COALESCE(l.cluster_id, d.doc_id)"
+    bucket = _md5_bucket_sql(root, "lsplit:", _LSPLIT_MOD)
+    return f"""
+        WITH RECURSIVE {ctes.rstrip().rstrip(',')}, labels AS (SELECT {label_select})
+        SELECT d.doc_id,
+               {root} AS cluster_root,
+               CASE WHEN {bucket} < {_LSPLIT_TRAIN}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+    """
+
+
+@query(
+    "llm_leakage_free_split",
+    survey_id="ETL-3/LLM-3",
+    oracle=_leakage_split_oracle(),
+)
+def llm_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/test split: every document is assigned by the
+    salted hash of its DEDUP-CLUSTER root (singletons root at themselves),
+    so two near-duplicate documents can never land on opposite sides of
+    the split — closing the eval-leakage hole a doc-hash split (ETL-3)
+    leaves open whenever near-dups survive upstream dedup. By
+    construction, membership is reproducible and appending new corpus
+    batches never reshuffles existing assignments unless clustering
+    itself links them.
+
+    Scale: the only addition over llm_dedup_clusters is a left join of
+    the (near-dup-density-bounded) label table onto the doc-id spine and
+    a narrow hash projection — the split itself is shuffle-free. The
+    hash modulus is a power of two (the 32-bit-hash uniformity rule the
+    weighted sampler pins)."""
+    from .dedup import llm_dedup_clusters
+
+    labels = llm_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    root = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            root.alias("cluster_root"),
+            F.when(
+                md5_bucket(root.cast("string"), "lsplit:", _LSPLIT_MOD)
+                < _LSPLIT_TRAIN,
+                "train",
+            )
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
