@@ -969,7 +969,9 @@ def llm_dedup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRIANGLE_ORACLE = (
     "WITH pairs AS ("
-    + _NGRAM_ORACLE_TEMPLATE.format(k=4, km1=3, tau=0.6, block="AND a.lang = b.lang")
+    + _NGRAM_ORACLE_TEMPLATE.format(
+        k=SHINGLE_K, km1=SHINGLE_K - 1, tau=JACCARD_TAU, block=""
+    )
     + """
     ), e AS (SELECT doc_a AS a, doc_b AS b FROM pairs)
     SELECT (SELECT COUNT(*) FROM e) AS n_edges,
@@ -988,6 +990,10 @@ def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     for judging whether near-dup components are cliquish boilerplate
     families or chains of drifting revisions.
 
+    Runs on the CACHED verified MinHash pair list — the same edge set
+    llm_dedup_clusters components and the degree report read — so the
+    triangle pass costs three joins over an id-pair list, not a corpus
+    re-shingle, and all three near-dup graph views stay consistent.
     Every edge is stored once as (a < b), so each triangle {a<b<c} is
     counted exactly once by the two-hop join e1=(a,b) ⋈ e2=(b,c) closed
     by e3=(a,c) — no orientation dedup needed. Scale shape: the edge list
@@ -999,10 +1005,8 @@ def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final result is two 1-row scalars (edge and triangle counts);
     their combine is a 1-row broadcast join, allowlisted like the other
     scalar shapes."""
-    edges = (
-        llm_ngram_jaccard_dedup(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint(eager=False)  # reused 3×: cut the recompute + lineage
+    edges = minhash_near_dup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     tri = (
         edges.alias("e1")
