@@ -1051,7 +1051,13 @@ def ag_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     order total is the allowlisted scalar join. The HAVING ≥2 prune runs
     BEFORE lift enrichment, so singleton noise pairs never join."""
     lineitem = load_table(spark, sf_dir, "lineitem")
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # deduped once, read by four branches (pair join sides, frequencies,
+    # order total) — without the checkpoint each branch re-scans lineitem
+    items = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pc = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     a, b = items.alias("a"), items.alias("b")

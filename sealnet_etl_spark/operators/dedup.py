@@ -670,8 +670,10 @@ def connected_components(
     return labels
 
 
-_CLUSTER_ORACLE = r"""
-        WITH RECURSIVE toks AS (
+#: The recursive-CTE chain (shingles → J≥0.8 pairs → symmetric edges →
+#: transitive reach) shared by the clustering oracle and the
+#: leakage-free-split oracle, which appends its own CTE on top.
+_CLUSTER_CTES = r"""toks AS (
             SELECT doc_id,
                    list_distinct(list_transform(range(len(w) - 7),
                        i -> array_to_string(w[i+1:i+8], ' '))) AS sh
@@ -691,10 +693,13 @@ _CLUSTER_ORACLE = r"""
             SELECT n1, n1 FROM edges
             UNION
             SELECT r.src, e.n2 FROM reach r JOIN edges e ON r.node = e.n1
-        )
-        SELECT node AS doc_id, MIN(src) AS cluster_id
-        FROM reach GROUP BY node
-"""
+        )"""
+
+_CLUSTER_LABEL_SELECT = (
+    "SELECT node AS doc_id, MIN(src) AS cluster_id FROM reach GROUP BY node"
+)
+
+_CLUSTER_ORACLE = f"WITH RECURSIVE {_CLUSTER_CTES} {_CLUSTER_LABEL_SELECT}"
 
 
 @query("llm_dedup_clusters", survey_id="LLM-3", oracle=_CLUSTER_ORACLE)

@@ -17,6 +17,15 @@ from ..sources import load_table
 from .dedup import normalized_words, word_shingles
 
 
+def type_token_ratio(words) -> "Column":
+    """Rounded type-token ratio — THE lexical-diversity score; shared by
+    llm_text_stats and llm_quality_percentile_filter so the stat and the
+    gate built on it can never drift apart."""
+    return F.round(
+        F.size(F.array_distinct(words)) / F.size(words).cast("double"), 6
+    )
+
+
 @query(
     "llm_text_stats",
     survey_id="LLM-7",
@@ -46,9 +55,7 @@ def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.round(total_len / F.size(w).cast("double"), 6).alias("avg_word_len"),
         F.size(F.array_distinct(w)).alias("n_distinct_words"),
-        F.round(
-            F.size(F.array_distinct(w)) / F.size(w).cast("double"), 6
-        ).alias("type_token_ratio"),
+        type_token_ratio(w).alias("type_token_ratio"),
     )
 
 
@@ -670,11 +677,7 @@ def llm_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     w = normalized_words(F.col("text"))
     scored = docs.select(
-        "doc_id",
-        "lang",
-        F.round(
-            F.size(F.array_distinct(w)) / F.size(w).cast("double"), 6
-        ).alias("ttr"),
+        "doc_id", "lang", type_token_ratio(w).alias("ttr")
     ).filter(F.size(w) >= 1)
     thresholds = scored.groupBy("lang").agg(
         F.round(F.percentile("ttr", F.lit(0.75)), 6).alias("ttr_p75")
@@ -697,8 +700,6 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     test instead (tests/test_llm_semantics.py). Scale shape: mapInPandas
     over Arrow batches — compression runs in C per batch with zero
     shuffle; output carries only ids + scalars, never the text."""
-    import pandas as pd  # noqa: F401  (Arrow batch interface)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _compress_batches(batches):

@@ -744,18 +744,13 @@ _LSPLIT_TRAIN = 13    # 13/16 ≈ 81% train / 19% test
 
 
 def _leakage_split_oracle() -> str:
-    from .dedup import _CLUSTER_ORACLE
+    from .dedup import _CLUSTER_CTES, _CLUSTER_LABEL_SELECT
 
-    # _CLUSTER_ORACLE is "WITH RECURSIVE <ctes> SELECT <labels>"; refit its
-    # CTE chain and wrap the label select as one more CTE.
-    body = _CLUSTER_ORACLE.strip()
-    prefix = "WITH RECURSIVE "
-    assert body.startswith(prefix)
-    ctes, label_select = body[len(prefix):].rsplit("SELECT", 1)
     root = "COALESCE(l.cluster_id, d.doc_id)"
     bucket = _md5_bucket_sql(root, "lsplit:", _LSPLIT_MOD)
     return f"""
-        WITH RECURSIVE {ctes.rstrip().rstrip(',')}, labels AS (SELECT {label_select})
+        WITH RECURSIVE {_CLUSTER_CTES},
+        labels AS ({_CLUSTER_LABEL_SELECT})
         SELECT d.doc_id,
                {root} AS cluster_root,
                CASE WHEN {bucket} < {_LSPLIT_TRAIN}
