@@ -185,6 +185,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_event_paths",
         "ag_seasonality_profile",
         "llm_leakage_free_split",
+        "ag_rfm_segmentation",
     }
 )
 

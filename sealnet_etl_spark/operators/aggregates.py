@@ -1126,3 +1126,97 @@ def ag_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("avg_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "ag_rfm_segmentation",
+    survey_id="AG-7/ETL-3",
+    oracle="""
+        WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(o_orderdate),
+                             (SELECT maxd FROM mx)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), th AS (
+            SELECT
+                list_transform(quantile_cont(recency_days,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS rt,
+                list_transform(quantile_cont(frequency,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS ft,
+                list_transform(quantile_cont(monetary,
+                    [0.2, 0.4, 0.6, 0.8]), x -> round(x, 6)) AS mt
+            FROM rfm
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               1 + (recency_days > rt[1])::INT + (recency_days > rt[2])::INT
+                 + (recency_days > rt[3])::INT + (recency_days > rt[4])::INT
+                   AS r_score,
+               1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
+                 + (frequency > ft[3])::INT + (frequency > ft[4])::INT
+                   AS f_score,
+               1 + (monetary > mt[1])::INT + (monetary > mt[2])::INT
+                 + (monetary > mt[3])::INT + (monetary > mt[4])::INT
+                   AS m_score
+        FROM rfm CROSS JOIN th
+    """,
+)
+def ag_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer Recency (days since last
+    order, vs the corpus's latest date), Frequency, and Monetary value,
+    each scored 1-5 against corpus-wide quintile thresholds — the
+    standard CRM/cohort segmentation grid. Scores count the thresholds a
+    value EXCEEDS, so higher raw value → higher score on every axis
+    (marketing convention inverts the R axis downstream; kept monotone
+    here so one scoring rule serves all three).
+
+    Scale: the RFM reduce is ONE partial-agg shuffle to |customers| rows;
+    the 15 quintile thresholds come from a single exact-percentile
+    aggregate over that reduced table and broadcast back as one row (the
+    allowlisted scalar join) — never a global ntile window. Thresholds
+    are rounded to 6 dp on both engines before comparison so interpolated
+    cutpoints can't flip a boundary by one ulp. At 100 TB swap
+    F.percentile for approx_percentile with identical plumbing."""
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff(F.col("maxd"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+    th = rfm.agg(
+        *[
+            F.transform(
+                F.percentile(c, qs), lambda x: F.round(x, 6)
+            ).alias(f"{c[0]}t")
+            for c in ("recency_days", "frequency", "monetary")
+        ]
+    )
+
+    def score(col: str, t: str):
+        v = F.col(col)
+        return sum(
+            (v > F.element_at(t, i)).cast("int") for i in range(1, 5)
+        ) + F.lit(1)
+
+    return (
+        rfm.crossJoin(F.broadcast(th))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            score("recency_days", "rt").alias("r_score"),
+            score("frequency", "ft").alias("f_score"),
+            score("monetary", "mt").alias("m_score"),
+        )
+    )

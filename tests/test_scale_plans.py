@@ -376,6 +376,7 @@ _BNLJ_ALLOWED = {
                                   # label cardinalities, not data volume)
     "ag_heavy_hitters",     # 1-row corpus word total
     "ag_market_basket",     # 1-row order total for the lift denominator
+    "ag_rfm_segmentation",  # 1-row max-date + 1-row quintile thresholds
 }
 
 
