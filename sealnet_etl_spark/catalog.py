@@ -186,6 +186,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_seasonality_profile",
         "llm_leakage_free_split",
         "ag_rfm_segmentation",
+        "wn_seasonal_residual_anomaly",
     }
 )
 

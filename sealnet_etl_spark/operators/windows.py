@@ -1111,3 +1111,62 @@ def wn_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+@query(
+    "wn_seasonal_residual_anomaly",
+    survey_id="WN-4/ETL-6",
+    oracle="""
+        WITH base AS (
+            SELECT dayofweek(ts::TIMESTAMP) + 1 AS dow,
+                   hour(ts::TIMESTAMP)           AS hod,
+                   AVG(value)                    AS mean_value,
+                   stddev_samp(value)            AS sd_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type,
+               ROUND(e.value, 2) AS value,
+               b.dow, b.hod,
+               ROUND((e.value - b.mean_value) / b.sd_value, 6) AS residual_z
+        FROM events e
+        JOIN base b ON dayofweek(e.ts::TIMESTAMP) + 1 = b.dow
+                   AND hour(e.ts::TIMESTAMP) = b.hod
+        WHERE abs((e.value - b.mean_value) / b.sd_value) > 3.0
+    """,
+)
+def wn_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each event is compared to the
+    mean/stddev of ITS OWN day-of-week × hour-of-day cell (the
+    ag_seasonality_profile baseline), and events beyond |3σ| of their
+    seasonal norm are flagged — 'is this value strange FOR a Tuesday
+    3 am?', the question a global or per-type gate (etl_anomaly_zscore)
+    cannot ask. Same dayofweek off-by-one pin as the profile.
+
+    Scale: the baseline is ≤168 cells from one partial-agg shuffle,
+    BROADCAST back onto the stream so flagging is a narrow filter — the
+    classic reduce-then-rejoin shape; a per-cell window would shuffle
+    every event into at most 168 partitions (max skew) for no gain.
+    stddev is used (not MAD) deliberately: per-cell populations are large
+    and the baseline wants sensitivity to variance shifts; the robust
+    alternative is one agg swap away."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.withColumn("dow", F.dayofweek("ts")).withColumn(
+        "hod", F.hour("ts")
+    )
+    base = keyed.groupBy("dow", "hod").agg(
+        F.avg("value").alias("mean_value"),
+        F.stddev_samp("value").alias("sd_value"),
+    )
+    z = (F.col("value") - F.col("mean_value")) / F.col("sd_value")
+    return (
+        keyed.join(F.broadcast(base), ["dow", "hod"])
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            "dow",
+            "hod",
+            F.round(z, 6).alias("residual_z"),
+        )
+    )
