@@ -187,6 +187,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_leakage_free_split",
         "ag_rfm_segmentation",
         "wn_seasonal_residual_anomaly",
+        "wn_alert_debounce",
     }
 )
 

@@ -235,15 +235,21 @@ def two_phase_global_rank(
 SESSION_GAP_MINUTES = 30
 
 
-def events_with_session_ids(events: DataFrame) -> DataFrame:
-    """Append ``session_id``: a gap longer than SESSION_GAP_MINUTES opens
-    a new session (lag -> new-session flag -> cumulative sum). THE single
-    session definition — wn_sessionize_events and wn_session_conversion
-    both derive from it, so session semantics can never desynchronize.
-    One shuffle on user_id; both window passes share the partitioning."""
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+def events_with_session_ids(
+    events: DataFrame,
+    keys: tuple = ("user_id",),
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Append ``session_id``: a gap longer than ``gap_minutes`` opens a
+    new session (lag -> new-session flag -> cumulative sum). THE single
+    gaps-and-islands definition — wn_sessionize_events,
+    wn_session_conversion, wn_event_paths (default 30-min user sessions)
+    and wn_alert_debounce (5-min (user, type) bursts) all derive from it,
+    so burst/session semantics can never desynchronize. One shuffle on
+    the key tuple; both window passes share the partitioning."""
+    w_order = Window.partitionBy(*keys).orderBy("ts", "event_id")
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = SESSION_GAP_MINUTES * 60 * 1_000_000
+    gap_us = gap_minutes * 60 * 1_000_000
     prev_us = F.lag(F.unix_micros("ts")).over(w_order)
     is_new = F.when(
         prev_us.isNull() | (F.unix_micros("ts") - prev_us > gap_us), 1
@@ -1169,4 +1175,60 @@ def wn_seasonal_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hod",
             F.round(z, 6).alias("residual_z"),
         )
+    )
+
+
+DEBOUNCE_GAP_MINUTES = 5
+
+
+@query(
+    "wn_alert_debounce",
+    survey_id="WN-6/WN-1",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN ts::TIMESTAMP - LAG(ts::TIMESTAMP) OVER w
+                          > INTERVAL {DEBOUNCE_GAP_MINUTES} MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        ), bursts AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, event_type, session_id::BIGINT AS burst_id,
+               MIN(event_id) AS first_event_id,
+               MIN(ts::TIMESTAMP) AS burst_start,
+               COUNT(*) - 1 AS n_suppressed
+        FROM bursts
+        GROUP BY user_id, event_type, session_id
+    """,
+)
+def wn_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing / burst suppression: repeats of the same
+    (user, event_type) within a rolling 5-minute CHAIN collapse into one
+    burst — emit the first event plus the suppressed count, the paging
+    dedup every ops pipeline needs. Note the semantics: a burst extends
+    as long as each repeat is within 5 min of the PREVIOUS one (true
+    debounce), which a fixed 5-minute tumbling bucket gets wrong at
+    bucket edges — so this derives from the shared gaps-and-islands
+    helper with a (user, type) key and a 5-min gap, not from date
+    truncation.
+
+    Scale: identical to sessionization — ONE shuffle on the (user, type)
+    key shared by the lag, the cumulative burst id, and the final
+    per-burst aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    bursts = events_with_session_ids(
+        events, keys=("user_id", "event_type"), gap_minutes=DEBOUNCE_GAP_MINUTES
+    )
+    return bursts.groupBy(
+        "user_id", "event_type", F.col("session_id").alias("burst_id")
+    ).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("burst_start"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
     )
