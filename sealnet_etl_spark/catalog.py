@@ -188,6 +188,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_rfm_segmentation",
         "wn_seasonal_residual_anomaly",
         "wn_alert_debounce",
+        "wn_rolling_median",
     }
 )
 

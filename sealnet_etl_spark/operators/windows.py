@@ -1232,3 +1232,51 @@ def wn_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("burst_start"),
         (F.count(F.lit(1)) - 1).alias("n_suppressed"),
     )
+
+
+@query(
+    "wn_rolling_median",
+    survey_id="WN-4/AG-7",
+    oracle="""
+        SELECT event_id, user_id, ROUND(value, 2) AS value,
+               lst[(len(lst) + 1) // 2] AS rolling_median
+        FROM (
+            SELECT event_id, user_id, value,
+                   list_sort(list(ROUND(value, 2)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   )) AS lst
+            FROM events
+        )
+    """,
+)
+def wn_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN smoother: the lower median of each user's trailing
+    7 values — the robust de-noiser for spiky telemetry (one outlier
+    shifts a rolling mean for 7 rows; the rolling median shrugs it off,
+    which is why wn_rolling_sum and this ship side by side).
+
+    Neither engine supports percentile functions over window frames, so
+    both compute the DISCRETE lower median the same way: collect the
+    bounded frame (≤7 values, pre-rounded so the sort keys are
+    identical), sort, index (n+1)÷2 — cross-engine exact because the
+    result is always an actual data value, never an interpolation. Scale:
+    one shuffle on user_id like every keyed window; the per-row cost is
+    sorting ≤7 elements, and the frame bound (not data volume) caps
+    memory. For wide frames the production swap is a running two-heap
+    sketch inside applyInPandasWithState — noted, not needed at frame 7."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    lst = F.sort_array(F.collect_list(F.round("value", 2)).over(w))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.element_at(
+            lst, F.floor((F.size(lst) + 1) / 2).cast("int")
+        ).alias("rolling_median"),
+    )
