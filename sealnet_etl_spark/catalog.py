@@ -189,6 +189,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_seasonal_residual_anomaly",
         "wn_alert_debounce",
         "wn_rolling_median",
+        "ag_ks_test",
+        "etl_cdc_apply_tombstones",
     }
 )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -1219,4 +1220,80 @@ def ag_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             score("frequency", "ft").alias("f_score"),
             score("monetary", "mt").alias("m_score"),
         )
+    )
+
+
+@query(
+    "ag_ks_test",
+    survey_id="AG-7/ETL-6",
+    oracle="""
+        WITH cells AS (
+            SELECT ROUND(value, 2) AS v,
+                   COUNT(*) FILTER (WHERE event_type = 'view')  AS c1,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS c2
+            FROM events
+            WHERE event_type IN ('view', 'click')
+            GROUP BY 1
+        ), cum AS (
+            SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k1,
+                   SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2,
+                   SUM(c1) OVER () AS n1,
+                   SUM(c2) OVER () AS n2
+            FROM cells
+        )
+        SELECT CAST(MAX(n1) AS BIGINT) AS n_view,
+               CAST(MAX(n2) AS BIGINT) AS n_click,
+               ROUND(MAX(abs(k1 / n1::DOUBLE - k2 / n2::DOUBLE)), 6)
+                   AS ks_stat
+        FROM cum
+    """,
+)
+def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the 'view' and
+    'click' value distributions: the largest gap between their empirical
+    CDFs — the continuous-distribution drift check that pairs with
+    ag_chi_square_contingency's categorical one (same question, 'did the
+    metric's distribution shift between cohorts/sources?', different
+    column type).
+
+    Tie-safe by construction: values reduce to per-VALUE cell counts
+    first, so each distinct value contributes one ECDF evaluation point
+    (row-interleaved cumsums over raw ties would over/under-shoot D).
+    Scale: the reduce-first rule again — the cumulative pass runs on the
+    value-cardinality-bounded cell table (values pre-rounded to 2 dp,
+    i.e. ≤ range×100 cells), NOT on events; for genuinely unbounded
+    domains the same pre-binning that bounds a histogram bounds this.
+    Counts are integers, so both engines' cumsums are exact and the
+    statistic matches bit-for-bit after one final rounded division."""
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.round("value", 2).alias("v"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c2"),
+        )
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cells.select(
+        F.sum("c1").over(w_cum).alias("k1"),
+        F.sum("c2").over(w_cum).alias("k2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    return cum.agg(
+        F.max("n1").alias("n_view"),
+        F.max("n2").alias("n_click"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("k1") / F.col("n1").cast("double")
+                    - F.col("k2") / F.col("n2").cast("double")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
     )

@@ -1119,3 +1119,53 @@ def etl_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@query(
+    "etl_cdc_apply_tombstones",
+    survey_id="ETL-4/ETL-5",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, value, ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               epoch_us(ts::TIMESTAMP) AS last_change_us,
+               event_type              AS last_action,
+               ROUND(value, 2)         AS current_value
+        FROM ordered
+        WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def etl_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC feed WITH DELETES onto a keyed state table: each
+    user's record stream replays in order and the final state keeps only
+    keys whose LAST change is not a tombstone (here: 'error' records
+    stand in for deletes) — the delete-aware upsert that etl_latest_record
+    (pure last-write-wins) cannot express, and the batch twin of the
+    streaming upsert sink's replace-or-remove contract. A key deleted
+    mid-stream and re-inserted later correctly survives, because only
+    the terminal record decides existence.
+
+    Scale: one key-partitioned window (single shuffle on user_id) with
+    the rank-then-filter shape InferWindowGroupLimit pushes down; the
+    tombstone filter is applied AFTER keep-latest, never before (filtering
+    deletes first would resurrect the previous version — the classic CDC
+    apply bug)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_change_us"),
+            F.col("event_type").alias("last_action"),
+            F.round("value", 2).alias("current_value"),
+        )
+    )
