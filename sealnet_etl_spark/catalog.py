@@ -191,6 +191,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_rolling_median",
         "ag_ks_test",
         "etl_cdc_apply_tombstones",
+        "ag_bitmap_distinct",
     }
 )
 

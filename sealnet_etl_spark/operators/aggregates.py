@@ -1297,3 +1297,40 @@ def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+@query(
+    "ag_bitmap_distinct",
+    survey_id="AG-2/AG-3",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+)
+def ag_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmap segments (Spark 3.5+
+    bitmap_* functions): ids map to (bucket, bit) positions, each
+    (group, bucket) reduces to one compact bitmap, and the distinct count
+    is the sum of per-bucket bit counts — exactly COUNT(DISTINCT), which
+    the oracle states.
+
+    Why it exists next to AG-2/AG-3: plain exact distinct is not
+    REAGGREGABLE (yesterday's counts can't merge with today's), and HLL
+    merges but is approximate. Bitmap segments are both exact AND
+    mergeable (bitmap_or_agg unions persisted daily segments), so a 100 TB
+    pipeline materializes per-partition segments ONCE and answers every
+    later distinct/rollup query without touching raw ids again. Shuffle
+    carries one bitmap (≤4 KB) per (group, 32k-id bucket) instead of the
+    exact plan's expanded id rows."""
+    events = load_table(spark, sf_dir, "events")
+    segments = events.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    return segments.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
