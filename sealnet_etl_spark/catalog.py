@@ -192,6 +192,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_ks_test",
         "etl_cdc_apply_tombstones",
         "ag_bitmap_distinct",
+        "ag_ab_test_proportions",
     }
 )
 

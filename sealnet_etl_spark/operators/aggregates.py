@@ -1334,3 +1334,100 @@ def ag_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segments.groupBy("event_type").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
     )
+
+
+@query(
+    "ag_ab_test_proportions",
+    survey_id="AG-7/ETL-6",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id, user_id % 2 AS variant,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ), arms AS (
+            SELECT variant,
+                   COUNT(*)        AS n_users,
+                   SUM(converted)  AS n_converted
+            FROM assign GROUP BY variant
+        ), wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 0 THEN n_users END)     AS n_a,
+                MAX(CASE WHEN variant = 0 THEN n_converted END) AS c_a,
+                MAX(CASE WHEN variant = 1 THEN n_users END)     AS n_b,
+                MAX(CASE WHEN variant = 1 THEN n_converted END) AS c_b
+            FROM arms
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+               CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+               ROUND(c_a / n_a::DOUBLE, 6) AS rate_a,
+               ROUND(c_b / n_b::DOUBLE, 6) AS rate_b,
+               CASE WHEN (c_a + c_b) > 0 AND (c_a + c_b) < (n_a + n_b)
+                    THEN ROUND(
+                        (c_b / n_b::DOUBLE - c_a / n_a::DOUBLE)
+                        / sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
+                               * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
+                               * (1.0 / n_a + 1.0 / n_b)),
+                        6)
+               END AS z_stat
+        FROM wide
+    """,
+)
+def ag_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users split into two
+    arms (stable id-parity assignment standing in for the experiment
+    flag), per-arm conversion = 'ever purchased', and the pooled-variance
+    z statistic for the rate difference — the primitive behind every
+    experimentation dashboard.
+
+    Scale: conversion reduces per USER first (max-flag groupBy — one
+    shuffle of (user, bit)), arms reduce that to two rows, and the test
+    statistic is pure arithmetic on one pivoted row; events are scanned
+    once, and nothing after the first reduce exceeds |users| rows. Counts
+    stay integers until the single final division, so both engines
+    compute bit-identical statistics."""
+    events = load_table(spark, sf_dir, "events")
+    # conversion = ">= 14 purchases" (roughly the per-user median), a
+    # per-user-varying condition; ever-purchased saturates this corpus at
+    # 100%, collapsing the pooled variance to zero
+    assign = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14
+        )
+        .cast("int")
+        .alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    arms = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a").cast("double")
+    p_b = F.col("c_b") / F.col("n_b").cast("double")
+    pooled = (F.col("c_a") + F.col("c_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_b - p_a) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # degenerate experiment (0% or 100% pooled) has zero variance: NULL
+    # the statistic instead of dividing by zero, matching the oracle
+    total_c = F.col("c_a") + F.col("c_b")
+    total_n = F.col("n_a") + F.col("n_b")
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.when((total_c > 0) & (total_c < total_n), F.round(z, 6)).alias(
+            "z_stat"
+        ),
+    )
