@@ -193,6 +193,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_cdc_apply_tombstones",
         "ag_bitmap_distinct",
         "ag_ab_test_proportions",
+        "wn_ema_smoothing",
     }
 )
 

@@ -1280,3 +1280,72 @@ def wn_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             lst, F.floor((F.size(lst) + 1) / 2).cast("int")
         ).alias("rolling_median"),
     )
+
+
+EMA_ALPHA = 0.3
+EMA_SPAN = 10
+#: Exact double weights alpha*(1-alpha)^age, age 0 (current) .. span-1 —
+#: precomputed in Python and embedded as IDENTICAL literals in both
+#: engines: computing pow() independently per engine differs in the last
+#: ulp for some exponents, which flips 6-dp rounding at boundaries.
+_EMA_WEIGHTS = [EMA_ALPHA * (1 - EMA_ALPHA) ** k for k in range(EMA_SPAN)]
+_EMA_WEIGHTS_SQL = "[" + ", ".join(repr(w) for w in _EMA_WEIGHTS) + "]"
+
+
+@query(
+    "wn_ema_smoothing",
+    survey_id="WN-4",
+    oracle=f"""
+        SELECT event_id, user_id,
+               ROUND(list_sum(list_transform(lst,
+                   (x, i) -> x * ({_EMA_WEIGHTS_SQL})[len(lst) - i + 1])), 6)
+                   AS ema_value
+        FROM (
+            SELECT event_id, user_id,
+                   list(ROUND(value, 2)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {EMA_SPAN - 1} PRECEDING AND CURRENT ROW
+                   ) AS lst
+            FROM events
+        )
+    """,
+)
+def wn_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponential moving average: per user, each value smoothed
+    as α·Σ(1−α)^age over its trailing 10-row frame — the recency-weighted
+    smoother between the uniform rolling mean and the robust rolling
+    median. True EMA is a per-row recursion no window frame can express;
+    truncating at span 10 leaves a ≤(1−α)^10 ≈ 2.8% tail, the standard
+    practical cut, and makes the operator a pure frame computation.
+
+    Cross-engine exactness: the α(1−α)^age weights are precomputed ONCE
+    in Python and embedded as identical double literals in both engines
+    (independent pow() evaluation differs in the last ulp — measured —
+    and flips 6-dp rounding); the ordered frame then folds
+    position-for-position (DuckDB's (x, i) lambda is 1-based, Spark's
+    0-based — both index age via list length minus position). Scale: one
+    keyed shuffle; per-row cost is a ≤10-element array fold. The
+    untruncated production form is the applyInPandasWithState running
+    recursion (STR-6's machinery)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EMA_SPAN - 1), Window.currentRow)
+    )
+    lst = F.collect_list(F.round("value", 2)).over(w)
+    n = F.size(lst)
+    weights = F.array(*[F.lit(wt) for wt in _EMA_WEIGHTS])
+
+    ema = F.aggregate(
+        F.transform(
+            lst, lambda x, i: x * F.element_at(weights, n - i)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(ema, 6).alias("ema_value"),
+    )
