@@ -194,6 +194,15 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_bitmap_distinct",
         "ag_ab_test_proportions",
         "wn_ema_smoothing",
+        "ag_ohlc_bars",
+        "wn_max_drawdown",
+        "etl_winsorize",
+        "etl_late_arriving_dim",
+        "llm_knn_classifier",
+        "llm_pagerank",
+        "ag_count_min_sketch",
+        "llm_dataset_card",
+        "llm_bpe_merge_candidates",
     }
 )
 

@@ -1431,3 +1431,142 @@ def ag_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
+
+@query(
+    "ag_ohlc_bars",
+    survey_id="AG-8",
+    oracle="""
+        SELECT CAST(ts::TIMESTAMP AS DATE) AS bar_day, event_type,
+               ROUND(arg_min(value, ts), 2) AS open,
+               ROUND(MAX(value), 2)         AS high,
+               ROUND(MIN(value), 2)         AS low,
+               ROUND(arg_max(value, ts), 2) AS close,
+               CAST(COUNT(*) AS BIGINT)     AS n_events,
+               ROUND(SUM(value), 4)         AS volume
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def ag_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars: per day × event_type, the first (open) and
+    last (close) value by event time plus the high/low/volume — the
+    standard downsampling that turns a raw tick stream into a bounded
+    time-series table (what every monitoring/finance rollup stores).
+
+    open/close are min_by/max_by on the event timestamp — deterministic
+    here because ``events.ts`` is unique at µs resolution at every SF
+    (measured; FIXTURES.md). A single hash aggregation: min_by/max_by
+    carry one (value, ts) pair per partial state, so the shuffle moves
+    O(groups) bytes no matter how many ticks flow in — the same
+    map-side-combine shape as any sum. At 100 TB the group key (day,
+    type) is low-cardinality; AQE coalesces the tiny post-shuffle side.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.to_date("ts").alias("bar_day"), "event_type"
+    ).agg(
+        F.round(F.min_by("value", "ts"), 2).alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.max_by("value", "ts"), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("volume"),
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+@query(
+    "ag_count_min_sketch",
+    survey_id="AG-3",
+    oracle=f"""
+        WITH seeds AS (SELECT unnest(range({CMS_DEPTH})) AS seed),
+        buckets AS (
+            SELECT seed,
+                   ('0x' || substring(md5('cms' || seed::VARCHAR || '|'
+                        || user_id::VARCHAR), 1, 8))::BIGINT % {CMS_WIDTH}
+                       AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events, seeds GROUP BY 1, 2
+        ), probes AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM events WHERE user_id % 13 = 0 GROUP BY 1
+        )
+        SELECT p.user_id, p.true_count, MIN(b.cnt) AS cms_estimate
+        FROM probes p, seeds s JOIN buckets b
+          ON b.seed = s.seed
+         AND b.bucket = ('0x' || substring(md5('cms' || s.seed::VARCHAR
+                  || '|' || p.user_id::VARCHAR), 1, 8))::BIGINT % {CMS_WIDTH}
+        GROUP BY 1, 2
+    """,
+)
+def ag_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: mergeable point-frequency estimates in depth ×
+    width = {4 × 256} counters — the fixed-size structure that answers
+    "how often did key X occur" over any stream volume, always
+    OVER-estimating (never under), with error ≤ εN at probability
+    1−(1/2)^depth. Joins the HLL/theta/KMV/DDSketch/Misra-Gries family
+    as the point-lookup member — and unlike those, its determinism makes
+    it the one sketch with an EXACT cross-engine oracle (both engines
+    build bit-identical counters from the shared md5 bucket hash).
+
+    Scale: the explode-by-depth happens map-side and the partial
+    aggregate combines before the shuffle, so the exchange carries at
+    most depth·width = 1024 counter rows per mapper regardless of input
+    volume; the probe join is against the broadcast KB-sized sketch.
+    Per-partition sketches are additive — the same counters could merge
+    across days/streams (the mergeability HLL demonstrates)."""
+    from .trainprep import md5_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    hashed = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("seed"),
+                        md5_bucket(uid, f"cms{s}|", CMS_WIDTH).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("sb")
+    )
+    sketch = hashed.groupBy("sb.seed", "sb.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = (
+        events.filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    probe_cells = probes.select(
+        "user_id",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("seed"),
+                        md5_bucket(
+                            F.col("user_id").cast("string"), f"cms{s}|", CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for s in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("pb"),
+    )
+    return (
+        probe_cells.join(
+            F.broadcast(sketch),
+            (F.col("pb.seed") == F.col("seed"))
+            & (F.col("pb.bucket") == F.col("bucket")),
+        )
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

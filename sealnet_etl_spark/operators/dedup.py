@@ -1024,3 +1024,99 @@ def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+
+_PAGERANK_ITER_SQL = """
+    SELECT d.node, d.deg,
+           ROUND(0.15 / (SELECT n FROM nn)
+                 + 0.85 * ROUND(SUM(r.rank / r.deg), 9), 9) AS rank
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.dst = d.node
+    GROUP BY d.node, d.deg
+"""
+
+_PAGERANK_ORACLE = (
+    "WITH pairs AS ("
+    + _NGRAM_ORACLE_TEMPLATE.format(
+        k=SHINGLE_K, km1=SHINGLE_K - 1, tau=JACCARD_TAU, block=""
+    )
+    + """
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+    it1 AS ("""
+    + _PAGERANK_ITER_SQL.format(prev="r0")
+    + "), it2 AS ("
+    + _PAGERANK_ITER_SQL.format(prev="it1")
+    + "), it3 AS ("
+    + _PAGERANK_ITER_SQL.format(prev="it2")
+    + """)
+    SELECT node AS doc_id, deg, ROUND(rank, 6) AS pagerank FROM it3
+"""
+)
+
+
+@query("llm_pagerank", survey_id="LLM-3", oracle=_PAGERANK_ORACLE)
+def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, damping 0.85) over the exact
+    near-dup similarity graph — the authority score that complements the
+    degree report: inside a duplication family it concentrates on the
+    most-connected revision, which is a principled canonical-pick signal
+    when no quality key exists (llm_keep_best_duplicate's alternative).
+
+    Runs on the CACHED verified MinHash pair list (id pairs, KBs at any
+    corpus size): per iteration one join propagates rank/deg along edges
+    and one aggregate re-sums per node — the identical id-only
+    shuffle shape as llm_dedup_clusters' pointer jumping, with the
+    fixed iteration count making checkpointing unnecessary (lineage
+    depth 3·2 joins, well under the CC loop's jump budget).
+
+    Cross-engine exactness: per-node contribution sums are rounded to
+    9 dp before the damping affine (both engines), so accumulation-order
+    ulps can never reach the 6-dp reported rounding (SURVEY §5.3)."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("rank") / F.col("deg")), 9).alias("contrib"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.dst)
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(1 - PAGERANK_DAMPING) / F.col("n")
+                    + F.lit(PAGERANK_DAMPING) * F.col("contrib"),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        "deg",
+        F.round("rank", 6).alias("pagerank"),
+    )

@@ -1169,3 +1169,115 @@ def etl_cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("current_value"),
         )
     )
+
+
+@query(
+    "etl_winsorize",
+    survey_id="ETL-2/AG-7",
+    oracle="""
+        WITH caps AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p05,
+                   quantile_cont(value, 0.95) AS p95
+            FROM events
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(c.p05, 4) AS p05,
+               ROUND(c.p95, 4) AS p95,
+               CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_capped_low,
+               CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_capped_high,
+               ROUND(AVG(e.value), 4) AS mean_raw,
+               ROUND(AVG(GREATEST(c.p05, LEAST(c.p95, e.value))), 4)
+                   AS mean_winsorized
+        FROM events e JOIN caps c USING (event_type)
+        GROUP BY e.event_type, c.p05, c.p95
+    """,
+)
+def etl_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization QA: clamp each group's values into its exact
+    [p05, p95] band and report how many rows each tail capped plus the
+    mean shift — the standard outlier-robust pre-processing for metrics
+    that feed averages (a single fat-fingered value stops dominating the
+    group mean).
+
+    Both engines compute the EXACT linearly-interpolated percentile
+    (Spark ``percentile``, DuckDB ``quantile_cont`` — same index
+    p·(n−1) definition), so the caps are bit-comparable after rounding.
+    Scale: percentile is a per-group sort-based aggregate over the
+    event_type shuffle (5 groups here; at higher cardinality swap in
+    percentile_approx and the oracle tolerance documented in AG-7); the
+    caps table is group-count-sized, broadcast back onto the fact scan,
+    and the final aggregate reuses the event_type partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    caps = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05D)").alias("p05"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+    )
+    joined = events.join(F.broadcast(caps), "event_type")
+    clamped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    return joined.groupBy("event_type", "p05", "p95").agg(
+        F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0)).alias(
+            "n_capped_low"
+        ),
+        F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0)).alias(
+            "n_capped_high"
+        ),
+        F.round(F.avg("value"), 4).alias("mean_raw"),
+        F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+    ).select(
+        "event_type",
+        F.round("p05", 4).alias("p05"),
+        F.round("p95", 4).alias("p95"),
+        "n_capped_low",
+        "n_capped_high",
+        "mean_raw",
+        "mean_winsorized",
+    )
+
+
+@query(
+    "etl_late_arriving_dim",
+    survey_id="ETL-5/JN-4",
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey % 7 <> 0
+        )
+        SELECT COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(COUNT(*) AS BIGINT)            AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               ROUND(SUM(e.value), 4)              AS total_value
+        FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+        GROUP BY 1
+    """,
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling: facts whose dimension member
+    hasn't landed yet roll up under an explicit UNKNOWN member instead of
+    silently vanishing through an inner join — the warehouse-standard
+    "early-arriving fact" pattern (the UNKNOWN row is re-attributed when
+    the dim catches up; meanwhile totals stay complete).
+
+    The missing members are synthesized deterministically (every 7th
+    custkey held out of the dim). Scale: dim is broadcast (bounded), the
+    fact side never shuffles for the join — only the final group-by
+    exchanges, and COALESCE keeps the aggregate key low-cardinality."""
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey, "left"
+    )
+    return joined.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

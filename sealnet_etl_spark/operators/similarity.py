@@ -975,3 +975,111 @@ def llm_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_vectors"),
     )
+
+
+KNN_K = 5
+KNN_PROBE_MOD = 25  # probe set = every 25th vec_id (deterministic, ~4%)
+
+
+@query(
+    "llm_knn_classifier",
+    survey_id="LLM-4/LLM-11",
+    oracle=f"""
+        WITH probes AS (
+            SELECT vec_id AS pid, embedding AS pe, label AS pl
+            FROM embeddings WHERE vec_id % {KNN_PROBE_MOD} = 0
+        ), scored AS (
+            SELECT pid, pl, c.vec_id AS cid, c.label AS cl,
+                   ROUND(list_cosine_similarity(pe::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6)
+                       AS sim
+            FROM probes, embeddings c WHERE c.vec_id <> pid
+        ), topk AS (
+            SELECT * FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY pid ORDER BY sim DESC, cid
+            ) <= {KNN_K}
+        ), votes AS (
+            SELECT pid, pl, cl, COUNT(*) AS n, MAX(sim) AS best
+            FROM topk GROUP BY pid, pl, cl
+        )
+        SELECT pid AS src_id,
+               CAST(pl AS BIGINT) AS true_label,
+               CAST(cl AS BIGINT) AS pred_label,
+               CAST(CASE WHEN pl = cl THEN 1 ELSE 0 END AS INT) AS correct
+        FROM votes
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY pid ORDER BY n DESC, best DESC, cl
+        ) = 1
+    """,
+)
+def llm_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classifier over the embedding table: each probe
+    vector is labeled by its 5 nearest corpus neighbors (cosine), ties
+    broken by count → best similarity → smallest label — the standard
+    zero-training baseline for "are these embeddings good enough to
+    separate the classes" and the eval harness behind every
+    retrieval-augmented labeling scheme.
+
+    Scale: identical corpus-tile BLAS path as llm_topk_cosine /
+    llm_hard_negatives — probes stream through Arrow batches, each batch
+    scored against the labeled tile with one matmul; the vote runs on the
+    k-sized neighbor list in-kernel, so nothing but (probe, prediction)
+    rows ever leave the worker. Determinism: rank on ROUNDED similarity
+    with vec_id tiebreak, vote on (count, best-rounded-sim, label) —
+    byte-identical to the oracle's QUALIFY chain (SURVEY §5.3)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
+    tile = f"{base}/tile=0"
+    probes = emb.filter(F.col("vec_id") % KNN_PROBE_MOD == 0)
+
+    def knn_batches(batches):
+        ids, mat, norms, labels = _load_tile(tile, with_labels=True)
+        labels = np.asarray(labels, dtype=np.int64)
+        empty = pd.DataFrame(
+            {"src_id": [], "true_label": [], "pred_label": [], "correct": []}
+        ).astype(
+            {"src_id": "int64", "true_label": "int64",
+             "pred_label": "int64", "correct": "int32"}
+        )
+        for pdf in batches:
+            if ids.size == 0 or not len(pdf):
+                yield empty
+                continue
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = np.round(q @ mat.T / (qn[:, None] * norms[None, :]), 6)
+            src_ids = pdf["vec_id"].to_numpy()
+            src_labels = pdf["label"].to_numpy()
+            out = {"src_id": [], "true_label": [], "pred_label": [], "correct": []}
+            for row in range(len(src_ids)):
+                order = np.argsort(-cos[row], kind="stable")
+                votes: dict = {}
+                taken = 0
+                for j in order:
+                    if ids[j] == src_ids[row]:
+                        continue
+                    lbl = int(labels[j])
+                    n, best = votes.get(lbl, (0, -2.0))
+                    votes[lbl] = (n + 1, max(best, cos[row, j]))
+                    taken += 1
+                    if taken == KNN_K:
+                        break
+                pred = min(
+                    votes.items(), key=lambda kv: (-kv[1][0], -kv[1][1], kv[0])
+                )[0]
+                out["src_id"].append(int(src_ids[row]))
+                out["true_label"].append(int(src_labels[row]))
+                out["pred_label"].append(pred)
+                out["correct"].append(int(pred == src_labels[row]))
+            yield pd.DataFrame(out).astype({"correct": "int32"})
+
+    return probes.mapInPandas(
+        knn_batches,
+        "src_id bigint, true_label bigint, pred_label bigint, correct int",
+    )

@@ -730,3 +730,113 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw_bytes") == 0)
         | (F.col("compression_ratio") < 0.35),
     )
+
+
+@query(
+    "llm_dataset_card",
+    survey_id="LLM-7/ETL-6",
+    oracle=r"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT)                  AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT)    AS n_sources,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+               CAST(SUM(len(string_split_regex(lower(text), '\s+')))
+                    AS BIGINT)                           AS total_tokens,
+               ROUND(AVG(len(string_split_regex(lower(text), '\s+'))), 4)
+                   AS avg_tokens,
+               ROUND(quantile_cont(
+                   len(string_split_regex(lower(text), '\s+')), 0.5), 4)
+                   AS median_tokens,
+               MIN(n_chars)                              AS min_chars,
+               MAX(n_chars)                              AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: the per-language summary block every
+    released training corpus publishes — document/source counts, exact
+    duplication headroom (unique text hashes vs rows), token totals and
+    distribution, and char-length extremes — computed in ONE pass so the
+    card never drifts from the data it describes.
+
+    Scale: a single hash aggregation over the lang key; the two COUNT
+    DISTINCTs expand to the standard two-phase distinct aggregate
+    (partial distinct per partition before the exchange), the exact
+    median is a per-group sort of token counts (5 groups — for
+    high-cardinality grouping swap percentile_approx per AG-7), and the
+    token counting is a narrow JVM split/size, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(normalized_words(F.col("text")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
+        F.round(F.expr(
+            r"percentile(size(split(lower(text), '\\s+')), 0.5D)"
+        ), 4).alias("median_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+BPE_TOP_PAIRS = 30
+
+
+@query(
+    "llm_bpe_merge_candidates",
+    survey_id="LLM-8",
+    oracle=rf"""
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), vocab AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM words WHERE len(w) >= 2 GROUP BY w
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                          i -> substring(w, i, 2))) AS pair,
+                   freq
+            FROM vocab
+        )
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+        QUALIFY ROW_NUMBER() OVER (
+            ORDER BY SUM(freq) DESC, pair
+        ) <= {BPE_TOP_PAIRS}
+    """,
+)
+def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge candidates: the corpus's top adjacent character-pair
+    frequencies, weighted by word frequency — exactly what byte-pair-
+    encoding training consumes on its first merge step (and re-consumes
+    per merge round), and the natural companion to llm_vocab_induction's
+    word-level table.
+
+    Scale: the quadratic-looking pair explosion runs over the VOCAB
+    (distinct words — sublinear in corpus size), not the corpus; word
+    counting map-side-combines before its one shuffle, the pair
+    aggregate's key space is bounded by the alphabet (≤ charset²), and
+    the top-N is a TakeOrdered heap, never a global sort. Ties at the
+    cut are deterministic: (count DESC, pair ASC) on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

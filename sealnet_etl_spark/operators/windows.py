@@ -1349,3 +1349,64 @@ def wn_ema_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(ema, 6).alias("ema_value"),
     )
+
+
+@query(
+    "wn_max_drawdown",
+    survey_id="WN-4",
+    oracle="""
+        WITH flow AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type IN ('purchase', 'signup')
+                        THEN ROUND(value, 2) ELSE -ROUND(value, 2) END AS net
+            FROM events
+        ), cum AS (
+            SELECT user_id, ts, event_id,
+                   SUM(net) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS bal
+            FROM flow
+        ), dd AS (
+            SELECT user_id, bal,
+                   MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       - bal AS drawdown
+            FROM cum
+        )
+        SELECT user_id,
+               ROUND(MAX(drawdown), 4) AS max_drawdown,
+               ROUND(MIN(bal), 4)      AS min_balance,
+               ROUND(MAX(bal), 4)      AS peak_balance
+        FROM dd
+        GROUP BY user_id
+    """,
+)
+def wn_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: running net balance (purchases/signups
+    credit, clicks/views/errors debit), tracked against its running peak —
+    the largest peak-to-trough fall is THE risk statistic for any
+    cumulative series (budgets, account balances, model-reward curves).
+
+    Determinism: the running sum folds values sequentially in (ts,
+    event_id) order on both engines, so the IEEE accumulation order is
+    identical; inputs are pre-rounded to 2 dp so both engines fold the
+    same doubles. Scale: one shuffle on user_id feeds BOTH stacked
+    windows (same partitioning + ordering → Catalyst plans a single
+    Window node chain over one sort, no second exchange) and the final
+    per-user aggregate reuses the same partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    net = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.round("value", 2)
+    ).otherwise(-F.round("value", 2))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bal = F.sum(net).over(run)
+    flow = events.select("user_id", "ts", "event_id", bal.alias("bal"))
+    dd = flow.select(
+        "user_id",
+        "bal",
+        (F.max("bal").over(run) - F.col("bal")).alias("drawdown"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.round(F.max("drawdown"), 4).alias("max_drawdown"),
+        F.round(F.min("bal"), 4).alias("min_balance"),
+        F.round(F.max("bal"), 4).alias("peak_balance"),
+    )
