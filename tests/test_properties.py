@@ -356,3 +356,22 @@ def test_misra_gries_superset_guarantee(stream, k, n_batches):
         for item, est in summary.items():
             assert est <= local[item]
             assert local[item] - est <= len(batch) / (k + 1)
+
+
+def test_count_min_sketch_overestimate_guarantee(spark):
+    """CMS never under-estimates, and error stays within eps*N with the
+    (1 - (1/2)^depth) confidence that depth-4 makes near-certain here:
+    with width 256 >> distinct keys at this SF, every probe should in
+    fact be exact, and the >= bound is structural."""
+    from sealnet_etl_spark.operators.aggregates import CMS_WIDTH
+    from sealnet_etl_spark.registry import all_queries
+
+    from .conftest import SMOKE_SF_DIR
+
+    rows = all_queries()["ag_count_min_sketch"](spark, SMOKE_SF_DIR).collect()
+    assert rows, "probe set must be non-empty"
+    n_total = sum(r.true_count for r in rows)  # lower bound on stream size
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r
+        # e/width bound with generous slack (true N includes non-probes)
+        assert r.cms_estimate - r.true_count <= max(1, 10 * n_total // CMS_WIDTH), r
