@@ -32,9 +32,19 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs_at_smoke_sf(spark):
-    """All registered queries must at least execute on sf0.001."""
+    """All registered queries must at least execute on sf0.001 — and their
+    physical plans must pass the scale lint (no CartesianProduct, no
+    row-at-a-time Python; tools/plan_lint.py) on the same pass."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_lint import lint_plan, plan_string
+
     from .conftest import SMOKE_SF_DIR
 
     for name, fn in all_queries().items():
         df = fn(spark, SMOKE_SF_DIR)
+        hits = lint_plan(name, plan_string(df))
+        assert not hits, (name, hits)
         assert df.count() >= 0, name
