@@ -203,6 +203,9 @@ _ROUND3_LATE: frozenset = frozenset(
         "ag_count_min_sketch",
         "llm_dataset_card",
         "llm_bpe_merge_candidates",
+        "wn_change_point",
+        "llm_cross_source_overlap",
+        "etl_incremental_mv_refresh",
     }
 )
 

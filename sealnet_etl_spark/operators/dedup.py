@@ -1120,3 +1120,52 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg",
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+_CROSS_SOURCE_ORACLE = (
+    "WITH pairs AS ("
+    + _NGRAM_ORACLE_TEMPLATE.format(
+        k=SHINGLE_K, km1=SHINGLE_K - 1, tau=JACCARD_TAU, block=""
+    )
+    + """
+    )
+    SELECT LEAST(sa.source, sb.source)    AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT)       AS n_near_dup_pairs,
+           ROUND(AVG(p.jaccard), 4)       AS avg_jaccard
+    FROM pairs p
+    JOIN documents sa ON p.doc_a = sa.doc_id
+    JOIN documents sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2
+"""
+)
+
+
+@query("llm_cross_source_overlap", survey_id="LLM-2/ETL-6", oracle=_CROSS_SOURCE_ORACLE)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts between
+    every pair of corpus sources (crawls, dumps, vendors) — the report
+    that decides WHICH acquisition is redundant before paying for it
+    again, and the source-level rollup of the per-doc degree report.
+
+    Runs on the CACHED verified MinHash pair list; attaching sources is
+    two id-equi-joins against a doc_id→source projection (at 100 TB that
+    projection is bucketed by doc_id, so the joins co-locate), and the
+    unordered source pair is canonicalized with least/greatest before
+    the final tiny aggregate — the matrix is |sources|²-bounded."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a")
+    sb = src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dup_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+    )

@@ -1281,3 +1281,60 @@ def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+MV_SPLIT_MOD = 2  # base = even event_ids, delta = odd — groups straddle
+
+
+@query(
+    "etl_incremental_mv_refresh",
+    survey_id="ETL-5/AG-1",
+    oracle="""
+        SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4)     AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+)
+def etl_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a persisted additive
+    rollup (count + sum per day × type) is refreshed by AGGREGATING ONLY
+    THE DELTA batch and merging partial states — never recomputing the
+    base — and the oracle proves the algebra by checking the merged view
+    against a from-scratch aggregate over everything.
+
+    The base/delta split deliberately straddles groups (event-id parity)
+    so every output row exercises real state merging, not row routing.
+    Scale: this is THE pattern that makes daily 100 TB rollups
+    affordable — refresh cost is O(delta) + a view-sized merge join
+    (both sides pre-aggregated; sums/counts are mergeable partials,
+    exactly like Spark's own partial/final agg split). Sums merge
+    UNROUNDED and round only at the edge, so merged state equals the
+    one-shot aggregate to the reported precision."""
+    events = load_table(spark, sf_dir, "events")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+        )
+
+    base_mv = rollup(events.filter(F.col("event_id") % MV_SPLIT_MOD == 0))
+    delta_mv = rollup(events.filter(F.col("event_id") % MV_SPLIT_MOD != 0))
+    merged = base_mv.alias("b").join(
+        delta_mv.alias("dl"), ["event_type", "d"], "full_outer"
+    )
+    return merged.select(
+        "event_type",
+        "d",
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("dl.n"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            F.coalesce(F.col("b.s"), F.lit(0.0))
+            + F.coalesce(F.col("dl.s"), F.lit(0.0)),
+            4,
+        ).alias("total_value"),
+    )

@@ -1410,3 +1410,109 @@ def wn_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("bal"), 4).alias("min_balance"),
         F.round(F.max("bal"), 4).alias("peak_balance"),
     )
+
+
+@query(
+    "wn_change_point",
+    survey_id="WN-4/AG-1",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS d,
+                   ROUND(SUM(value), 4) AS day_sum,
+                   CAST(COUNT(*) AS BIGINT) AS day_cnt
+            FROM events GROUP BY 1, 2
+        ), run AS (
+            SELECT event_type, d,
+                   SUM(day_sum) OVER w AS pre_sum,
+                   SUM(day_cnt) OVER w AS pre_cnt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), pre AS (
+            SELECT event_type, d, pre_sum, pre_cnt,
+                   LAST_VALUE(pre_sum) OVER p AS tot_sum,
+                   LAST_VALUE(pre_cnt) OVER p AS tot_cnt
+            FROM run
+            WINDOW p AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)
+        ), scored AS (
+            SELECT event_type, d AS split_day,
+                   ROUND(pre_sum / pre_cnt, 6) AS mean_before,
+                   ROUND((tot_sum - pre_sum) / (tot_cnt - pre_cnt), 6)
+                       AS mean_after,
+                   ROUND(ABS(pre_sum / pre_cnt
+                             - (tot_sum - pre_sum) / (tot_cnt - pre_cnt)), 6)
+                       AS shift
+            FROM pre WHERE pre_cnt < tot_cnt
+        )
+        SELECT * FROM scored
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY shift DESC, split_day
+        ) = 1
+    """,
+)
+def wn_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (binary segmentation, step 1): per event
+    type, the split day that maximizes the |mean before − mean after|
+    shift of the daily value series — where a metric's level actually
+    moved, which is the question behind every "did the deploy change
+    things" incident review.
+
+    Scale: the raw stream reduces to a calendar-sized daily table FIRST
+    (one keyed agg); all window work — running sums, totals via
+    LAST_VALUE of the same running sum, O(days) candidate scoring —
+    happens on that tiny series. Totals deliberately reuse the
+    sequentially-accumulated running sum's final value instead of a
+    second SUM whose accumulation order could differ between engines;
+    day sums are pre-rounded so both engines fold identical doubles
+    (SURVEY §5.3)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.round(F.sum("value"), 4).alias("day_sum"),
+        F.count(F.lit(1)).alias("day_cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.sum("day_sum").over(w).alias("pre_sum"),
+        F.sum("day_cnt").over(w).alias("pre_cnt"),
+    ).select(
+        "event_type",
+        "d",
+        "pre_sum",
+        "pre_cnt",
+        F.last("pre_sum").over(p).alias("tot_sum"),
+        F.last("pre_cnt").over(p).alias("tot_cnt"),
+    )
+    mean_before = F.col("pre_sum") / F.col("pre_cnt")
+    mean_after = (F.col("tot_sum") - F.col("pre_sum")) / (
+        F.col("tot_cnt") - F.col("pre_cnt")
+    )
+    scored = pre.filter(F.col("pre_cnt") < F.col("tot_cnt")).select(
+        "event_type",
+        F.col("d").alias("split_day"),
+        F.round(mean_before, 6).alias("mean_before"),
+        F.round(mean_after, 6).alias("mean_after"),
+        F.round(F.abs(mean_before - mean_after), 6).alias("shift"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("shift").desc(), F.col("split_day")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
