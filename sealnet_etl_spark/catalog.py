@@ -206,6 +206,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_change_point",
         "llm_cross_source_overlap",
         "etl_incremental_mv_refresh",
+        "wn_skyline_pareto",
+        "jn_hierarchy_depth",
     }
 )
 

@@ -815,3 +815,97 @@ def jn_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_us"),
         )
     )
+
+
+HIERARCHY_MAX_DOUBLINGS = 8  # resolves ancestor chains up to 2^8 deep
+
+
+@query(
+    "jn_hierarchy_depth",
+    survey_id="JN-10/LLM-3",
+    oracle="""
+        WITH RECURSIVE edges AS (
+            SELECT c_custkey AS id,
+                   CASE WHEN c_custkey = 1 THEN NULL
+                        ELSE (('0x' || substring(md5('tree|'
+                                  || c_custkey::VARCHAR), 1, 8))::BIGINT
+                              % (c_custkey - 1)) + 1 END AS parent
+            FROM customer
+        ),
+        walk(id, anc, dist) AS (
+            SELECT id, parent, 1 FROM edges WHERE parent IS NOT NULL
+            UNION ALL
+            SELECT w.id, e.parent, w.dist + 1
+            FROM walk w JOIN edges e ON w.anc = e.id
+            WHERE e.parent IS NOT NULL
+        )
+        SELECT CAST(id AS BIGINT) AS id, CAST(depth AS INT) AS depth
+        FROM (SELECT 1 AS id, 0 AS depth
+              UNION ALL
+              SELECT id, MAX(dist) FROM walk GROUP BY id)
+    """,
+)
+def jn_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy closure: each node's depth in a parent-child
+    tree (org charts, category taxonomies, bill-of-materials) — the
+    recursive-CTE workload class, computed without recursion support.
+    The tree is synthesized deterministically over customers (each node's
+    parent is an md5-drawn smaller id, root = 1), so both engines walk
+    the identical random hierarchy.
+
+    Spark has no recursive CTE; a parent-pointer walk would need
+    O(depth) sequential joins. POINTER DOUBLING gets O(log depth): each
+    iteration jumps every unresolved node from its current ancestor to
+    that ancestor's ancestor, doubling resolved distance — the same
+    technique as the dedup CC loop, on a directed chain. Each iteration
+    is ONE self-join on id + a checkpoint (lineage control, measured
+    load-bearing in dedup.py); the fixpoint witness is a single count of
+    rows not yet at the root. At 10⁹ nodes and depth 10⁴, 14 iterations
+    finish; chain depth beyond 2^max_doublings raises instead of
+    returning a wrong answer."""
+    from .dedup import _truncate_lineage
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id")
+    )
+    hashed = F.conv(
+        F.substring(F.md5(F.concat(F.lit("tree|"), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    edges = cust.select(
+        "id",
+        F.when(F.col("id") == 1, F.lit(None).cast("bigint"))
+        .otherwise(hashed % (F.col("id") - 1) + 1)
+        .alias("parent"),
+    )
+    state = _truncate_lineage(
+        edges.filter(F.col("parent").isNotNull()).select(
+            "id", F.col("parent").alias("anc"), F.lit(1).alias("dist")
+        )
+    )
+    for _ in range(HIERARCHY_MAX_DOUBLINGS):
+        if state.filter(F.col("anc") != 1).limit(1).count() == 0:
+            break
+        hop = state.select(
+            F.col("id").alias("t_id"),
+            F.col("anc").alias("t_anc"),
+            F.col("dist").alias("t_dist"),
+        )
+        state = _truncate_lineage(
+            state.join(hop, state.anc == hop.t_id, "left").select(
+                "id",
+                F.coalesce("t_anc", "anc").alias("anc"),
+                (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
+            )
+        )
+    else:
+        if state.filter(F.col("anc") != 1).limit(1).count() > 0:
+            raise RuntimeError(
+                "hierarchy deeper than 2^HIERARCHY_MAX_DOUBLINGS — raise the bound"
+            )
+    return state.select("id", F.col("dist").cast("int").alias("depth")).unionByName(
+        state.sparkSession.range(1, 2).select(
+            F.col("id"), F.lit(0).cast("int").alias("depth")
+        )
+    )

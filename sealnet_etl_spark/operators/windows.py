@@ -1516,3 +1516,68 @@ def wn_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "wn_skyline_pareto",
+    survey_id="WN-2/JN-6",
+    oracle="""
+        WITH pts AS (
+            SELECT s.s_suppkey,
+                   CAST(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount))
+                              * 100) AS BIGINT) AS rev_cents,
+                   ROUND(s.s_acctbal, 2) AS acctbal
+            FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            GROUP BY s.s_suppkey, s.s_acctbal
+        )
+        SELECT s_suppkey, rev_cents, acctbal FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.rev_cents >= a.rev_cents AND b.acctbal >= a.acctbal
+              AND (b.rev_cents > a.rev_cents OR b.acctbal > a.acctbal)
+        )
+    """,
+)
+def wn_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: suppliers not dominated on
+    (revenue, account balance) — no other supplier is ≥ on both axes and
+    > on one. The classic multi-objective shortlist ("best trade-offs,
+    no scalarization") from the OLAP skyline literature.
+
+    The oracle states dominance declaratively (NOT EXISTS — a quadratic
+    anti-join); the engine computes the same frontier in O(n log n) with
+    two window passes over the points: max(y) over strictly-greater x
+    (integer-cent RANGE frame makes "strictly" expressible) plus max(y)
+    within the same x — a point survives iff neither exceeds its y.
+    Scale: the windows run on the AGGREGATED supplier-sized table (dims
+    are bounded; the fact scan reduces first). A fact-sized skyline
+    would grid-partition the plane and prune blocks dominated by other
+    blocks' corners before any within-block pass — documented, not
+    needed for a dimension frontier."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+        .select(
+            "s_suppkey", "rev_cents", F.round("s_acctbal", 2).alias("acctbal")
+        )
+    )
+    w_gt = Window.orderBy("rev_cents").rangeBetween(1, Window.unboundedFollowing)
+    w_same = Window.partitionBy("rev_cents")
+    flagged = pts.select(
+        "s_suppkey",
+        "rev_cents",
+        "acctbal",
+        F.max("acctbal").over(w_gt).alias("max_y_gt"),
+        F.max("acctbal").over(w_same).alias("max_y_same"),
+    )
+    return flagged.filter(
+        (F.col("max_y_gt").isNull() | (F.col("max_y_gt") < F.col("acctbal")))
+        & (F.col("max_y_same") <= F.col("acctbal"))
+    ).select("s_suppkey", "rev_cents", "acctbal")
