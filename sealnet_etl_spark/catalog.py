@@ -208,6 +208,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_incremental_mv_refresh",
         "wn_skyline_pareto",
         "jn_hierarchy_depth",
+        "jn_spatial_grid",
+        "jn_bloom_prefilter",
     }
 )
 

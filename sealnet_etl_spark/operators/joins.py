@@ -909,3 +909,237 @@ def jn_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id"), F.lit(0).cast("int").alias("depth")
         )
     )
+
+
+SPATIAL_EXTENT = 10_000  # synthetic plane: integer meters in [0, extent)²
+SPATIAL_RADIUS = 200
+
+
+@query(
+    "jn_spatial_grid",
+    survey_id="JN-7/JN-9",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS id,
+                   ('0x' || substring(md5('x|' || c_custkey::VARCHAR), 1, 8))::BIGINT
+                       % {SPATIAL_EXTENT} AS x,
+                   ('0x' || substring(md5('y|' || c_custkey::VARCHAR), 1, 8))::BIGINT
+                       % {SPATIAL_EXTENT} AS y
+            FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
+        FROM pts a JOIN pts b ON a.id < b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+              <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+    """,
+)
+def jn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join: all point pairs within 200 m on a
+    synthetic integer-meter plane (coordinates md5-derived per customer,
+    so both engines see the identical point set) — the proximity-join
+    shape behind store-coverage, sensor-neighbor, and geo-dedup queries.
+
+    The oracle is the quadratic all-pairs scan; the engine GRID-BLOCKS:
+    each point lands in a radius-sized cell, pairs only form between a
+    cell and its 3×3 neighborhood (point A is replicated into the 9
+    neighbor cells, point B stays home, a.id < b.id dedups the pair),
+    and the exact integer dist² predicate verifies within a block —
+    pure arithmetic end to end, so no transcendental-function ulps can
+    disagree across engines. Scale: candidate cost is density-bounded
+    (points per cell), never n²; the 9× replication is of (id, x, y)
+    triples only. A production geo variant swaps the integer plane for
+    S2/geohash cells — same plan shape, coarser cell maths."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{axis}|"), F.col("c_custkey").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % SPATIAL_EXTENT
+            ).alias(axis)
+            for axis in ("x", "y")
+        ],
+    )
+    cell = SPATIAL_RADIUS  # cell width = radius → neighbors span 3×3
+    home = pts.select(
+        "id", "x", "y", (F.col("x") / cell).cast("bigint").alias("cx"),
+        (F.col("y") / cell).cast("bigint").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = pts.select(
+        F.col("id").alias("id_a"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        ((F.col("x") / cell).cast("bigint") + dx).alias("cx"),
+                        ((F.col("y") / cell).cast("bigint") + dy).alias("cy"),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("nc"),
+    )
+    dist_sq = (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x")) + (
+        F.col("ya") - F.col("y")
+    ) * (F.col("ya") - F.col("y"))
+    return (
+        probe.join(
+            home,
+            (F.col("nc.cx") == home.cx)
+            & (F.col("nc.cy") == home.cy)
+            & (F.col("id_a") < home.id),
+        )
+        .select(
+            "id_a",
+            F.col("id").alias("id_b"),
+            dist_sq.alias("dist_sq"),
+        )
+        .filter(F.col("dist_sq") <= SPATIAL_RADIUS * SPATIAL_RADIUS)
+    )
+
+
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+BLOOM_WORD = 32  # bits packed per word (bigint-safe shifts in both engines)
+BLOOM_HOT_PRICE = 490_000.0
+
+
+@query(
+    "jn_bloom_prefilter",
+    survey_id="JN-5/AG-3",
+    oracle=f"""
+        WITH hot AS (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_totalprice > {BLOOM_HOT_PRICE}
+        ), seeds AS (SELECT unnest(range({BLOOM_HASHES})) AS j),
+        bloom AS (
+            SELECT pos // {BLOOM_WORD} AS word,
+                   bit_or(1::BIGINT << (pos % {BLOOM_WORD})) AS bits
+            FROM (SELECT (('0x' || substring(md5('bloom' || j::VARCHAR || '|'
+                              || o_custkey::VARCHAR), 1, 8))::BIGINT
+                          % {BLOOM_BITS}) AS pos
+                  FROM hot, seeds)
+            GROUP BY 1
+        ), probe AS (
+            SELECT c.c_custkey,
+                   (('0x' || substring(md5('bloom' || j::VARCHAR || '|'
+                        || c.c_custkey::VARCHAR), 1, 8))::BIGINT
+                    % {BLOOM_BITS}) AS pos
+            FROM customer c, seeds
+        ), hits AS (
+            SELECT p.c_custkey,
+                   MIN(CASE WHEN COALESCE(
+                           b.bits & (1::BIGINT << (p.pos % {BLOOM_WORD})), 0
+                       ) != 0 THEN 1 ELSE 0 END) AS bloom_pass
+            FROM probe p LEFT JOIN bloom b ON b.word = p.pos // {BLOOM_WORD}
+            GROUP BY 1
+        )
+        SELECT CAST(h.bloom_pass AS INT) AS bloom_pass,
+               CAST(CASE WHEN hot.o_custkey IS NOT NULL
+                    THEN 1 ELSE 0 END AS INT) AS exact_member,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM hits h LEFT JOIN hot ON h.c_custkey = hot.o_custkey
+        GROUP BY 1, 2
+    """,
+)
+def jn_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, made explicit: a 4096-bit / 3-hash
+    Bloom filter built over the hot-order customer keys prunes the probe
+    side BEFORE any join, and the confusion matrix (bloom_pass ×
+    exact_member) quantifies what the filter bought — zero false
+    negatives structurally, false positives measured. This is the
+    technique AQE's runtime bloom injection applies implicitly (SCALE.md
+    join doctrine); building it from md5 bit positions + bit_or word
+    aggregation makes it deterministic enough for an EXACT cross-engine
+    oracle, like the count-min sketch.
+
+    Scale: the filter is 128 packed words — kilobytes —
+    built with one partial-agg shuffle over the (small) hot set and
+    BROADCAST to the probe scan; probes test membership map-side (3
+    md5s + 3 word lookups each), so the expensive exact join downstream
+    only sees survivors. Undersized filters degrade to pass-everything
+    (visible in the matrix), never to wrong answers."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    hot = (
+        orders.filter(F.col("o_totalprice") > BLOOM_HOT_PRICE)
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def positions(key: Column, out: str) -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"bloom{j}|"), key.cast("string"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % BLOOM_BITS
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias(out)
+
+    bloom = (
+        hot.select(positions(F.col("o_custkey"), "pos"))
+        .groupBy((F.col("pos") / BLOOM_WORD).cast("bigint").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD} as int))")
+            ).alias("bits")
+        )
+    )
+    probe = cust.select("c_custkey", positions(F.col("c_custkey"), "pos"))
+    hits = (
+        probe.join(
+            F.broadcast(bloom),
+            (F.col("pos") / BLOOM_WORD).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.when(
+                F.coalesce(
+                    F.col("bits").bitwiseAND(
+                        F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD} as int))")
+                    ),
+                    F.lit(0),
+                )
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("hit").alias("bloom_pass"))
+    )
+    return (
+        hits.join(
+            F.broadcast(hot), hits.c_custkey == hot.o_custkey, "left"
+        )
+        .select(
+            F.col("bloom_pass").cast("int").alias("bloom_pass"),
+            F.when(F.col("o_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("exact_member"),
+        )
+        .groupBy("bloom_pass", "exact_member")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
