@@ -210,6 +210,9 @@ _ROUND3_LATE: frozenset = frozenset(
         "jn_hierarchy_depth",
         "jn_spatial_grid",
         "jn_bloom_prefilter",
+        "jn_fuzzy_match_blocked",
+        "etl_join_cardinality",
+        "llm_pca_power_iteration",
     }
 )
 

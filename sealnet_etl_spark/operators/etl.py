@@ -1338,3 +1338,53 @@ def etl_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("total_value"),
     )
+
+
+@query(
+    "etl_join_cardinality",
+    survey_id="ETL-6/JN-1",
+    oracle="""
+        WITH ka AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM orders GROUP BY 1),
+        kb AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+               FROM lineitem GROUP BY 1),
+        prod AS (SELECT ka.k, ka.c * kb.c AS p FROM ka JOIN kb USING (k))
+        SELECT CAST(SUM(p) AS BIGINT)   AS predicted_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+               CAST(MAX(p) AS BIGINT)   AS max_key_product,
+               CAST((SELECT k FROM prod
+                     QUALIFY ROW_NUMBER() OVER (ORDER BY p DESC, k) = 1)
+                    AS BIGINT)          AS heaviest_key
+        FROM prod
+    """,
+)
+def etl_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation, exact: the planner question "how many rows
+    will orders ⋈ lineitem produce, and is one key responsible" answered
+    BEFORE running the join — Σ over matching keys of the per-side
+    multiplicity product, plus the heaviest key (the salting/isolation
+    trigger etl_skew_report generalizes).
+
+    Scale: this never touches the join itself — each side collapses to a
+    keys-sized count table (partial-agg shuffles), the product join is
+    keys-sized, and the answer is a 1-row aggregate. That makes it
+    affordable to run as a pre-flight check in front of any expensive
+    production join; sketch variants (CMS per side) shrink the key
+    tables further when even those don't fit, trading exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ka = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    kb = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prod = ka.join(kb, "k").select("k", (F.col("ca") * F.col("cb")).alias("p"))
+    return prod.agg(
+        F.sum("p").alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max("p").alias("max_key_product"),
+        F.max_by("k", F.struct(F.col("p"), (-F.col("k")).alias("nk"))).alias(
+            "heaviest_key"
+        ),
+    )

@@ -1143,3 +1143,57 @@ def jn_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bloom_pass", "exact_member")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+FUZZY_BLOCK_PREFIX = 3
+FUZZY_MAX_EDITS = 3
+
+
+@query(
+    "jn_fuzzy_match_blocked",
+    survey_id="JN-10/FN-2",
+    oracle=f"""
+        WITH names AS (SELECT DISTINCT p_name FROM part),
+        blocked AS (
+            SELECT p_name, substring(p_name, 1, {FUZZY_BLOCK_PREFIX}) AS blk
+            FROM names
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
+    """,
+)
+def jn_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): near-identical part
+    names within edit distance 3 — the label-unification shape the
+    reference ecosystem needed for species-name typos, generalized:
+    candidate pairs form ONLY inside a cheap blocking key (3-char
+    prefix), then the expensive edit-distance predicate verifies inside
+    the block.
+
+    Scale: names are DISTINCT'd first (labels/entities are sublinear in
+    fact volume — 64 names under 20k parts here); pair cost is quadratic
+    only within a block, the classic record-linkage trade (prefix
+    blocking misses edits inside the prefix — production stacks a second
+    pass keyed on a suffix or phonetic block, same plan shape, to cover
+    them). levenshtein evaluates JVM-side; integer output, no float
+    discipline needed."""
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    blocked = names.select(
+        "p_name", F.substring("p_name", 1, FUZZY_BLOCK_PREFIX).alias("blk")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = blocked.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+    )

@@ -1083,3 +1083,71 @@ def llm_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_batches,
         "src_id bigint, true_label bigint, pred_label bigint, correct int",
     )
+
+
+PCA_ITERS = 8
+
+
+@query("llm_pca_power_iteration", survey_id="LLM-4/LLM-11", oracle=None)
+def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by distributed
+    power iteration — the whitening/compression primitive (project out
+    the dominant direction, or keep it as the 1-d summary) that sits
+    upstream of PCA-based dedup and anisotropy correction for retrieval
+    embeddings.
+
+    Per iteration, entirely as DataFrame aggregates: score each row
+    s = ⟨x − μ, v⟩ (JVM array fold; μ and v ride as broadcast literals),
+    then re-estimate v ∝ Σ s·(x − μ) via posexplode → per-dimension sum
+    — a 64-row result, the only thing the driver ever sees (the same
+    bounded-collect contract as the IVF centroid table). Returns one row
+    per iteration with the Rayleigh quotient vᵀΣv / n (the variance
+    captured), which is monotone non-decreasing — pinned by
+    tests/test_llm_semantics.py. No oracle: partition-order float
+    accumulation makes the trailing digits run-dependent, the same
+    rows-only status as the other iterative/approximate operators.
+
+    Scale: each iteration is one narrow scan + one 64-key aggregate —
+    no shuffle wider than 64 rows; the embedding projection is cached
+    across iterations so the parquet scan happens once."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").cache()
+    dim = EMBED_DIM
+
+    def col_sums(df: DataFrame, arr: Column, weight: Column) -> list[float]:
+        """Per-dimension Σ weight·arr[i] → python list (64 doubles)."""
+        rows = (
+            df.select(F.posexplode(arr).alias("i", "x"), weight.alias("w"))
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+            .collect()
+        )
+        out = [0.0] * dim
+        for r in rows:
+            out[r["i"]] = r["s"]
+        return out
+
+    n = emb.count()
+    mean = [s / n for s in col_sums(emb, F.col("embedding"), F.lit(1.0))]
+    mean_col = F.array(*[F.lit(m) for m in mean])
+    centered = F.zip_with("embedding", mean_col, lambda x, m: x - m)
+
+    v = [1.0 if i == 0 else 0.0 for i in range(dim)]
+    history = []
+    for it in range(1, PCA_ITERS + 1):
+        v_col = F.array(*[F.lit(c) for c in v])
+        score = F.aggregate(
+            F.zip_with(centered, v_col, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        sums = col_sums(emb, centered, score)
+        # Rayleigh quotient vᵀ(Σ centered centeredᵀ)v / n = ⟨sums, v⟩ / n
+        rayleigh = sum(s * c for s, c in zip(sums, v)) / n
+        norm = math.sqrt(sum(s * s for s in sums)) or 1.0
+        v = [s / norm for s in sums]
+        history.append((it, float(rayleigh)))
+    return spark.createDataFrame(
+        history, "iteration int, rayleigh_quotient double"
+    ).select("iteration", F.round("rayleigh_quotient", 4).alias("rayleigh_quotient"))

@@ -325,3 +325,30 @@ def test_compression_ratio_semantics(spark, queries):
     rep_r = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
     var_r = len(zlib.compress(varied.encode(), 6)) / len(varied.encode())
     assert rep_r < 0.1 < var_r
+
+
+def test_pca_power_iteration_converges(spark, queries):
+    """Power iteration's Rayleigh quotient is monotone non-decreasing and
+    must beat the starting axis-aligned direction by the final step —
+    the convergence contract that replaces an exact oracle for this
+    iterative operator. Cross-checked against numpy's eigensolver: the
+    final quotient reaches ≥95% of the true top eigenvalue (the
+    synthetic embeddings' spectrum is nearly flat — the hardest case
+    for power iteration — so full convergence needs more iterations
+    than the bounded demo runs; real clustered embeddings converge
+    faster)."""
+    import numpy as np
+
+    rows = sorted(
+        queries["llm_pca_power_iteration"](spark, SF_DIR).collect(),
+        key=lambda r: r.iteration,
+    )
+    quotients = [r.rayleigh_quotient for r in rows]
+    assert len(quotients) >= 3
+    for a, b in zip(quotients, quotients[1:]):
+        assert b >= a - 1e-6, quotients
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("embedding")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    centered = mat - mat.mean(axis=0)
+    top_eig = np.linalg.eigvalsh(centered.T @ centered / len(mat)).max()
+    assert quotients[-1] >= 0.95 * top_eig, (quotients[-1], top_eig)
