@@ -65,6 +65,13 @@ def headline_queries() -> list[str]:
         "ag_rolling_active_users",
         "jn_interval_overlap",
         "wn_attribution_last_touch",
+        # round-3 continuation, batches 5-10: the grid-blocked spatial
+        # self-join (cell-replication cost), the bloom build+probe path,
+        # and the map-side-combined CMS — tracked so a lost broadcast or
+        # an exploded candidate set shows up as a per-query regression
+        "jn_spatial_grid",
+        "jn_bloom_prefilter",
+        "ag_count_min_sketch",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
