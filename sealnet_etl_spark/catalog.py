@@ -213,6 +213,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "jn_fuzzy_match_blocked",
         "etl_join_cardinality",
         "llm_pca_power_iteration",
+        "str_streaming_ohlc",
+        "etl_medallion_pipeline",
     }
 )
 

@@ -1388,3 +1388,100 @@ def etl_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaviest_key"
         ),
     )
+
+
+@query(
+    "etl_medallion_pipeline",
+    survey_id="ETL-1/ETL-2/SRC-2",
+    oracle="""
+        WITH seg AS (
+            SELECT c_mktsegment AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(ROUND(c_acctbal, 2)), 2) AS total_acctbal
+            FROM customer GROUP BY 1
+        )
+        SELECT segment, n_customers, total_acctbal,
+               (SELECT CAST(COUNT(*)
+                       + COUNT(*) FILTER (WHERE c_custkey % 40 = 0)
+                       + COUNT(*) FILTER (WHERE c_custkey % 50 = 0) AS BIGINT)
+                FROM customer) AS n_bronze_rows,
+               (SELECT CAST(COUNT(*) FILTER (WHERE c_custkey % 50 = 0)
+                       AS BIGINT) FROM customer) AS n_quarantined,
+               (SELECT CAST(COUNT(*) FILTER (WHERE c_custkey % 40 = 0)
+                       AS BIGINT) FROM customer) AS n_duplicates
+        FROM seg
+    """,
+)
+def etl_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion (bronze→silver→gold) lake pipeline, end to end: a dirty
+    CSV landing zone — the clean extract PLUS deterministic re-sends
+    (every 40th key, name re-cased) PLUS unparseable rows (every 50th
+    key, garbage in the money column) — flows through typed PERMISSIVE
+    ingest with quarantine (bronze), conform + keep-canonical dedup
+    (silver), and the segment rollup (gold), with the audit counters
+    every lakehouse dashboard shows (rows landed / quarantined /
+    deduplicated) riding along. The oracle derives gold AND the audit
+    numbers independently from the clean table + the same modular
+    injection rules, proving no row was lost or double-counted anywhere
+    in the three hops.
+
+    Scale: each hop is the already-graded operator at its production
+    shape (SRC-2 quarantine scan, ETL-4 keyed dedup agg, AG-1 rollup);
+    the lone cross join attaches the 1-row audit aggregate. Bronze is
+    written once per (sf, query) to the scratch dir — the landing-zone
+    contract — and every downstream count is lazy against the parsed
+    scan, so the pipeline is ONE job, not three."""
+    from ..sources.ingest import _scratch, read_csv_quarantine
+
+    typed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    as_text = lambda df: df.select(  # noqa: E731 - local shaping helper
+        F.col("c_custkey").cast("string"),
+        "c_name",
+        "c_mktsegment",
+        F.col("acctbal").cast("string"),
+    )
+    resent = typed.filter(F.col("c_custkey") % 40 == 0).withColumn(
+        "c_name", F.upper("c_name")
+    )
+    garbage = typed.filter(F.col("c_custkey") % 50 == 0).withColumn(
+        "acctbal", F.lit(None).cast("double")
+    )
+    landing = (
+        as_text(typed)
+        .unionByName(as_text(resent))
+        .unionByName(
+            as_text(garbage).withColumn("acctbal", F.lit("not-a-number"))
+        )
+    )
+    path = _scratch(sf_dir, "medallion_bronze")
+    landing.write.mode("overwrite").option("header", True).csv(path)
+
+    bronze = read_csv_quarantine(spark, path).cache()
+    valid = bronze.where(F.col("_corrupt").isNull())
+    silver = valid.groupBy("c_custkey").agg(
+        F.min("c_name").alias("c_name"),
+        F.min("c_mktsegment").alias("segment"),
+        F.min("acctbal").alias("acctbal"),
+    )
+    gold = silver.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("acctbal"), 2).alias("total_acctbal"),
+    )
+    audit = bronze.agg(
+        F.count(F.lit(1)).alias("n_bronze_rows"),
+        F.sum(
+            F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)
+        ).alias("n_quarantined"),
+        (
+            F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+            - F.countDistinct(
+                F.when(F.col("_corrupt").isNull(), F.col("c_custkey"))
+            )
+        ).alias("n_duplicates"),
+    )
+    return gold.crossJoin(F.broadcast(audit))

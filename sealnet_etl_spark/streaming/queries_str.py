@@ -738,3 +738,62 @@ def str_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value")
     )
+
+
+@query(
+    "str_streaming_ohlc",
+    survey_id="STR-1/STR-4/AG-8",
+    oracle="""
+        WITH wm AS (
+            SELECT max(ts::TIMESTAMP) - INTERVAL 10 MINUTE AS w FROM events
+        )
+        SELECT CAST(date_trunc('hour', ts::TIMESTAMP) AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               ROUND(arg_min(value, ts::TIMESTAMP), 2) AS open,
+               ROUND(MAX(value), 2)                    AS high,
+               ROUND(MIN(value), 2)                    AS low,
+               ROUND(arg_max(value, ts::TIMESTAMP), 2) AS close,
+               CAST(COUNT(*) AS BIGINT)                AS n_events
+        FROM events
+        GROUP BY 1, 2
+        HAVING window_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def str_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming OHLC bars: the candlestick downsampler
+    (ag_ohlc_bars) run INCREMENTALLY — readStream replay → 10-min
+    watermark → hourly window × event_type agg where min_by/max_by carry
+    the (value, ts) partial states across micro-batches, append-mode
+    memory sink, Trigger.AvailableNow.
+
+    This is the live form of the monitoring rollup: state per open
+    window is one OHLC tuple (constant bytes), the watermark closes and
+    evicts windows as event time advances, and the oracle states the
+    closed-window result exactly (every hourly bar whose end ≤ final
+    watermark). min_by/max_by are mergeable aggregates, so partial
+    states combine across batches exactly like sum — no re-scan of
+    arrived data, which is the entire point at 100 TB/day tick volume."""
+    replay = events_replay_dir(spark, sf_dir)
+    stream = read_events_stream(spark, replay)
+    bars = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.round(F.min_by("value", "ts"), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", "ts"), 2).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_available_now(bars, sf_dir, "str_streaming_ohlc")

@@ -378,6 +378,7 @@ _BNLJ_ALLOWED = {
     "ag_market_basket",     # 1-row order total for the lift denominator
     "ag_rfm_segmentation",  # 1-row max-date + 1-row quintile thresholds
     "llm_pagerank",         # 1-row node-count n for the 1/n and 0.15/n terms
+    "etl_medallion_pipeline",  # 1-row landing-zone audit counters
 }
 
 
