@@ -215,6 +215,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_pca_power_iteration",
         "str_streaming_ohlc",
         "etl_medallion_pipeline",
+        "udf_model_batch_inference",
+        "llm_prefix_dedup",
     }
 )
 

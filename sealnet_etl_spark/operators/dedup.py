@@ -1169,3 +1169,50 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
         )
     )
+
+
+PREFIX_DEDUP_CHARS = 100
+
+
+@query(
+    "llm_prefix_dedup",
+    survey_id="LLM-1/LLM-2",
+    oracle=f"""
+        SELECT md5(substring(lower(text), 1, {PREFIX_DEDUP_CHARS}))
+                   AS prefix_hash,
+               CAST(COUNT(*) AS BIGINT)   AS n_docs,
+               MIN(doc_id)                AS canonical_doc_id,
+               CAST(MIN(n_chars) AS BIGINT) AS shortest_doc_chars
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) >= 2
+    """,
+)
+def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix dedup: documents sharing an identical (normalized) leading
+    100 characters — the cheap instruction-data gate that catches
+    templated prompts, boilerplate headers, and truncation families
+    BEFORE any shingling runs (near-identical prompts differ only past
+    the prefix, where MinHash still scores them apart but training
+    mostly sees the duplicated prefix).
+
+    Scale: one narrow projection (substring + md5 — the prefix hash is
+    16 bytes no matter the doc length, and column pruning means long
+    tails are never read past the scan's string slice) into one hash
+    aggregate; the HAVING keeps only actionable duplicate families.
+    Sits between exact dedup (whole-text hash) and MinHash in the
+    standard gate ladder: exact → prefix → near-dup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.md5(
+                F.substring(F.lower("text"), 1, PREFIX_DEDUP_CHARS)
+            ).alias("prefix_hash")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.min("n_chars").alias("shortest_doc_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -205,3 +205,80 @@ def udf_sql_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events_v WHERE event_type = 'purchase'
         """
     )
+
+
+INFER_WEIGHT_MOD = 1_000_000
+
+
+@query(
+    "udf_model_batch_inference",
+    survey_id="UDF-4/LLM-9",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(AVG((('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
+                          % {INFER_WEIGHT_MOD}) / {INFER_WEIGHT_MOD}.0), 6)
+                   AS score,
+               CAST(AVG((('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
+                         % {INFER_WEIGHT_MOD}) / {INFER_WEIGHT_MOD}.0) >= 0.5
+                    AS INT) AS keep
+        FROM toks WHERE w <> ''
+        GROUP BY doc_id
+    """,
+)
+def udf_model_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched model inference over documents — the pattern every
+    classifier-gated training pipeline runs (fastText quality filters,
+    toxicity scorers, reward models): ``mapInPandas`` streams Arrow
+    batches through a per-worker MODEL HANDLE that loads once and caches
+    across batches, here a deterministic bag-of-words scorer standing in
+    for the real weights file (no ML runtime in this container; the md5
+    token weights make the stand-in exactly oracle-checkable, which an
+    opaque model never is).
+
+    The inference-serving mechanics are the real content: lazy one-time
+    weight init per Python worker (not per batch, not per row), a
+    token→weight cache that persists across batches (the embedding-table
+    / tokenizer-vocab pattern), score + thresholded keep-decision per
+    doc. Scale: Arrow batch size bounds worker memory
+    (spark.sql.execution.arrow.maxRecordsPerBatch); the stage is
+    map-only — scores land next to the doc ids with zero shuffle; at
+    real-model sizes the handle loads from shared storage once per
+    executor, exactly as here."""
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def infer_batches(batches):
+        import hashlib
+
+        weights: dict[str, float] = {}  # lazy model state, lives across batches
+
+        def weight(token: str) -> float:
+            w = weights.get(token)
+            if w is None:
+                h = int(hashlib.md5(f"w|{token}".encode()).hexdigest()[:8], 16)
+                w = (h % INFER_WEIGHT_MOD) / INFER_WEIGHT_MOD
+                weights[token] = w
+            return w
+
+        for pdf in batches:
+            scores = []
+            for text in pdf["text"]:
+                toks = [t for t in re.split(r"\s+", text.lower()) if t]
+                scores.append(
+                    sum(weight(t) for t in toks) / len(toks) if toks else None
+                )
+            out = pd.DataFrame({"doc_id": pdf["doc_id"], "score": scores})
+            out["keep"] = (out["score"] >= 0.5).astype("int32")
+            yield out
+
+    # rounding happens JVM-side: pandas .round() is half-even while both
+    # engines' ROUND is half-away-from-zero — a one-ulp trap at 6 dp.
+    return docs.mapInPandas(
+        infer_batches, "doc_id bigint, score double, keep int"
+    ).select("doc_id", F.round("score", 6).alias("score"), "keep")
