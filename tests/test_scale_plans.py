@@ -521,3 +521,29 @@ def test_sql_twin_compiles_to_dataframe_plan_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_spatial_grid_blocks_on_cell_equi_join(spark):
+    """The spatial radius join must plan the 3×3 neighbor pairing as a
+    real equi-join on the cell key (hash or sort-merge) — never a
+    nested-loop over points; the distance predicate only FILTERS within
+    a cell block."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["jn_spatial_grid"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bloom_prefilter_broadcasts_filter_and_hot_set(spark):
+    """The bloom path must broadcast BOTH small sides (the KB filter and
+    the hot key set) so the probe/fact side never shuffles for a join —
+    the entire point of semi-join reduction."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["jn_bloom_prefilter"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
