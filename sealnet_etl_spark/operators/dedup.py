@@ -1027,13 +1027,18 @@ def llm_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAGERANK_DAMPING = 0.85
+#: Teleport term as its own literal (NOT computed as 1 - damping: Python's
+#: `1 - 0.85` is 0.15000000000000002 while the SQL literal 0.15 converts to
+#: the nearest double below it — both engines must fold the same double).
+PAGERANK_TELEPORT = 0.15
 PAGERANK_ITERS = 3
 
-_PAGERANK_ITER_SQL = """
+_PAGERANK_ITER_SQL = f"""
     SELECT d.node, d.deg,
-           ROUND(0.15 / (SELECT n FROM nn)
-                 + 0.85 * ROUND(SUM(r.rank / r.deg), 9), 9) AS rank
-    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.dst = d.node
+           ROUND({PAGERANK_TELEPORT} / (SELECT n FROM nn)
+                 + {PAGERANK_DAMPING} * ROUND(SUM(r.rank / r.deg), 9), 9)
+               AS rank
+    FROM edges e JOIN {{prev}} r ON e.src = r.node JOIN deg d ON e.dst = d.node
     GROUP BY d.node, d.deg
 """
 
@@ -1051,14 +1056,16 @@ _PAGERANK_ORACLE = (
         FROM edges GROUP BY src
     ), nn AS (SELECT COUNT(*) AS n FROM deg),
     r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
-    it1 AS ("""
-    + _PAGERANK_ITER_SQL.format(prev="r0")
-    + "), it2 AS ("
-    + _PAGERANK_ITER_SQL.format(prev="it1")
-    + "), it3 AS ("
-    + _PAGERANK_ITER_SQL.format(prev="it2")
-    + """)
-    SELECT node AS doc_id, deg, ROUND(rank, 6) AS pagerank FROM it3
+    """
+    # one CTE per power iteration, generated from the SAME constant the
+    # engine loop uses — editing PAGERANK_ITERS/damping updates both sides
+    + ",\n".join(
+        f"it{i} AS ({_PAGERANK_ITER_SQL.format(prev=f'it{i - 1}' if i > 1 else 'r0')})"
+        for i in range(1, PAGERANK_ITERS + 1)
+    )
+    + f"""
+    SELECT node AS doc_id, deg, ROUND(rank, 6) AS pagerank
+    FROM it{PAGERANK_ITERS}
 """
 )
 
@@ -1109,7 +1116,7 @@ def llm_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 "deg",
                 F.round(
-                    F.lit(1 - PAGERANK_DAMPING) / F.col("n")
+                    F.lit(PAGERANK_TELEPORT) / F.col("n")
                     + F.lit(PAGERANK_DAMPING) * F.col("contrib"),
                     9,
                 ).alias("rank"),

@@ -1448,9 +1448,7 @@ def etl_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     resent = typed.filter(F.col("c_custkey") % 40 == 0).withColumn(
         "c_name", F.upper("c_name")
     )
-    garbage = typed.filter(F.col("c_custkey") % 50 == 0).withColumn(
-        "acctbal", F.lit(None).cast("double")
-    )
+    garbage = typed.filter(F.col("c_custkey") % 50 == 0)
     landing = (
         as_text(typed)
         .unionByName(as_text(resent))

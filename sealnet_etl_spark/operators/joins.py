@@ -864,19 +864,17 @@ def jn_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish; chain depth beyond 2^max_doublings raises instead of
     returning a wrong answer."""
     from .dedup import _truncate_lineage
+    from .trainprep import md5_bucket
 
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id")
     )
-    hashed = F.conv(
-        F.substring(F.md5(F.concat(F.lit("tree|"), F.col("id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("bigint")
     edges = cust.select(
         "id",
         F.when(F.col("id") == 1, F.lit(None).cast("bigint"))
-        .otherwise(hashed % (F.col("id") - 1) + 1)
+        .otherwise(
+            md5_bucket(F.col("id").cast("string"), "tree|", F.col("id") - 1) + 1
+        )
         .alias("parent"),
     )
     state = _truncate_lineage(
@@ -950,20 +948,13 @@ def jn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (points per cell), never n²; the 9× replication is of (id, x, y)
     triples only. A production geo variant swaps the integer plane for
     S2/geohash cells — same plan shape, coarser cell maths."""
+    from .trainprep import md5_bucket
+
     pts = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{axis}|"), F.col("c_custkey").cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % SPATIAL_EXTENT
+            md5_bucket(
+                F.col("c_custkey").cast("string"), f"{axis}|", SPATIAL_EXTENT
             ).alias(axis)
             for axis in ("x", "y")
         ],
@@ -1070,26 +1061,22 @@ def jn_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (visible in the matrix), never to wrong answers."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
+    # the hot key set feeds BOTH the bloom build and the exact-membership
+    # join: cache it so the orders scan + distinct runs once, not twice
     hot = (
         orders.filter(F.col("o_totalprice") > BLOOM_HOT_PRICE)
         .select("o_custkey")
         .distinct()
+        .cache()
     )
 
     def positions(key: Column, out: str) -> Column:
+        from .trainprep import md5_bucket
+
         return F.explode(
             F.array(
                 *[
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"bloom{j}|"), key.cast("string"))),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint")
-                    % BLOOM_BITS
+                    md5_bucket(key.cast("string"), f"bloom{j}|", BLOOM_BITS)
                     for j in range(BLOOM_HASHES)
                 ]
             )

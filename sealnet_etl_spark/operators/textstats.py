@@ -774,9 +774,9 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).alias("n_unique_texts"),
         F.sum(n_tokens).alias("total_tokens"),
         F.round(F.avg(n_tokens), 4).alias("avg_tokens"),
-        F.round(F.expr(
-            r"percentile(size(split(lower(text), '\\s+')), 0.5D)"
-        ), 4).alias("median_tokens"),
+        F.round(F.percentile(n_tokens, F.lit(0.5)), 4).alias(
+            "median_tokens"
+        ),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )

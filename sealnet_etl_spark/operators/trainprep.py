@@ -25,10 +25,11 @@ from .etl import N_SHARDS as _N_SHARDS
 from .textstats import TOKEN_PATTERN
 
 
-def md5_bucket(key: Column, salt: str, mod: int) -> Column:
+def md5_bucket(key: Column, salt: str, mod: int | Column) -> Column:
     """Deterministic uniform bucket in [0, mod): integerize the first 8 hex
     chars of md5(salt || key). The salt decorrelates independent decisions
-    (shard vs. sample vs. split) made on the same key."""
+    (shard vs. sample vs. split) made on the same key. ``mod`` may be a
+    Column for row-dependent ranges (e.g. the hierarchy parent draw)."""
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10)
         .cast("bigint")

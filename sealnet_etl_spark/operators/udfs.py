@@ -267,13 +267,22 @@ def udf_model_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             return w
 
         for pdf in batches:
-            scores = []
-            for text in pdf["text"]:
-                toks = [t for t in re.split(r"\s+", text.lower()) if t]
-                scores.append(
-                    sum(weight(t) for t in toks) / len(toks) if toks else None
+            ids, scores = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # a null/empty/whitespace-only doc has no tokens: the oracle's
+                # WHERE w <> '' GROUP BY drops it, so the kernel must too
+                toks = (
+                    [t for t in re.split(r"\s+", text.lower()) if t]
+                    if text is not None
+                    else []
                 )
-            out = pd.DataFrame({"doc_id": pdf["doc_id"], "score": scores})
+                if not toks:
+                    continue
+                ids.append(doc_id)
+                scores.append(sum(weight(t) for t in toks) / len(toks))
+            out = pd.DataFrame({"doc_id": ids, "score": scores}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
             out["keep"] = (out["score"] >= 0.5).astype("int32")
             yield out
 

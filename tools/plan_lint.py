@@ -41,16 +41,14 @@ def plan_string(df) -> str:
 
 
 def lint_plan(name: str, plan: str) -> list[str]:
-    hits = []
-    for flag in FLAGS:
-        if flag in plan:
-            allowed = ALLOWLIST.get(name, "")
-            # BatchEvalPythonUDTF contains "BatchEvalPython"; honor the
-            # allowlist by exact operator-name prefix match.
-            if allowed and allowed in plan:
-                continue
-            hits.append(flag)
-    return hits
+    # Remove the allowlisted operator's occurrences FIRST, then check every
+    # flag against the remainder — so an allowance for one operator (e.g.
+    # BatchEvalPythonUDTF, whose name contains the BatchEvalPython flag)
+    # can never mask a different regression (a CartesianProduct, or a
+    # genuine row-wise BatchEvalPython) in the same plan.
+    allowed = ALLOWLIST.get(name, "")
+    scannable = plan.replace(allowed, "") if allowed else plan
+    return [flag for flag in FLAGS if flag in scannable]
 
 
 def main() -> int:
