@@ -375,3 +375,98 @@ def test_count_min_sketch_overestimate_guarantee(spark):
         assert r.cms_estimate >= r.true_count, r
         # e/width bound with generous slack (true N includes non-probes)
         assert r.cms_estimate - r.true_count <= max(1, 10 * n_total // CMS_WIDTH), r
+
+
+# --- skyline dominance -------------------------------------------------------
+
+skyline_points = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=1, max_size=20
+)
+
+
+@PROP_SETTINGS
+@given(skyline_points)
+def test_skyline_windows_match_bruteforce(spark, pts):
+    """The two-window skyline formulation (max y over strictly-greater x +
+    max y within same x) must equal brute-force NOT-EXISTS dominance for
+    every generated point set — including duplicate points (both kept:
+    neither dominates the other) and x-ties with different y (lower y
+    dominated). Exercises the tie logic far beyond the fixture's spread."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, x long, y long")
+    w_gt = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    w_same = Window.partitionBy("x")
+    flagged = df.select(
+        "id", "x", "y",
+        F.max("y").over(w_gt).alias("max_y_gt"),
+        F.max("y").over(w_same).alias("max_y_same"),
+    )
+    got = {
+        r.id
+        for r in flagged.filter(
+            (F.col("max_y_gt").isNull() | (F.col("max_y_gt") < F.col("y")))
+            & (F.col("max_y_same") <= F.col("y"))
+        ).collect()
+    }
+    expect = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for bx, by in pts
+        )
+    }
+    assert got == expect, (pts, got, expect)
+
+
+# --- hierarchy pointer doubling ---------------------------------------------
+
+parent_draws = st.lists(st.integers(0, 10_000), min_size=1, max_size=30)
+
+
+@PROP_SETTINGS
+@given(parent_draws)
+def test_pointer_doubling_depth_matches_sequential_walk(spark, draws):
+    """Pointer doubling must return the exact sequential-walk depth for
+    every generated tree: node i (1-based, root=1) gets parent
+    (draw[i] % (i-1)) + 1 — always a smaller id, so chains terminate.
+    Covers chains (max depth), stars, and mixed shapes."""
+    from pyspark.sql import functions as F
+    from sealnet_etl_spark.operators.dedup import _truncate_lineage
+
+    n = len(draws) + 1  # ids 1..n, id 1 is the root
+    parent = {i: (draws[i - 2] % (i - 1)) + 1 for i in range(2, n + 1)}
+    expect = {1: 0}
+    for i in range(2, n + 1):
+        d, node = 0, i
+        while node != 1:
+            node = parent[node]
+            d += 1
+        expect[i] = d
+    if not parent:
+        return
+    state = _truncate_lineage(
+        spark.createDataFrame(
+            [(i, p, 1) for i, p in parent.items()], "id long, anc long, dist int"
+        )
+    )
+    for _ in range(8):
+        if state.filter(F.col("anc") != 1).limit(1).count() == 0:
+            break
+        hop = state.select(
+            F.col("id").alias("t_id"),
+            F.col("anc").alias("t_anc"),
+            F.col("dist").alias("t_dist"),
+        )
+        state = _truncate_lineage(
+            state.join(hop, state.anc == hop.t_id, "left").select(
+                "id",
+                F.coalesce("t_anc", "anc").alias("anc"),
+                (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
+            )
+        )
+    got = {r.id: r.dist for r in state.collect()}
+    got[1] = 0
+    assert got == expect, (parent, got, expect)
