@@ -94,3 +94,82 @@ def test_versioned_upsert_replay_is_idempotent(spark, tmp_path):
     # no in-memory pointer survives) — state must be unchanged
     make_versioned_upsert(base)(b1, 1)
     assert state(1) == expected
+
+
+def test_windowed_agg_state_survives_restart(spark, tmp_path):
+    """Stateful recovery (not just file-offset recovery): hourly OHLC
+    windows that are OPEN when the first drain stops must carry their
+    partial min_by/max_by state through the checkpoint into the second
+    drain — if state were lost, any window straddling the restart would
+    reopen with a wrong open/high/low/close. The union of both drains'
+    append output must equal the one-shot batch computation of every
+    window closed by the final watermark."""
+    from sealnet_etl_spark.sources import load_table
+    from sealnet_etl_spark.streaming.replay import EVENTS_STREAM_SCHEMA
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, SF_DIR, "events")
+    # cut INSIDE an hour so at least one window straddles the restart
+    cutoff = F.lit("2024-01-15 06:30:00").cast("timestamp")
+    first = events.filter(F.col("ts") < cutoff)
+    rest = events.filter(F.col("ts") >= cutoff)
+    assert first.count() > 0 and rest.count() > 0
+
+    def bars(stream_df):
+        return (
+            stream_df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.round(F.min_by("value", "ts"), 2).alias("open"),
+                F.round(F.max("value"), 2).alias("high"),
+                F.round(F.min("value"), 2).alias("low"),
+                F.round(F.max_by("value", "ts"), 2).alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type", "open", "high", "low", "close", "n_events",
+            )
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+
+    first.coalesce(2).write.mode("append").parquet(landing)
+    _drain(bars(stream()), sink, ckpt)
+    rest.coalesce(2).write.mode("append").parquet(landing)
+    _drain(bars(stream()), sink, ckpt)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(sink).collect()
+    }
+    wm = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w")
+    ).collect()[0]["w"]
+    expected = {
+        tuple(r)
+        for r in (
+            events.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.round(F.min_by("value", "ts"), 2).alias("open"),
+                F.round(F.max("value"), 2).alias("high"),
+                F.round(F.min("value"), 2).alias("low"),
+                F.round(F.max_by("value", "ts"), 2).alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .filter(F.col("window.end") <= F.lit(wm))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type", "open", "high", "low", "close", "n_events",
+            )
+            .collect()
+        )
+    }
+    assert got == expected
