@@ -217,6 +217,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_medallion_pipeline",
         "udf_model_batch_inference",
         "llm_prefix_dedup",
+        "wn_time_weighted_average",
+        "llm_tokenizer_apply",
     }
 )
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
@@ -839,4 +840,89 @@ def llm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(BPE_TOP_PAIRS)
+    )
+
+
+TOKENIZER_VOCAB_SIZE = 200
+
+
+@query(
+    "llm_tokenizer_apply",
+    survey_id="LLM-8/LLM-11",
+    oracle=rf"""
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), vocab AS (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS tok_id
+            FROM words WHERE w <> '' GROUP BY w
+            QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w)
+                <= {TOKENIZER_VOCAB_SIZE}
+        ), toks AS (
+            SELECT doc_id, i, wl[i + 1] AS w
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS wl
+                  FROM documents),
+                 LATERAL unnest(range(len(wl))) t(i)
+        )
+        SELECT t.doc_id,
+               array_to_string(list(COALESCE(v.tok_id, 0) ORDER BY t.i), ' ')
+                   AS token_ids,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unk
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    """,
+)
+def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization with an induced vocabulary: every document becomes its
+    ordered token-id sequence (top-200 frequency-ranked words; everything
+    else maps to UNK=0) plus length and OOV counts — the step between
+    llm_vocab_induction (builds the vocab) and llm_sequence_pack (packs
+    the id sequences), completing the text→tensor path.
+
+    Scale: the vocab is induced with a combined count + TakeOrdered
+    V-heap (never a global sort of the corpus) and its V-sized id table
+    BROADCASTS into the exploded token stream — tokens never shuffle on
+    the skewed word key; sequence re-assembly sorts each doc's ≤L
+    (pos, id) pairs inside collect_list, one doc_id exchange. The same
+    plan serves a BPE merge table: ids become merge ranks, nothing else
+    moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(normalized_words(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    topv = counts.orderBy(F.col("n").desc(), F.col("w")).limit(
+        TOKENIZER_VOCAB_SIZE
+    )
+    # rank window runs on the V-sized result only (the TakeOrdered heap
+    # already bounded it) — same discipline as llm_vocab_induction
+    vocab = topv.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("w")))
+        .cast("bigint")
+        .alias("tok_id"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(normalized_words(F.col("text"))).alias("i", "w"),
+    )
+    joined = toks.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id", "i", F.coalesce("tok_id", F.lit(0).cast("bigint")).alias("tid")
+    )
+    # id sequence serialized to a string: the driver's hash comparison
+    # (and its local mirror) rejects array cells in oracle-backed outputs
+    return joined.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "tid"))),
+                lambda s: s.tid.cast("string"),
+            ),
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_unk"),
     )

@@ -1581,3 +1581,56 @@ def wn_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_y_gt").isNull() | (F.col("max_y_gt") < F.col("acctbal")))
         & (F.col("max_y_same") <= F.col("acctbal"))
     ).select("s_suppkey", "rev_cents", "acctbal")
+
+
+@query(
+    "wn_time_weighted_average",
+    survey_id="WN-3/WN-4",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS d, value,
+                   COALESCE(
+                       LEAD(epoch_us(ts::TIMESTAMP)) OVER w,
+                       epoch_us((CAST(ts::TIMESTAMP AS DATE)
+                                 + INTERVAL 1 DAY)::TIMESTAMP)
+                   ) - epoch_us(ts::TIMESTAMP) AS dur_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, CAST(ts::TIMESTAMP AS DATE)
+                         ORDER BY ts, event_id)
+        )
+        SELECT user_id, d, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               ROUND(SUM(value * dur_us) / SUM(dur_us), 6) AS twap
+        FROM seq GROUP BY 1, 2
+    """,
+)
+def wn_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation weighted by how long
+    it remained the current value — per user per day, the last value
+    holding until midnight. The irregular-sampling average every
+    hypertable engine ships (a sensor reporting once an hour must not
+    count like one reporting every second, which is exactly what a plain
+    AVG gets wrong).
+
+    Durations are integer µs differences (lead minus current, computed
+    identically on both engines under the UTC session), so the only
+    float work is the final weighted sum. Scale: one shuffle on
+    (user_id, day) feeds both the LEAD window and the final aggregate —
+    the same single-exchange stacking as the funnel and drawdown
+    operators."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    day_end_us = F.unix_micros(F.date_add(day, 1).cast("timestamp"))
+    dur_us = (
+        F.coalesce(F.lead(F.unix_micros("ts")).over(w), day_end_us)
+        - F.unix_micros("ts")
+    )
+    seq = events.select(
+        "user_id", day.alias("d"), "value", dur_us.alias("dur_us")
+    )
+    return seq.groupBy("user_id", "d").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6).alias(
+            "twap"
+        ),
+    )
