@@ -101,10 +101,12 @@ _DRIVER_VERIFIED: frozenset = frozenset(
 #:
 #: ROUND-4 PLAN: once CORRECTNESS_r03 lands, fold its green rows into
 #: _DRIVER_VERIFIED and promote this set to the front of the window —
-#: the round-3-late tier (~90 queries after the continuation session's
-#: analytics/QA batches) plus whatever r03 misses is the entire
-#: remaining never-graded population; at ~50 rows per round it drains
-#: over rounds 4-5, newest additions last.
+#: the round-3-late tier (~130 queries after the continuation sessions'
+#: analytics/QA/join/sketch batches) plus whatever r03 misses is the
+#: entire remaining never-graded population; at ~50 rows per round it
+#: drains over rounds 4-6, newest additions last. Every member is
+#: local-mirror green AND verified under an adversarial non-UTC session
+#: (the repo's /verify drive) before registration.
 _ROUND3_LATE: frozenset = frozenset(
     {
         "llm_repetition_filter",
@@ -219,6 +221,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_prefix_dedup",
         "wn_time_weighted_average",
         "llm_tokenizer_apply",
+        "jn_asof_tolerance",
     }
 )
 

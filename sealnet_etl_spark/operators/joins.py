@@ -1184,3 +1184,70 @@ def jn_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
     )
+
+
+ASOF_TOLERANCE = "INTERVAL 2 HOURS"
+
+
+@query(
+    "jn_asof_tolerance",
+    survey_id="JN-8",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+            WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT user_id, ts::TIMESTAMP AS vts, ROUND(value, 2) AS vvalue
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT p.event_id, p.user_id,
+               CASE WHEN v.vts IS NOT NULL
+                     AND p.ts - v.vts <= INTERVAL 2 HOUR
+                    THEN v.vvalue END AS asof_view_value,
+               CAST(CASE WHEN v.vts IS NOT NULL
+                          AND p.ts - v.vts <= INTERVAL 2 HOUR
+                         THEN 1 ELSE 0 END AS INT) AS within_tolerance
+        FROM purchases p
+        ASOF LEFT JOIN views v
+          ON p.user_id = v.user_id AND p.ts >= v.vts
+    """,
+)
+def jn_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas ``merge_asof``'s
+    tolerance parameter): each purchase pairs with the user's latest
+    prior view ONLY if that view is at most 2 hours old — older context
+    is worse than none for attribution/feature purposes, so it nulls out
+    rather than leaking a stale match.
+
+    Composes the generic asof operator (union + keyed window, one
+    shuffle, no range explosion — JN-8) with a post-hoc staleness
+    predicate: the carried right-side timestamp rides along as a value
+    column, so tolerance costs one comparison, not a different join.
+    Cross-checked against DuckDB's NATIVE ASOF JOIN plus the same
+    null-out — two independent formulations agreeing on the cut."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.round("value", 2).alias("vvalue"),
+    )
+    paired = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="vts",
+        value_cols=["vts", "vvalue"],
+    )
+    fresh = F.col("asof_vts").isNotNull() & (
+        F.col("ts") - F.col("asof_vts") <= F.expr(ASOF_TOLERANCE)
+    )
+    return paired.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("asof_vvalue")).alias("asof_view_value"),
+        F.when(fresh, 1).otherwise(0).cast("int").alias("within_tolerance"),
+    )

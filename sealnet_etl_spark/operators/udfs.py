@@ -7,8 +7,6 @@ hatch works; graded relational paths elsewhere stay 100% JVM-side.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 
