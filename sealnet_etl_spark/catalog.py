@@ -222,6 +222,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "wn_time_weighted_average",
         "llm_tokenizer_apply",
         "jn_asof_tolerance",
+        "fn_url",
     }
 )
 

@@ -430,3 +430,47 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.getField("price").alias("price_field"),
         (pair == pair).cast("int").alias("self_eq"),
     )
+
+
+@query(
+    "fn_url",
+    survey_id="FN-1/FN-10",
+    oracle="""
+        WITH urls AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/' || doc_id
+                       || '?lang=' || lang AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^([a-z]+)://', 1)          AS protocol,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1)     AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, 'lang=([a-z]+)', 1)         AS lang_param
+        FROM urls
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: protocol/host/path/named-query-param
+    extraction with Spark's native ``parse_url`` over deterministic
+    synthesized URLs (the crawl-metadata shape every web-corpus pipeline
+    parses for domain-level filtering and dedup keys). The oracle
+    re-derives each component with regexes — two independent parsers
+    agreeing. ``parse_url`` is JVM codegen, so at 100 TB the extraction
+    runs at scan speed like every other FN family."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
