@@ -723,7 +723,8 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         .partitionBy("event_date")
         .parquet(path)
     )
-    day = spark.read.parquet(path).filter(
+    # explicit schema on every re-read: a zero-row write has no footers
+    day = spark.read.schema(events.schema).parquet(path).filter(
         F.col("event_date") == F.lit(BACKFILL_DAY).cast("date")
     )
     corrected = day.withColumn("value", F.col("value") * 2)
@@ -734,7 +735,7 @@ def etl_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         .parquet(path)
     )
     return (
-        spark.read.parquet(path)
+        spark.read.schema(events.schema).parquet(path)
         .groupBy(F.col("event_date").cast("date").alias("event_date"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -894,7 +895,8 @@ def etl_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_date")
         .parquet(path)
     )
-    table = spark.read.parquet(path)
+    # explicit schema: a zero-row write has no footers to infer from
+    table = spark.read.schema(events.schema).parquet(path)
     affected_days = [
         r.event_date
         for r in table.filter(F.col("user_id") == ERASE_USER_ID)
@@ -932,7 +934,7 @@ def etl_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ignore_errors=True,
             )
     return (
-        spark.read.parquet(path)
+        spark.read.schema(events.schema).parquet(path)
         .groupBy(F.col("event_date").cast("date").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -120,7 +120,19 @@ def _load_tile(path: str, with_labels: bool = False):
     if hit is not None:
         return hit
     cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
-    tbl = pq.read_table(path, columns=cols)
+    try:
+        tbl = pq.read_table(path, columns=cols)
+    except (FileNotFoundError, OSError):
+        # an EMPTY corpus writes no tile=<k> directory at all (partitionBy
+        # of zero rows) — a missing tile is a 0-row tile, not an error
+        ids = np.zeros(0, dtype=np.int64)
+        mat = np.zeros((0, EMBED_DIM), dtype=np.float64)
+        out = (ids, mat, np.zeros(0))
+        if with_labels:
+            out = (ids, mat, np.zeros(0), np.zeros(0, dtype=np.int64))
+        _TILE_CACHE.clear()
+        _TILE_CACHE[key] = out
+        return out
     ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
     mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
     if mat.size == 0:
@@ -722,6 +734,11 @@ def llm_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:
+        # schema-only corpus: nothing to train on, nothing to rank
+        return spark.createDataFrame(
+            [], "src_id bigint, nbr_id bigint, cos_sim double"
+        )
     sn = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
     sn[sn == 0.0] = 1.0
     sample = sample / sn
@@ -1129,6 +1146,9 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     n = emb.count()
+    if n == 0:
+        # schema-only input: no iterations to report
+        return spark.createDataFrame([], "iteration int, rayleigh_quotient double")
     mean = [s / n for s in col_sums(emb, F.col("embedding"), F.lit(1.0))]
     mean_col = F.array(*[F.lit(m) for m in mean])
     centered = F.zip_with("embedding", mean_col, lambda x, m: x - m)

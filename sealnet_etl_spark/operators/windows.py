@@ -982,8 +982,15 @@ def two_phase_global_cumsum(
         n_off[pid], s_off[pid] = acc_n, acc_s
         acc_n += parts[pid][0]
         acc_s += parts[pid][1]
-    n_map = F.create_map(*[F.lit(v) for kv in n_off.items() for v in kv])
-    s_map = F.create_map(*[F.lit(v) for kv in s_off.items() for v in kv])
+    if parts:
+        n_map = F.create_map(*[F.lit(v) for kv in n_off.items() for v in kv])
+        s_map = F.create_map(*[F.lit(v) for kv in s_off.items() for v in kv])
+    else:
+        # empty input: a bare map() literal is VOID-typed and fails the
+        # lookup's analysis — use typed empty maps so the (rowless) plan
+        # still resolves and downstream consumers see the right schema
+        n_map = F.lit(None).cast("map<int,bigint>")
+        s_map = F.lit(None).cast("map<int,double>")
     w = Window.partitionBy("__pid").orderBy(*order_exprs)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     out = (

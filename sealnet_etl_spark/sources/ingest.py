@@ -144,14 +144,12 @@ def src_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     static partition pruning on the filter column for free."""
     path = _scratch(sf_dir, "lineitem_by_flag")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    (
-        lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
-        .write.mode("overwrite")
-        .partitionBy("l_returnflag")
-        .parquet(path)
-    )
+    written = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    written.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    # explicit schema: a zero-row write leaves no footers to infer from
+    # (empty source partitions are routine at scale — must not error)
     return (
-        spark.read.parquet(path)
+        spark.read.schema(written.schema).parquet(path)
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -248,16 +246,16 @@ def src_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("l_shipdate"), F.lit(CLUSTER_EPOCH).cast("date"))
         / CLUSTER_BUCKET_DAYS
     )
+    written = li.withColumn("ship_bucket", bucket)
     (
-        li.withColumn("ship_bucket", bucket)
-        .repartition(F.col("ship_bucket"))
+        written.repartition(F.col("ship_bucket"))
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite")
         .partitionBy("ship_bucket")
         .parquet(clustered_path)
     )
     return (
-        spark.read.parquet(clustered_path)
+        spark.read.schema(written.schema).parquet(clustered_path)
         .groupBy("ship_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -332,6 +330,13 @@ def src_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("o_orderdate")).alias("dmin"),
         F.max(F.to_date("o_orderdate")).alias("dmax"),
     ).collect()[0]
+    if b.xmax is None:
+        # schema-only input: no bounds, no layout to write
+        return spark.createDataFrame(
+            [],
+            "z_bucket bigint, n_rows bigint, min_cust bigint, "
+            "max_cust bigint, min_date date, max_date date",
+        )
     xspan = b.xmax - b.xmin + 1
     dspan = (b.dmax - b.dmin).days + 1
     xg = F.expr(f"CAST(((o_custkey - {b.xmin}) * 256) DIV {xspan} AS BIGINT)")

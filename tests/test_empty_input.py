@@ -1,0 +1,39 @@
+"""Schema-only (zero-row) input sweep: EVERY registered query must run
+against empty copies of all ten tables without crashing. Empty partitions
+are routine at 100 TB — a backfill day with no data, a tenant with no
+rows, a filter that eliminates a source — and an engine whose operators
+throw on them (instead of returning empty results) fails in production
+at exactly the wrong moment. Hardened classes this sweep caught when
+introduced: VOID-typed empty map literals in the two-phase rank/cumsum,
+schema inference on zero-row parquet writes, corpus tiles that were
+never written, and divide-by-zero in iterative loops."""
+
+from __future__ import annotations
+
+import pytest
+
+from sealnet_etl_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("testdata_empty")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        src = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        src.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            str(base / f"{t}.parquet")
+        )
+    return str(base)
+
+
+def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    failures = {}
+    for name, fn in all_queries().items():
+        try:
+            assert fn(spark, empty_sf_dir).count() >= 0
+        except Exception as exc:  # noqa: BLE001 - collecting the sweep
+            failures[name] = f"{type(exc).__name__}: {exc}"[:160]
+    assert not failures, failures
