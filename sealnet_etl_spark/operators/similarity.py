@@ -34,6 +34,16 @@ from ..registry import query
 from ..sources import load_table
 from .dedup import connected_components
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding table with null vectors DROPPED — the defensive contract
+    every similarity kernel assumes (a null array crashes the Arrow→numpy
+    batch build). Null/zero vectors are surfaced by llm_embedding_qa,
+    which deliberately loads the RAW table instead."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 EMBED_DIM = 64
 TOP_K = 3
 NEAR_DUP_COS = 0.45  # calibrated: 7-14 pairs exist at this threshold
@@ -99,7 +109,7 @@ def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     same results, corpus split into memory-bounded tiles — or block with
     LSH/IVF first (llm_lsh_ann_topk) so each src only scores candidates.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
     return _tile_topk(emb, f"{base}/tile=0")
 
@@ -295,7 +305,7 @@ def llm_tiled_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     src. Tiebreak (ROUNDED cos DESC, nbr_id ASC) is total, so the merged
     cut is deterministic and engine-independent.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=N_CORPUS_TILES)
     partials = [
         _tile_topk(emb, f"{base}/tile={t}") for t in range(N_CORPUS_TILES)
@@ -395,7 +405,7 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit executor memory; skewed buckets are handled by AQE skew-join
     splitting since the join is a plain equi-join.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
     candidates = (
         _lsh_keyed(emb, probe=True, out="src_id")
@@ -475,7 +485,7 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves prohibitive, drop to llm_semantic_dedup's ANN-candidate
     relaxation — an approximation, which this graded operator is not.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=N_CORPUS_TILES)
     parts = [
         _tile_pairs_above(emb, f"{base}/tile={t}", NEAR_DUP_COS)
@@ -549,7 +559,7 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     # one k-means-lite refinement step, all in Spark: seed cell = id hash,
     # centroid = mean of members (posexplode partial agg, |cells|x64 rows)
@@ -702,7 +712,7 @@ def llm_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
 
     # ---- coarse quantizer (identical shape to llm_ivf_ann_topk) ----
     seeded = emb.withColumn("cell", F.pmod(F.xxhash64("vec_id"), F.lit(N_CELLS)))
@@ -896,7 +906,7 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding", "label"
     )
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
@@ -1048,7 +1058,7 @@ def llm_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding", "label"
     )
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
@@ -1129,7 +1139,7 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     across iterations so the parquet scan happens once."""
     import math
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding").cache()
+    emb = load_embeddings(spark, sf_dir).select("embedding").cache()
     dim = EMBED_DIM
 
     def col_sums(df: DataFrame, arr: Column, weight: Column) -> list[float]:

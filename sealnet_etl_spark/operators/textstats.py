@@ -707,7 +707,9 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         import zlib
 
         for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
+            # null text = zero bytes (an unfetchable doc is maximally
+            # degenerate, same bucket as empty), not a worker crash
+            raw = pdf["text"].fillna("").str.encode("utf-8")
             comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
             raw_len = raw.map(len)
             out = pdf[["doc_id"]].copy()

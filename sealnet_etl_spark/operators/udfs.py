@@ -150,6 +150,8 @@ class ShingleGenerator:
     SQL-callable lateral table function)."""
 
     def eval(self, text: str, k: int):
+        if text is None:  # null docs expand to zero shingles, not a crash
+            return
         words = text.lower().split()
         for i in range(len(words) - k + 1):
             yield " ".join(words[i : i + k]), i

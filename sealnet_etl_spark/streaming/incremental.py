@@ -94,7 +94,9 @@ def _topk_stateful(key, pdf_iter, state):
 
 def embeddings_replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 2) -> str:
     """Replay the embeddings table as n_chunks vec_id-ordered chunks."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null vectors crash the numpy batch
+    )
     w = Window.orderBy("vec_id")
     chunked = emb.withColumn("__chunk", F.ntile(n_chunks).over(w)).cache()
     chunks = [

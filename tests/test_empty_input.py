@@ -37,3 +37,48 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001 - collecting the sweep
             failures[name] = f"{type(exc).__name__}: {exc}"[:160]
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def nulled_sf_dir(spark, tmp_path_factory):
+    """~10% deterministic nulls injected into the nullable payload columns
+    (text, embedding, value, props, prices) — the dirty-feed shape."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("testdata_nulled")
+    null_cols = {
+        "documents": ["text"],
+        "embeddings": ["embedding"],
+        "events": ["value", "props"],
+        "orders": ["o_totalprice"],
+        "lineitem": ["l_discount"],
+    }
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        for c in null_cols.get(t, []):
+            key = F.col(df.columns[0]).cast("bigint")
+            df = df.withColumn(
+                c, F.when(key % 10 == 3, None).otherwise(F.col(c))
+            )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(base / f"{t}.parquet")
+        )
+    return str(base)
+
+
+def test_every_query_survives_null_payloads(spark, nulled_sf_dir):
+    """No operator may crash on null text/embedding/value cells: JVM-side
+    expressions are null-safe by construction, and every Python kernel
+    must drop or bucket null payloads (similarity kernels drop null
+    vectors — llm_embedding_qa is the operator that REPORTS them; the
+    compression kernel buckets null text with empty text)."""
+    failures = {}
+    for name, fn in all_queries().items():
+        try:
+            assert fn(spark, nulled_sf_dir).count() >= 0
+        except Exception as exc:  # noqa: BLE001 - collecting the sweep
+            failures[name] = f"{type(exc).__name__}: {exc}"[:160]
+    assert not failures, failures
