@@ -165,6 +165,15 @@ def test_results_invariant_to_shuffle_partitioning(spark):
         # their physical nondeterminism from the final result
         "wn_pareto_share",
         "ag_heavy_hitters",
+        # round-3 continuation: iterative pointer doubling, the global
+        # ordered skyline windows, the map-side-combined CMS, and the
+        # vocab-broadcast tokenizer all have partition-shaped internals
+        # that must not leak into results
+        "jn_hierarchy_depth",
+        "wn_skyline_pareto",
+        "ag_count_min_sketch",
+        "llm_tokenizer_apply",
+        "llm_pagerank",
     ]
     original = spark.conf.get("spark.sql.shuffle.partitions")
     try:
