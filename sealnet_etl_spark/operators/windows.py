@@ -1552,15 +1552,17 @@ def wn_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     no scalarization") from the OLAP skyline literature.
 
     The oracle states dominance declaratively (NOT EXISTS — a quadratic
-    anti-join); the engine computes the same frontier in O(n log n) with
-    two window passes over the points: max(y) over strictly-greater x
-    (integer-cent RANGE frame makes "strictly" expressible) plus max(y)
-    within the same x — a point survives iff neither exceeds its y.
-    Scale: the windows run on the AGGREGATED supplier-sized table (dims
-    are bounded; the fact scan reduces first). A fact-sized skyline
-    would grid-partition the plane and prune blocks dominated by other
-    blocks' corners before any within-block pass — documented, not
-    needed for a dimension frontier."""
+    anti-join); the engine computes the same frontier in O(n log n)
+    WITHOUT a global window: points range-partition on x, each partition
+    window-computes max(y) over its own strictly-greater-x rows
+    (integer-cent RANGE frame makes "strictly" expressible), and the
+    cross-partition remainder comes from a ≤ num_partitions suffix-max
+    table collected and broadcast back (the two-phase rank/cumsum
+    doctrine applied to a suffix aggregate — no task ever holds more
+    than ~n/partitions points, so a FACT-sized skyline runs unchanged).
+    Same-x ties are co-located by the range partitioner, so the same-x
+    max is a partition-local window too. A point survives iff neither
+    max exceeds its y."""
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     pts = (
@@ -1575,17 +1577,50 @@ def wn_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "rev_cents", F.round("s_acctbal", 2).alias("acctbal")
         )
     )
-    w_gt = Window.orderBy("rev_cents").rangeBetween(1, Window.unboundedFollowing)
-    w_same = Window.partitionBy("rev_cents")
-    flagged = pts.select(
+    ranged = (
+        pts.repartitionByRange(32, "rev_cents")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()  # pins ONE sampled partitioning for both jobs (two-phase rule)
+    )
+    part_max = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.max("acctbal").alias("m"))
+        .collect()
+    }
+    # suffix max over LATER partitions (all their x are strictly greater)
+    suffix, acc = {}, None
+    for pid in sorted(part_max, reverse=True):
+        suffix[pid] = acc
+        acc = part_max[pid] if acc is None else max(acc, part_max[pid])
+    if part_max:
+        later_map = F.create_map(
+            *[
+                c
+                for pid, m in suffix.items()
+                for c in (F.lit(pid), F.lit(m).cast("double"))
+            ]
+        )
+    else:
+        later_map = F.lit(None).cast("map<int,double>")
+    w_gt = (
+        Window.partitionBy("__pid")
+        .orderBy("rev_cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("__pid", "rev_cents")
+    flagged = ranged.select(
         "s_suppkey",
         "rev_cents",
         "acctbal",
-        F.max("acctbal").over(w_gt).alias("max_y_gt"),
+        F.greatest(
+            F.coalesce(F.max("acctbal").over(w_gt), F.lit(float("-inf"))),
+            F.coalesce(later_map[F.col("__pid")], F.lit(float("-inf"))),
+        ).alias("max_y_gt"),
         F.max("acctbal").over(w_same).alias("max_y_same"),
     )
     return flagged.filter(
-        (F.col("max_y_gt").isNull() | (F.col("max_y_gt") < F.col("acctbal")))
+        (F.col("max_y_gt") < F.col("acctbal"))
         & (F.col("max_y_same") <= F.col("acctbal"))
     ).select("s_suppkey", "rev_cents", "acctbal")
 
