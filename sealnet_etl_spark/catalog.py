@@ -223,6 +223,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "llm_tokenizer_apply",
         "jn_asof_tolerance",
         "fn_url",
+        "etl_subject_access_report",
+        "etl_backfill_plan",
     }
 )
 

@@ -1485,3 +1485,123 @@ def etl_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_duplicates"),
     )
     return gold.crossJoin(F.broadcast(audit))
+
+
+SAR_USER_ID = 7
+
+
+@query(
+    "etl_subject_access_report",
+    survey_id="ETL-6/SET-1",
+    oracle=f"""
+        SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(ts::TIMESTAMP) AS TIMESTAMP) AS first_seen,
+               CAST(MAX(ts::TIMESTAMP) AS TIMESTAMP) AS last_seen
+        FROM events WHERE user_id = {SAR_USER_ID}
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               MIN(o_orderdate), MAX(o_orderdate)
+        FROM orders WHERE o_custkey = {SAR_USER_ID}
+        UNION ALL
+        SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+        FROM customer WHERE c_custkey = {SAR_USER_ID}
+    """,
+)
+def etl_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR subject-access report (DSAR): everything the platform holds
+    about one person, summarized per table — row counts and first/last
+    activity — the read-side compliance twin of etl_user_erasure (first
+    you must show what you hold, then you may have to delete it).
+
+    Scale: each per-table probe is an id-filtered scan (at production
+    layout the id is a partition/cluster key, so these prune to a few
+    files — exactly what src_clustered_layout demonstrates) into a 1-row
+    aggregate; the union is rows-per-table-sized."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ev = events.filter(F.col("user_id") == SAR_USER_ID).agg(
+        F.lit("events").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    od = orders.filter(F.col("o_custkey") == SAR_USER_ID).agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderdate").alias("first_seen"),
+        F.max("o_orderdate").alias("last_seen"),
+    )
+    cu = customer.filter(F.col("c_custkey") == SAR_USER_ID).agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("timestamp").alias("first_seen"),
+        F.lit(None).cast("timestamp").alias("last_seen"),
+    )
+    return ev.unionByName(od).unionByName(cu)
+
+
+BACKFILL_CUTOFF_DAY = "2024-01-20"
+
+
+@query(
+    "etl_backfill_plan",
+    survey_id="ETL-6/SRC-5",
+    oracle=f"""
+        SELECT CAST(ts::TIMESTAMP AS DATE) AS missing_day,
+               CAST(COUNT(*) AS BIGINT)    AS n_source_rows
+        FROM events
+        WHERE CAST(ts::TIMESTAMP AS DATE) >= DATE '{BACKFILL_CUTOFF_DAY}'
+        GROUP BY 1
+    """,
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning: diff the calendar spine of the SOURCE against
+    the partitions actually present in the TARGET layout and emit every
+    missing day with its source row count — the plan a scheduler turns
+    into per-partition backfill jobs (etl_dynamic_partition_overwrite is
+    the executor of exactly one such line). Here the target is written
+    short (days before the cutoff only), so the plan must be the
+    remaining days, sized.
+
+    Scale: present-partition discovery is a distinct over the target's
+    partition column (partition-value-only scan); the spine is a 1-row
+    bounds aggregate exploded JVM-side; the anti join and the size
+    estimate run at calendar cardinality, never fact cardinality —
+    except the one count-by-day over the source, a single partial-agg
+    shuffle."""
+    from ..sources.ingest import _scratch
+
+    path = _scratch(sf_dir, "events_backfill_plan")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    written = events.filter(
+        F.col("event_date") < F.lit(BACKFILL_CUTOFF_DAY).cast("date")
+    )
+    (
+        written.repartition(F.col("event_date"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    present = (
+        spark.read.schema(events.schema)
+        .parquet(path)
+        .select("event_date")
+        .distinct()
+    )
+    bounds = events.agg(
+        F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("missing_day")
+    )
+    missing = spine.join(
+        present, spine.missing_day == present.event_date, "left_anti"
+    )
+    per_day = events.groupBy(F.col("event_date").alias("missing_day")).agg(
+        F.count(F.lit(1)).alias("n_source_rows")
+    )
+    return missing.join(F.broadcast(per_day), "missing_day", "inner")
