@@ -225,6 +225,8 @@ _ROUND3_LATE: frozenset = frozenset(
         "fn_url",
         "etl_subject_access_report",
         "etl_backfill_plan",
+        "ag_gini_coefficient",
+        "wn_bollinger_bands",
     }
 )
 

@@ -1570,3 +1570,52 @@ def ag_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_count")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+@query(
+    "ag_gini_coefficient",
+    survey_id="AG-7/WN-5",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS r,
+                   COUNT(*) OVER () AS n
+            FROM per_cust
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               ROUND(SUM((2.0 * r - n - 1) * rev)
+                     / (MAX(n) * SUM(rev)), 6) AS gini
+        FROM ranked
+    """,
+)
+def ag_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality scalar
+    (0 = everyone equal, →1 = one whale) that complements wn_pareto_share's
+    cumulative curve with the single number dashboards track, via the
+    sorted-rank identity G = Σ(2i−n−1)xᵢ / (n·Σx).
+
+    The global rank that identity needs comes from the shared TWO-PHASE
+    machinery (range exchange + ≤32-row offset table — never a
+    single-partition window), so the computation is one keyed
+    pre-aggregate, one range exchange, and a 1-row reduce at any
+    customer count. Ranks tie-break on the customer key so both engines
+    sort identically."""
+    from .windows import two_phase_global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    ranked, total_n = two_phase_global_rank(
+        per_cust, ["rev", "o_custkey"], num_partitions=32
+    )
+    return ranked.agg(
+        F.lit(total_n).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum((2.0 * F.col("rank") - total_n - 1) * F.col("rev"))
+            / (total_n * F.sum("rev")),
+            6,
+        ).alias("gini"),
+    )

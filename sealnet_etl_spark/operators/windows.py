@@ -1676,3 +1676,90 @@ def wn_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+BOLLINGER_WINDOW = 20
+BOLLINGER_K = 2
+
+
+@query(
+    "wn_bollinger_bands",
+    survey_id="WN-4/AG-7",
+    oracle=f"""
+        WITH cents AS (
+            SELECT event_id, user_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events
+        ), w AS (
+            SELECT event_id, user_id, c / 100.0 AS v,
+                   SUM(c) OVER fr / (COUNT(*) OVER fr * 100.0) AS ma,
+                   (SUM(c) OVER fr * 100) // (COUNT(*) OVER fr) AS ma_t4,
+                   STDDEV_SAMP(c / 100.0) OVER fr AS sd,
+                   COUNT(*) OVER fr AS nw
+            FROM cents
+            WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN {BOLLINGER_WINDOW - 1} PRECEDING
+                                   AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, v,
+               ma_t4 / 10000.0 AS ma,
+               CASE WHEN nw >= 2 THEN ROUND(ma + {BOLLINGER_K} * sd, 4) END
+                   AS upper_band,
+               CASE WHEN nw >= 2 THEN ROUND(ma - {BOLLINGER_K} * sd, 4) END
+                   AS lower_band,
+               CAST(CASE WHEN nw >= 2 AND (v > ma + {BOLLINGER_K} * sd
+                                OR v < ma - {BOLLINGER_K} * sd)
+                         THEN 1 ELSE 0 END AS INT) AS breakout
+        FROM w
+    """,
+)
+def wn_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: trailing 20-observation mean ± 2σ per user, with
+    a breakout flag when the current value escapes the band — the
+    volatility-adaptive anomaly envelope (a fixed threshold misfires on
+    both calm and noisy users; ±2σ tracks each user's own regime),
+    completing the smoother family (rolling mean/median/EMA) with its
+    dispersion companion.
+
+    The first frame row has undefined sample stddev — both engines NULL
+    the bands there (nw ≥ 2 gate) rather than emitting a zero-width
+    band. The reported moving average is TRUNCATED to 4 dp via integer
+    division of cent sums, not rounded: means of 2-dp money land exactly
+    on .xxxx5 rounding boundaries, where Spark's round (HALF_UP on the
+    double's SHORTEST decimal repr, BigDecimal.valueOf semantics) and
+    DuckDB's round (on the exact binary value, which sits just below)
+    systematically disagree — measured 8 flips in 10k rows; integer
+    floor is engine-proof. Band edges keep normal rounding (ma ± 2σ is
+    never an exact decimal). Scale: the one user_id exchange feeds
+    mean, stddev, count and the flag from a single bounded frame
+    pass."""
+    events = load_table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(BOLLINGER_WINDOW - 1), Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    events = (
+        events.withColumn("c", cents)
+        .withColumn("sum_c", F.sum("c").over(fr))
+        .withColumn("nw", F.count(F.lit(1)).over(fr))
+    )
+    v = F.col("c") / 100.0
+    ma = F.col("sum_c") / (F.col("nw") * 100.0)
+    sd = F.stddev_samp(F.col("c") / 100.0).over(fr)
+    upper = ma + BOLLINGER_K * sd
+    lower = ma - BOLLINGER_K * sd
+    has_band = F.col("nw") >= 2
+    return events.select(
+        "event_id",
+        "user_id",
+        v.alias("v"),
+        (F.expr("(sum_c * 100L) div nw") / 10000.0).alias("ma"),
+        F.when(has_band, F.round(upper, 4)).alias("upper_band"),
+        F.when(has_band, F.round(lower, 4)).alias("lower_band"),
+        F.when(has_band & ((v > upper) | (v < lower)), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breakout"),
+    )
