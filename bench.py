@@ -72,6 +72,8 @@ def headline_queries() -> list[str]:
         "jn_spatial_grid",
         "jn_bloom_prefilter",
         "ag_count_min_sketch",
+        # heaviest of the final batches: 100k sliding mean+stddev frames
+        "wn_bollinger_bands",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
