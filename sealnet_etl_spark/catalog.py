@@ -227,6 +227,7 @@ _ROUND3_LATE: frozenset = frozenset(
         "etl_backfill_plan",
         "ag_gini_coefficient",
         "wn_bollinger_bands",
+        "wn_cusum_drift",
     }
 )
 

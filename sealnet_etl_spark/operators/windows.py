@@ -1763,3 +1763,114 @@ def wn_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("breakout"),
     )
+
+
+CUSUM_TARGET = 50.0
+CUSUM_THRESHOLD = 500.0
+
+
+@query(
+    "wn_cusum_drift",
+    survey_id="WN-6/UDF-3",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                   ROUND(value, 2) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        walk(user_id, rn, s, peak, n_alarms, first_alarm) AS (
+            SELECT user_id, rn,
+                   CASE WHEN GREATEST(0, v - {CUSUM_TARGET})
+                             > {CUSUM_THRESHOLD}
+                        THEN 0 ELSE GREATEST(0, v - {CUSUM_TARGET}) END,
+                   GREATEST(0, v - {CUSUM_TARGET}),
+                   CASE WHEN GREATEST(0, v - {CUSUM_TARGET})
+                             > {CUSUM_THRESHOLD} THEN 1 ELSE 0 END,
+                   CASE WHEN GREATEST(0, v - {CUSUM_TARGET})
+                             > {CUSUM_THRESHOLD} THEN ts END
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT w.user_id, q.rn,
+                   CASE WHEN GREATEST(0, w.s + q.v - {CUSUM_TARGET})
+                             > {CUSUM_THRESHOLD}
+                        THEN 0
+                        ELSE GREATEST(0, w.s + q.v - {CUSUM_TARGET}) END,
+                   GREATEST(w.peak,
+                            GREATEST(0, w.s + q.v - {CUSUM_TARGET})),
+                   w.n_alarms
+                       + CASE WHEN GREATEST(0, w.s + q.v - {CUSUM_TARGET})
+                                   > {CUSUM_THRESHOLD} THEN 1 ELSE 0 END,
+                   COALESCE(w.first_alarm,
+                            CASE WHEN GREATEST(0, w.s + q.v
+                                               - {CUSUM_TARGET})
+                                      > {CUSUM_THRESHOLD} THEN q.ts END)
+            FROM walk w JOIN seq q
+              ON q.user_id = w.user_id AND q.rn = w.rn + 1
+        )
+        SELECT user_id,
+               CAST(MAX(rn) AS BIGINT)              AS n_events,
+               CAST(arg_max(n_alarms, rn) AS BIGINT) AS n_alarms,
+               ROUND(arg_max(peak, rn), 2)          AS max_cusum,
+               CAST(arg_max(first_alarm, rn) AS TIMESTAMP)
+                   AS first_alarm_ts
+        FROM walk GROUP BY user_id
+    """,
+)
+def wn_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift/alarm detection: the sequential change-detection chart —
+    per user, accumulate positive deviations from target (s = max(0,
+    s + v − target)), alarm and reset when s crosses the threshold.
+    Genuinely RECURSIVE per-row state (each step depends on the
+    previous), which no window frame can express: the engine runs it as
+    an Arrow grouped-map kernel (one pass per user group), and the
+    oracle is DuckDB's recursive CTE walking the same chain — the only
+    operator family where both engines must simulate, not aggregate.
+
+    Cross-engine exactness: values are pre-rounded JVM-side to 2 dp (the
+    kernel never rounds — pandas is half-even), so both simulations fold
+    identical doubles in identical order; state stays an exact multiple
+    of 0.01 throughout. Scale: one shuffle on user_id; each group
+    streams through the kernel with O(1) state — the batch twin of the
+    applyInPandasWithState streaming funnel, and the batch backfill path
+    for the same alert definition."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("v")
+    )
+
+    def cusum_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = peak = 0.0
+        alarms = 0
+        first = None
+        for v, ts in zip(pdf["v"], pdf["ts"]):
+            raw = s + v - CUSUM_TARGET
+            if raw < 0.0:
+                raw = 0.0
+            if raw > peak:
+                peak = raw
+            if raw > CUSUM_THRESHOLD:
+                alarms += 1
+                s = 0.0
+                if first is None:
+                    first = ts
+            else:
+                s = raw
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_alarms": [alarms],
+                "max_cusum": [round(peak * 100) / 100.0],
+                "first_alarm_ts": [first],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        cusum_group,
+        "user_id bigint, n_events bigint, n_alarms bigint, "
+        "max_cusum double, first_alarm_ts timestamp",
+    )
