@@ -220,12 +220,12 @@ INFER_WEIGHT_MOD = 1_000_000
             FROM documents
         )
         SELECT doc_id,
-               ROUND(AVG((('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
-                          % {INFER_WEIGHT_MOD}) / {INFER_WEIGHT_MOD}.0), 6)
+               (SUM(('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
+                    % {INFER_WEIGHT_MOD}) // COUNT(*)) / {INFER_WEIGHT_MOD}.0
                    AS score,
-               CAST(AVG((('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
-                         % {INFER_WEIGHT_MOD}) / {INFER_WEIGHT_MOD}.0) >= 0.5
-                    AS INT) AS keep
+               CAST(2 * SUM(('0x' || substring(md5('w|' || w), 1, 8))::BIGINT
+                            % {INFER_WEIGHT_MOD})
+                    >= COUNT(*) * {INFER_WEIGHT_MOD} AS INT) AS keep
         FROM toks WHERE w <> ''
         GROUP BY doc_id
     """,
@@ -244,7 +244,17 @@ def udf_model_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight init per Python worker (not per batch, not per row), a
     token→weight cache that persists across batches (the embedding-table
     / tokenizer-vocab pattern), score + thresholded keep-decision per
-    doc. Scale: Arrow batch size bounds worker memory
+    doc. The reported score is ENGINE-PROOF by construction: token
+    weights live on the 1e-6 integer lattice, so the kernel keeps the
+    per-doc sum in integer micro-units and reports
+    ``(sum_micro // n_tokens) / 1e6`` — exact integer floor-division on
+    both engines, then one identical IEEE division. A float
+    ``ROUND(AVG(..), 6)`` here lands exactly on .xxxxxx5 half-boundaries
+    (every weight is a 6-dp lattice point) where Spark and DuckDB
+    rounding flip — the measured wn_bollinger_bands trap; the advisor
+    caught doc_id 4689 at sf0.1 differing by 1e-6. The keep decision is
+    the exact integer compare ``2*sum_micro >= n*1e6``, never a float
+    threshold. Scale: Arrow batch size bounds worker memory
     (spark.sql.execution.arrow.maxRecordsPerBatch); the stage is
     map-only — scores land next to the doc ids with zero shuffle; at
     real-model sizes the handle loads from shared storage once per
@@ -256,18 +266,18 @@ def udf_model_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     def infer_batches(batches):
         import hashlib
 
-        weights: dict[str, float] = {}  # lazy model state, lives across batches
+        weights: dict[str, int] = {}  # lazy model state, lives across batches
 
-        def weight(token: str) -> float:
+        def weight_micro(token: str) -> int:
             w = weights.get(token)
             if w is None:
                 h = int(hashlib.md5(f"w|{token}".encode()).hexdigest()[:8], 16)
-                w = (h % INFER_WEIGHT_MOD) / INFER_WEIGHT_MOD
+                w = h % INFER_WEIGHT_MOD  # integer micro-units, exact
                 weights[token] = w
             return w
 
         for pdf in batches:
-            ids, scores = [], []
+            ids, scores, keeps = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 # a null/empty/whitespace-only doc has no tokens: the oracle's
                 # WHERE w <> '' GROUP BY drops it, so the kernel must too
@@ -278,16 +288,17 @@ def udf_model_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if not toks:
                     continue
+                sum_micro = sum(weight_micro(t) for t in toks)
+                n = len(toks)
                 ids.append(doc_id)
-                scores.append(sum(weight(t) for t in toks) / len(toks))
-            out = pd.DataFrame({"doc_id": ids, "score": scores}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-            out["keep"] = (out["score"] >= 0.5).astype("int32")
-            yield out
+                # exact integer floor-div, then one IEEE division — both
+                # engines produce the identical double bit pattern
+                scores.append((sum_micro // n) / INFER_WEIGHT_MOD)
+                keeps.append(int(2 * sum_micro >= n * INFER_WEIGHT_MOD))
+            yield pd.DataFrame(
+                {"doc_id": ids, "score": scores, "keep": keeps}
+            ).astype({"doc_id": "int64", "score": "float64", "keep": "int32"})
 
-    # rounding happens JVM-side: pandas .round() is half-even while both
-    # engines' ROUND is half-away-from-zero — a one-ulp trap at 6 dp.
     return docs.mapInPandas(
         infer_batches, "doc_id bigint, score double, keep int"
-    ).select("doc_id", F.round("score", 6).alias("score"), "keep")
+    )
