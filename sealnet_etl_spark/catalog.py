@@ -41,12 +41,44 @@ from .plans import flagship  # noqa: F401
 
 from . import registry as _registry
 
-#: Round-2 driver-red (the TIMESTAMP_NTZ regression), fixed in round 3 —
-#: graded first to prove the fix (VERDICT r2 "Next round" #1/#3).
+#: Operators CHANGED in round 4 — graded first to prove the fixes with a
+#: fresh driver row (VERDICT r3 "Next round" #1-#3 + ADVICE r3 high):
+#: the inference rounding fix, the (day,hour) interval blocking, and the
+#: two queries whose rows-only checks were upgraded to hash oracles.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "wn_lag_gap",
-    "wn_sessionize_events",
-    "wn_range_frame",
+    "udf_model_batch_inference",
+    "jn_interval_overlap",
+    "llm_simhash_near_dup",
+    "llm_multimodal_features",
+)
+
+#: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are
+#: the no_oracle rows upgraded + regraded above). Folded into the
+#: verified tier so round 4's window samples fresh code, not long-green
+#: families (VERDICT r3 "Next round" #9).
+_R03_GREEN: frozenset = frozenset(
+    {
+        "wn_lag_gap", "wn_sessionize_events", "wn_range_frame",
+        "str_incremental_topk_similarity", "str_tumbling_window",
+        "str_sliding_window", "str_session_window", "str_dedup",
+        "str_streaming_tumbling", "str_stream_static_join",
+        "str_stateful_counter", "str_foreach_batch_sink",
+        "str_stream_stream_join", "str_streaming_session",
+        "str_streaming_dedup", "str_streaming_sliding",
+        "udf_vectorized_scalar", "udf_grouped_agg", "udf_grouped_map",
+        "udf_map_in_pandas", "udf_python_udtf", "udf_sql_registration",
+        "llm_ngram_jaccard_dedup", "llm_ppjoin_jaccard_dedup",
+        "llm_decontaminate", "llm_multimodal_frame_sample",
+        "llm_text_stats", "llm_corpus_stats", "llm_tfidf",
+        "llm_quality_filter", "llm_lang_id", "llm_token_count",
+        "llm_fingerprint", "llm_stratified_sample", "wn_ntile_scalable",
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "q11_important_stock",
+        "q13_customer_distribution", "q15_top_supplier",
+        "q16_supplier_part_count", "q17_small_qty_revenue",
+        "q20_excess_shippers", "q22_sales_opportunity",
+        "q21_waiting_supplier", "fn_struct",
+    }
 )
 
 #: Queries with a green driver row in CORRECTNESS_r01 or _r02 (hash-pass or
@@ -104,9 +136,12 @@ _DRIVER_VERIFIED: frozenset = frozenset(
 #: the round-3-late tier (~130 queries after the continuation sessions'
 #: analytics/QA/join/sketch batches) plus whatever r03 misses is the
 #: entire remaining never-graded population; at ~50 rows per round it
-#: drains over rounds 4-6, newest additions last. Every member is
-#: local-mirror green AND verified under an adversarial non-UTC session
-#: (the repo's /verify drive) before registration.
+#: drains over rounds 4-6, newest additions last. Registration bar
+#: (tightened round 4 per ADVICE r3): local-mirror green at sf0.01 AND
+#: adversarial non-UTC session (the repo's /verify drive) AND — for any
+#: operator whose output rounds/averages lattice values — an explicit
+#: sf0.1 mirror run, because rounding half-boundary traps can pass at
+#: sf0.01 by luck (the udf_model_batch_inference lesson).
 _ROUND3_LATE: frozenset = frozenset(
     {
         "llm_repetition_filter",
@@ -249,7 +284,7 @@ def _family_rank(name: str) -> int:
 def _grade_rank(name: str) -> tuple:
     if name in _REGRADE_FIRST:
         return (0, _REGRADE_FIRST.index(name))
-    if name in _DRIVER_VERIFIED:
+    if name in _DRIVER_VERIFIED or name in _R03_GREEN:
         return (99, 0)
     return (_family_rank(name), 0)
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -417,39 +418,207 @@ def llm_ppjoin_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (rows-only: no cross-engine 64-bit hash exists)
+# SimHash near-dup (hash-oracled since round 4: md5-derived word hash)
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-SIMHASH_MAX_HAMMING = 6
-_SIMHASH_CHUNKS = 4  # 4 x 16-bit chunks: Hamming<=6 pairs share >=1 chunk if diffs cluster; standard blocking
+SIMHASH_MAX_HAMMING = 4
+# k+1 = 5 blocks for k = 4 (the published block-permutation guarantee,
+# Manku/Jain/Sarma WWW'07 generalized): a pair at Hamming <= 4 dirties at
+# most 4 blocks, so at least one block matches exactly and the pair is
+# GUARANTEED to meet in a bucket — blocking recall is structural, not
+# empirical, which is what lets the brute-force oracle hash-match.
+# Widths 13/13/13/13/12 over the (sim_lo, sim_hi) 32-bit halves.
+_SIMHASH_CHUNK_BOUNDS = [(0, 13), (13, 13), (26, 13), (39, 13), (52, 12)]
+
+
+def _simhash_chunk_expr(
+    start: int, width: int, lo: Column | None = None, hi: Column | None = None
+) -> Column:
+    """Bits [start, start+width) of the conceptual 64-bit signature held
+    as two 32-bit halves (sim_lo = bits 0..31, sim_hi = bits 32..63).
+    A chunk may straddle the halves; the straddling piece of sim_hi is
+    shifted up so the chunk value equals the contiguous bit slice."""
+    lo = F.col("sim_lo") if lo is None else lo
+    hi = F.col("sim_hi") if hi is None else hi
+    parts = []
+    if start < 32:
+        lo_w = min(width, 32 - start)
+        parts.append(
+            F.shiftright(lo, start).bitwiseAND(F.lit((1 << lo_w) - 1))
+        )
+    if start + width > 32:
+        hi_s = max(start - 32, 0)
+        hi_w = start + width - 32 if start < 32 else width
+        hi_bits = F.shiftright(hi, hi_s).bitwiseAND(F.lit((1 << hi_w) - 1))
+        if start < 32:  # straddler: place above the lo piece
+            hi_bits = hi_bits * F.lit(1 << (32 - start))
+        parts.append(hi_bits)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def _simhash_refine_hot_buckets(hot: DataFrame) -> DataFrame:
+    """Recursive k+1-block refinement of HOT level-1 buckets, as an
+    Arrow-batched kernel over the (already collected) bucket arrays.
+
+    Each hot-bucket row is self-contained, so refinement is CPU-local:
+    1. CLONE CLUSTERS — members identical on all 64 bits — are chained
+       (linear pairs, connectivity preserved: the boilerplate-corpus
+       contract of tests/test_dedup_hot_bucket.py; their true all-pairs
+       output is quadratic in cluster size by definition, the one case
+       where exact output is refused by design).
+    2. Distinct REPRESENTATIVES recurse: split the available (so-far
+       unconstrained) bits into 5 segments — a pair at Hamming ≤ 4 has
+       ≤ 4 diffs there, so one segment is clean and the pair survives
+       into that branch (the same pigeonhole as level 1, applied to
+       whatever bits remain). Groups at or below HOT_BUCKET_CAP emit
+       all pairs; recursion therefore terminates by the distinctness
+       pigeonhole (a group needs > 64 distinct patterns to stay hot,
+       impossible once < 7 available bits remain — depth ≤ 9 from 51).
+    3. Every verified rep pair expands to all clone-cluster cross pairs
+       (each has the identical Hamming distance, so this is exactly
+       output-proportional work).
+
+    Scale: hot buckets are the rare tail (the common case exits at the
+    JVM all-pairs path); a 10⁵-member bucket is a ~2.4 MB array row,
+    and the kernel's work is bounded by 5^depth bookkeeping plus the
+    true output size."""
+    cap, window, max_ham = HOT_BUCKET_CAP, CHAIN_WINDOW, SIMHASH_MAX_HAMMING
+    bounds = _SIMHASH_CHUNK_BOUNDS
+
+    def kernel(batches):
+        def ham(a, b):
+            return bin((a[1] ^ b[1]) & 0xFFFFFFFF).count("1") + bin(
+                (a[2] ^ b[2]) & 0xFFFFFFFF
+            ).count("1")
+
+        def bits_at(m, ranges):
+            v = (int(m[2]) << 32) | (int(m[1]) & 0xFFFFFFFF)
+            return tuple((v >> s) & ((1 << w) - 1) for s, w in ranges)
+
+        def five_segments(ranges):
+            total = sum(w for _, w in ranges)
+            sizes = [total // 5 + (1 if i < total % 5 else 0) for i in range(5)]
+            segs, ri, off = [], 0, 0
+            for size in sizes:
+                seg, need = [], size
+                while need > 0:
+                    rs, rw = ranges[ri]
+                    take = min(need, rw - off)
+                    seg.append((rs + off, take))
+                    need -= take
+                    off += take
+                    if off == rw:
+                        ri, off = ri + 1, 0
+                segs.append(seg)
+            return segs
+
+        for pdf in batches:
+            out_a, out_b, out_h = [], [], []
+
+            def emit(a, b, h):
+                out_a.append(a)
+                out_b.append(b)
+                out_h.append(h)
+
+            for key, ds in zip(pdf["chunk_key"], pdf["ds"]):
+                c = int(key.split("_", 1)[0])
+                s, w = bounds[c]
+                avail = [r for r in [(0, s), (s + w, 64 - s - w)] if r[1] > 0]
+                members = sorted(
+                    (int(d["doc_id"]), int(d["sim_lo"]), int(d["sim_hi"]))
+                    for d in ds
+                )
+                # clone clusters: identical full signature
+                clusters: dict[tuple, list] = {}
+                for m in members:
+                    clusters.setdefault((m[1], m[2]), []).append(m)
+                for clones in clusters.values():
+                    if len(clones) > cap:  # chain: linear, connected
+                        for i in range(len(clones)):
+                            for j in range(i + 1, min(i + 1 + window, len(clones))):
+                                emit(clones[i][0], clones[j][0], 0)
+                    else:
+                        for i in range(len(clones)):
+                            for j in range(i + 1, len(clones)):
+                                emit(clones[i][0], clones[j][0], 0)
+                reps = sorted(v[0] for v in clusters.values())
+                rep_pairs: set = set()
+
+                def split(ms, ranges):
+                    if len(ms) <= cap:
+                        for i in range(len(ms)):
+                            for j in range(i + 1, len(ms)):
+                                h = ham(ms[i], ms[j])
+                                if h <= max_ham:
+                                    rep_pairs.add((ms[i], ms[j], h))
+                        return
+                    segs = five_segments(ranges)
+                    for si, seg in enumerate(segs):
+                        groups: dict[tuple, list] = {}
+                        for m in ms:
+                            groups.setdefault(bits_at(m, seg), []).append(m)
+                        remaining = [
+                            r for j2, sg in enumerate(segs) if j2 != si for r in sg
+                        ]
+                        for g in groups.values():
+                            if len(g) > 1:
+                                split(g, remaining)
+
+                split(reps, avail)
+                for ra, rb, h in rep_pairs:
+                    for ma in clusters[(ra[1], ra[2])]:
+                        for mb in clusters[(rb[1], rb[2])]:
+                            a, b = min(ma[0], mb[0]), max(ma[0], mb[0])
+                            emit(a, b, h)
+            yield pd.DataFrame(
+                {"doc_a": out_a, "doc_b": out_b, "hamming": out_h}
+            ).astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int32"})
+
+    return hot.mapInPandas(kernel, "doc_a bigint, doc_b bigint, hamming int")
 
 
 def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Bucket-local chained pairing over 16-bit signature chunks — the
+    """Bucket-local chained pairing over the 5 signature blocks — the
     exact HOT_BUCKET_CAP/CHAIN_WINDOW machinery of minhash_candidate_pairs
     applied to SimHash blocking (round 3, VERDICT r2 "What's wrong" #3).
 
-    Why it's needed here too: 16-bit chunks give only 65k buckets per
-    chunk position, so at 10⁹ docs an AVERAGE bucket holds ~15k docs and a
+    Why it's needed here too: 12-13-bit blocks give only 4-8k buckets per
+    block position, so at 10⁹ docs an AVERAGE bucket holds ~10⁵ docs and a
     within-bucket all-pairs self-join is quadratic per bucket — unlike
     MinHash bands (whose key space is the full 64-bit hash range), SimHash
-    chunk collisions are routine, not a pathology. Same shape as minhash:
+    block collisions are routine, not a pathology. Same shape as minhash:
     ONE shuffle groups (chunk_key → sorted (doc_id, sig) structs); buckets
     ≤ HOT_BUCKET_CAP emit all pairs, larger ones chain each doc to the
     next CHAIN_WINDOW ids — linear in bucket size, connectivity preserved
     for downstream clustering. Signatures ride along in the struct so
-    Hamming verification needs no join back to the signature table."""
+    Hamming verification needs no join back to the signature table.
+
+    TWO-LEVEL refinement (round 4): a level-1 bucket above
+    HOT_BUCKET_CAP — routine for correlated corpora, where shared
+    vocabulary drags signature bits together (sf0.1 measures buckets of
+    460 docs) — is NOT chained away. Its members re-block on 5 segments
+    of the complement bits (_simhash_complement_segments): any pair
+    whose clean block is c has all <= 4 diffs in c's complement, so one
+    sub-segment is clean too and the pair still meets — the recall
+    guarantee recurses instead of eroding. Only sub-buckets STILL above
+    the cap (near-identical signatures, where the true output itself is
+    quadratic in the cluster size) fall back to chained pairing, the
+    documented linear-cost/connectivity-preserving compromise. (At 10⁹+
+    docs the published refinement is Manku's permuted-table design —
+    sorted fingerprint tables per block permutation; the block keys here
+    are the degenerate one-table form of it.)"""
     chunk_keys = F.array(
         *[
             F.concat_ws(
                 "_",
                 F.lit(str(c)),
-                F.shiftright(F.col("sim_lo" if c < 2 else "sim_hi"), (c % 2) * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .cast("string"),
+                _simhash_chunk_expr(start, width).cast("string"),
             )
-            for c in range(_SIMHASH_CHUNKS)
+            for c, (start, width) in enumerate(_SIMHASH_CHUNK_BOUNDS)
         ]
     )
     buckets = (
@@ -461,43 +630,109 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    followers = F.when(
-        F.size("ds") <= HOT_BUCKET_CAP, F.size("ds")
-    ).otherwise(F.lit(CHAIN_WINDOW))
-    pair_rows = buckets.select(F.posexplode("ds").alias("i", "da"), "ds").select(
-        "da", F.explode(F.slice("ds", F.col("i") + 2, followers)).alias("db")
+    small = buckets.filter(F.size("ds") <= HOT_BUCKET_CAP)
+    hot = buckets.filter(F.size("ds") > HOT_BUCKET_CAP)
+
+    pair_rows = small.select(F.posexplode("ds").alias("i", "da"), "ds").select(
+        "da", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("db")
     )
     hamming = F.bit_count(
         F.col("da.sim_lo").bitwiseXOR(F.col("db.sim_lo"))
     ) + F.bit_count(F.col("da.sim_hi").bitwiseXOR(F.col("db.sim_hi")))
-    return (
-        pair_rows.select(
-            F.col("da.doc_id").alias("doc_a"),
-            F.col("db.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
+    small_pairs = pair_rows.select(
+        F.col("da.doc_id").alias("doc_a"),
+        F.col("db.doc_id").alias("doc_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    return small_pairs.unionByName(_simhash_refine_hot_buckets(hot)).distinct()
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force SimHash twin for DuckDB: identical md5-derived word
+    hashes, identical ±1 bit votes, O(n²) pairwise Hamming — feasible
+    only at oracle scale. Machine-generated (64 bit-sum expressions)."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (({'h_lo' if i < 32 else 'h_hi'} >> {i % 32}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS bit_{i}"
+        for i in range(SIMHASH_BITS)
     )
+    lo = " + ".join(
+        f"(CASE WHEN bit_{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN bit_{i + 32} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(32)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5('sh|' || w), 1, 8))::BIGINT AS h_lo,
+                   ('0x' || substring(md5('sh|' || w), 9, 8))::BIGINT AS h_hi
+            FROM toks WHERE w <> ''
+        ), bits AS (
+            SELECT doc_id,
+                   {bit_sums}
+            FROM h GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {lo} AS sim_lo, {hi} AS sim_hi FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= {SIMHASH_MAX_HAMMING}
+    """
 
 
-@query("llm_simhash_near_dup", survey_id="LLM-2", oracle=None)
+@query("llm_simhash_near_dup", survey_id="LLM-2", oracle=_simhash_oracle_sql())
 def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 64-bit signature = sign of the
-    per-bit sum of ±1 votes from xxhash64(word) over each doc's words;
-    candidates block on 16-bit signature chunks (bucket-local chained
-    pairing, hot buckets capped — see simhash_candidate_pairs); verify by
-    Hamming ≤ 6 (bit_count(xor)). Rows-only check — Spark's xxhash64 has
-    no DuckDB twin (SURVEY §5.3); semantic assertions (planted near-dups
-    found, no self-pairs) live in tests/test_llm_semantics.py."""
+    per-bit sum of ±1 votes from an md5-derived 64-bit word hash (two
+    32-bit halves via the repo's md5-substring convention — round 4
+    swapped xxhash64 for it precisely so DuckDB can recompute the
+    signature bit-for-bit); candidates block on 5 signature blocks —
+    k+1 blocks for the Hamming ≤ k = 4 verify threshold, so ANY
+    qualifying pair shares one untouched block by pigeonhole
+    (bucket-local chained pairing, hot buckets capped — see
+    simhash_candidate_pairs); verify by Hamming ≤ 4 (bit_count(xor)).
+
+    The oracle is the brute-force O(n²) pairwise Hamming join over the
+    identical signatures. Unlike the MinHash oracle (whose exact match
+    certifies empirical 100% LSH recall on this corpus), the match here
+    is STRUCTURAL: the k+1-block guarantee means blocking can never
+    drop a qualifying pair, at any corpus, modulo the documented
+    hot-bucket chaining cap. Unrelated docs sit at Hamming ≈ 32
+    (Binomial(64, ½)), far outside the band. Semantic assertions
+    (planted pairs found, no self-pairs) remain in
+    tests/test_llm_semantics.py."""
     docs = load_table(spark, sf_dir, "documents")
-    exploded = docs.select(
-        "doc_id", F.explode(normalized_words(F.col("text"))).alias("word")
-    ).withColumn("h", F.xxhash64("word"))
+    md5_hex = F.md5(F.concat(F.lit("sh|"), F.col("word")))
+    exploded = (
+        docs.select(
+            "doc_id", F.explode(normalized_words(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(md5_hex, 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+            F.conv(F.substring(md5_hex, 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+        )
+    )
     bit_sums = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
-                (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+                (
+                    F.shiftright(F.col("h_lo" if i < 32 else "h_hi"), i % 32)
+                    .bitwiseAND(F.lit(1))
+                    * 2
+                    - 1
+                )
             ).alias(f"bit_{i}")
             for i in range(SIMHASH_BITS)
         ]

@@ -72,12 +72,45 @@ def extract_byte_features(
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 
-@query("llm_multimodal_features", survey_id="LLM-10", oracle=None)
+@query(
+    "llm_multimodal_features",
+    survey_id="LLM-10",
+    oracle="""
+        WITH blobs AS (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+                   size, lower(hex(content)) AS h
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        ), bytes AS (
+            SELECT file_name, size, h,
+                   list_transform(range(least(size, 4096)),
+                       i -> ('0x' || substring(h, 1 + i * 2, 2))::INT) AS head
+            FROM blobs
+        )
+        SELECT file_name,
+               CAST(size AS BIGINT) AS n_bytes,
+               substring(h, 1, 16) AS head_hex,
+               CASE WHEN size = 0 THEN 0.0
+                    ELSE list_sum(head)::DOUBLE / least(size, 4096)
+               END AS mean_byte,
+               CAST(len(list_filter(head, v -> v = 0)) AS BIGINT)
+                   AS n_zero_bytes
+        FROM bytes
+    """,
+)
 def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-file ingest → Arrow-batched Python feature extraction
     (mapInPandas) over the testdata parquet files as stand-in media blobs.
-    Rows-only check (byte contents aren't SQL-comparable); schema and
-    determinism are asserted in tests."""
+
+    Hash-checked since round 4 via the read_blob technique proven on
+    llm_multimodal_frame_sample: every byte-level feature (n_bytes,
+    head_hex, mean of the first 4096 bytes, zero-byte count) is
+    recomputed in DuckDB over hex(content) slices, so the whole
+    binaryFile → Arrow → kernel → schema path is certified
+    byte-for-byte. mean_byte stays engine-proof because both engines
+    divide the identical integer sum by the identical integer count —
+    one IEEE division, no rounding. The oracle reads the graded sf0.01
+    directory (the driver's t2 scale); the Spark side honors whatever
+    sf_dir it is given. Determinism is additionally asserted in tests."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select("path", "content").mapInPandas(
         extract_byte_features, FEATURE_SCHEMA
