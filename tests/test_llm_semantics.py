@@ -38,8 +38,9 @@ def test_lsh_ann_recall(spark, queries, exact_topk):
     """Multi-probe LSH must recover a meaningful fraction of the exact
     top-3 graph. The corpus is near-random (mean top-3 cosine ≈ 0.37 — the
     hardest regime for LSH); measured recall with the seed-pinned
-    hyperplanes is ≈ 0.55, asserted with margin. Also: ANN output must be a
-    subset of legal pairs (no self-pairs, ≤ k per src)."""
+    hyperplanes is ≈ 0.71 at sf0.01 since the round-4 retune to 10
+    tables (VERDICT r3 #6), asserted with margin. Also: ANN output must
+    be a subset of legal pairs (no self-pairs, ≤ k per src)."""
     ann_rows = queries["llm_lsh_ann_topk"](spark, SF_DIR).collect()
     ann = {(r.src_id, r.nbr_id) for r in ann_rows}
     assert all(s != n for s, n in ann)
@@ -48,11 +49,11 @@ def test_lsh_ann_recall(spark, queries, exact_topk):
         per_src[s] = per_src.get(s, 0) + 1
     assert max(per_src.values()) <= 3
     recall = len(exact_topk & ann) / len(exact_topk)
-    # Measured band (round 3): 0.546 at the pinned seed. The lower edge
-    # catches a silent recall collapse from a refactor; the UPPER edge
-    # catches the opposite failure — recall ≈ 1.0 means the blocking
+    # Measured band (round 4, T=10): 0.711 at the pinned seed. The lower
+    # edge catches a silent recall collapse from a refactor; the UPPER
+    # edge catches the opposite failure — recall ≈ 1.0 means the blocking
     # stopped pruning and the operator degenerated into an exact scan.
-    assert 0.45 <= recall <= 0.68, f"LSH recall left its measured band: {recall:.3f}"
+    assert 0.62 <= recall <= 0.85, f"LSH recall left its measured band: {recall:.3f}"
 
 
 def test_ivf_ann_recall(spark, queries, exact_topk):

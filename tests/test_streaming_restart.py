@@ -9,6 +9,8 @@ import glob
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR
@@ -173,3 +175,42 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
         )
     }
     assert got == expected
+
+
+def test_transform_with_state_gate_tracks_protobuf(spark):
+    """str_stateful_counter_tws (the Spark 4.x transformWithStateInPandas
+    twin of the stateful counter) registers exactly when google.protobuf
+    is importable — the module the streaming Python runner crashes on
+    without. Where available, it must hash-match the same batch truth as
+    the applyInPandasWithState form; where not, it must stay OUT of the
+    graded registry rather than hand the driver a guaranteed-red row."""
+    import importlib.util
+
+    from sealnet_etl_spark.registry import QUERIES
+    from sealnet_etl_spark.streaming.queries_str import _tws_available
+
+    try:  # find_spec raises if even the parent 'google' package is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    assert _tws_available() == has_protobuf
+    assert ("str_stateful_counter_tws" in QUERIES) == has_protobuf
+    if not has_protobuf:
+        pytest.skip("google.protobuf absent: 4.x API cannot run here")
+
+    from .conftest import SF_DIR
+
+    result = {
+        (r.user_id, r.n_events)
+        for r in QUERIES["str_stateful_counter_tws"].fn(spark, SF_DIR).collect()
+    }
+    from sealnet_etl_spark.sources import load_table
+
+    expected = {
+        (r.user_id, r.n_events)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert result == expected
