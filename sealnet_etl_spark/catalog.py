@@ -50,6 +50,7 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "jn_interval_overlap",
     "llm_simhash_near_dup",
     "llm_multimodal_features",
+    "src_jdbc_roundtrip",  # SRC-6 closed round 4 (embedded Derby)
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

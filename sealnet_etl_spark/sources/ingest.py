@@ -518,3 +518,66 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("first_ts_us"),
         F.max("ts_us").alias("last_ts_us"),
     )
+
+
+@query(
+    "src_jdbc_roundtrip",
+    survey_id="SRC-6",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT)  AS n_nations,
+               MIN(n_name)               AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def src_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC sink + source (SRC-6, closed in round 4): write the nation
+    dim through ``df.write.format("jdbc")`` into an embedded Derby
+    database (the one JDBC driver Spark itself ships, so the path runs
+    with zero extra jars), read it back through the JDBC source with a
+    pushed-down filter, and aggregate — hash-matching the original table
+    proves values, types, and strings survive the SQL round trip.
+
+    The read side demonstrates the options that matter at scale even
+    though the demo DB is tiny: Spark's JDBC source pushes filters and
+    column pruning into the remote SQL (`pushDownPredicate`, on by
+    default — the WHERE clause below executes in the database), and a
+    production read of a LARGE table adds `partitionColumn` +
+    `lowerBound`/`upperBound`/`numPartitions` so executors open parallel
+    range-bounded cursors instead of one serial result set. The write
+    side's production knobs are `batchsize` (rows per INSERT batch),
+    `numPartitions` (parallel connections — size to what the RDBMS
+    tolerates, not to the cluster), `isolationLevel`, and `truncate`
+    (reuse the table on overwrite instead of DROP). Embedded Derby is a
+    driver-local file DB, fine for local[n] where executors share the
+    JVM; a real cluster points the url at a networked RDBMS reachable
+    from every executor. The db path is keyed per sf_dir under scratch;
+    mode("overwrite") keeps reruns idempotent."""
+    db_path = _scratch(sf_dir, "jdbc_derby_db")
+    url = f"jdbc:derby:{db_path};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    (
+        nation.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rt")
+        .option("driver", driver)
+        .option("batchsize", 1000)
+        .save()
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rt")
+        .option("driver", driver)
+        .load()
+        .filter(F.col("n_nationkey") >= 0)  # pushed into Derby's SQL
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
