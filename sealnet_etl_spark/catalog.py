@@ -51,6 +51,10 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_simhash_near_dup",
     "llm_multimodal_features",
     "src_jdbc_roundtrip",  # SRC-6 closed round 4 (embedded Derby)
+    # new round-4 operators (each mirror-green at sf0.001/0.01/0.1)
+    "jn_triangle_count",
+    "wn_rrf_rank_fusion",
+    "src_parquet_manifest",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
+from .trainprep import md5_bucket
 
 
 def asof_join(
@@ -1270,4 +1271,80 @@ def jn_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(fresh, F.col("asof_vvalue")).alias("asof_view_value"),
         F.when(fresh, 1).otherwise(0).cast("int").alias("within_tolerance"),
+    )
+
+
+TRIANGLE_OUT_DEGREE = 3  # neighbors drawn per node in the synthetic graph
+
+
+@query(
+    "jn_triangle_count",
+    survey_id="JN-10/LLM-3",
+    oracle="""
+        WITH raw AS (
+            SELECT (('0x' || substring(md5('tri|' || c_custkey::VARCHAR
+                        || '|' || s.i::VARCHAR), 1, 8))::BIGINT
+                    % (c_custkey - 1)) + 1 AS a,
+                   c_custkey AS b
+            FROM customer CROSS JOIN (SELECT unnest(range(3)) AS i) s
+            WHERE c_custkey > 1
+        ), edges AS (
+            SELECT DISTINCT a, b FROM raw WHERE a <> b
+        )
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN edges e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+)
+def jn_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration — the canonical heavy-self-join graph
+    analytic (clustering coefficients, community seeds, spam-graph
+    signals). The graph is synthesized deterministically over customers
+    (each node draws 3 md5-uniform smaller neighbors, the jn_hierarchy
+    convention), so both engines enumerate the identical random graph.
+
+    The plan is the MapReduce wedge-closure algorithm (Suri &
+    Vassilvitskii, WWW'11): every edge is stored ONCE, oriented
+    low-id → high-id (id order stands in for the degree order you would
+    use on a power-law graph — orientation bounds wedge fan-out by the
+    ORIENTED out-degree, turning the O(Σ deg²) naive wedge count into
+    O(Σ out_deg²) with out_deg ≤ 3 here). Two equi-joins close each
+    wedge: e1(a,b) ⋈ e2(a,c) builds wedges centered at the lowest
+    vertex (b < c dedupes the two wedge arms), and the (b,c) probe into
+    the edge set confirms the closing edge. Each triangle (v1<v2<v3) is
+    emitted exactly once from its lowest vertex — no post-join distinct.
+    Both joins are plain equi-joins: AQE splits skewed hubs, and the
+    shuffle carries bare (id, id) pairs. (llm_triangle_count is the
+    sibling that COUNTS triangles over the tiny near-dup graph, where
+    its docstring notes orientation as the production refinement; this
+    operator is that refinement implemented, per-triangle output, on a
+    graph big enough for orientation to matter.)"""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("b")
+    ).filter(F.col("b") > 1)
+    raw = cust.select(
+        "b", F.explode(F.array(*[F.lit(i) for i in range(TRIANGLE_OUT_DEGREE)])).alias("i")
+    ).select(
+        (
+            md5_bucket(
+                F.concat(F.col("b").cast("string"), F.lit("|"), F.col("i").cast("string")),
+                "tri|",
+                F.col("b") - 1,
+            )
+            + 1
+        ).alias("a"),
+        "b",
+    )
+    edges = raw.filter(F.col("a") != F.col("b")).distinct()
+    e1 = edges.select(F.col("a").alias("w_a"), F.col("b").alias("w_b"))
+    e2 = edges.select(F.col("a").alias("w_a"), F.col("b").alias("w_c"))
+    wedges = e1.join(e2, "w_a").filter(F.col("w_c") > F.col("w_b"))
+    closing = edges.select(
+        F.col("a").alias("w_b"), F.col("b").alias("w_c")
+    )
+    return wedges.join(closing, ["w_b", "w_c"]).select(
+        F.col("w_a").alias("v1"),
+        F.col("w_b").alias("v2"),
+        F.col("w_c").alias("v3"),
     )

@@ -1874,3 +1874,78 @@ def wn_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, n_events bigint, n_alarms bigint, "
         "max_cusum double, first_alarm_ts timestamp",
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOP = 20
+
+
+@query(
+    "wn_rrf_rank_fusion",
+    survey_id="WN-2/LLM-5",
+    oracle=f"""
+        WITH r1 AS (
+            SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY length(text) DESC, doc_id) AS rank1
+            FROM documents
+        ), r2 AS (
+            SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY ('0x' || substring(md5('rrf|' || doc_id::VARCHAR),
+                                             1, 8))::BIGINT, doc_id) AS rank2
+            FROM documents
+        ), fused AS (
+            SELECT r1.doc_id, rank1, rank2,
+                   1.0 / ({RRF_K} + rank1) + 1.0 / ({RRF_K} + rank2) AS rrf
+            FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id
+        )
+        SELECT doc_id, CAST(rank1 AS BIGINT) AS rank1,
+               CAST(rank2 AS BIGINT) AS rank2, rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+        LIMIT {RRF_TOP}
+    """,
+)
+def wn_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two independent document rankings —
+    the standard hybrid-retrieval merge (BM25 list + vector list, or any
+    N retrievers): score = Σ 1/(k + rank_i), k=60, robust to
+    incomparable raw scores because only RANKS enter. Here ranking 1 is
+    text length (a real signal) and ranking 2 an md5-derived stand-in
+    for a second retriever, so both engines fuse identical lists.
+
+    Engine-proofing: each 1/(k+rank) term is one IEEE division of exact
+    integers and the sum has a FIXED two-term association, so the fused
+    doubles are bit-identical across engines — no rounding needed; the
+    final cut breaks rrf ties by doc_id.
+
+    Scale shape: each ranking is a global sort of (id, key) pairs — at
+    real scale per-retriever rankings arrive pre-cut to their own top-N
+    (RRF only needs each list's head), so the fusion input is N·lists
+    rows, the join key is doc_id, and the final TakeOrdered top-20 never
+    materializes a full sort. The window ranks here follow the
+    wn_ntile_scalable doctrine at toy scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w1 = Window.orderBy(F.length("text").desc(), "doc_id")
+    w2 = Window.orderBy(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rrf|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        "doc_id",
+    )
+    r1 = docs.select("doc_id", F.row_number().over(w1).alias("rank1"))
+    r2 = docs.select("doc_id", F.row_number().over(w2).alias("rank2"))
+    fused = (
+        r1.join(r2, "doc_id")
+        .select(
+            "doc_id",
+            F.col("rank1").cast("bigint").alias("rank1"),
+            F.col("rank2").cast("bigint").alias("rank2"),
+            (
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank1"))
+                + F.lit(1.0) / (F.lit(RRF_K) + F.col("rank2"))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)

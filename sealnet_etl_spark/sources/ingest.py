@@ -581,3 +581,59 @@ def src_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.min("n_name").alias("first_name"),
     )
+
+
+MANIFEST_SHARDS = 4
+
+
+@query(
+    "src_parquet_manifest",
+    survey_id="SRC-5/ETL-6",
+    oracle=f"""
+        SELECT doc_id % {MANIFEST_SHARDS}        AS shard,
+               CAST(1 AS BIGINT)                 AS n_files,
+               CAST(COUNT(*) AS BIGINT)          AS n_rows,
+               MIN(doc_id)                       AS min_id,
+               MAX(doc_id)                       AS max_id
+        FROM documents
+        GROUP BY shard
+    """,
+)
+def src_parquet_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-manifest audit of a freshly written sharded dataset — the
+    lake-ops check every publish step should run (Delta/Iceberg keep a
+    manifest natively; on plain parquet you derive it from the files).
+    Documents are written as one directory per ``doc_id % 4`` shard with
+    the rows of each shard hash-routed into ONE task, then the manifest
+    is derived from the REAL on-disk layout via the ``_metadata`` hidden
+    column (file_path per row — Spark's file-source metadata, no driver
+    filesystem walk): files per shard, rows, id bounds. Hash-matching
+    the planned layout proves the writer produced exactly one file per
+    shard with the right members — a publish that silently splits,
+    duplicates, or drops a shard fails the audit.
+
+    Scale shape: the write is one hash shuffle on the shard key; the
+    audit is a scan of the written files aggregating (shard, file) —
+    metadata-cheap because _metadata is populated per split, and the
+    groupBy output is one row per shard. At real scale shards map to
+    downstream consumers (one file per training-data reader)."""
+    path = _scratch(sf_dir, "documents_manifest_shards")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(MANIFEST_SHARDS))
+    )
+    (
+        sharded.repartition(MANIFEST_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = spark.read.schema("doc_id bigint, shard int").parquet(path).select(
+        "doc_id", "shard", F.col("_metadata.file_path").alias("file_path")
+    )
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.countDistinct("file_path").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
