@@ -55,6 +55,10 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "jn_triangle_count",
     "wn_rrf_rank_fusion",
     "src_parquet_manifest",
+    "llm_bigram_logprob",
+    "llm_mixture_temperature_weights",
+    "llm_curriculum_order",
+    "llm_span_corruption_plan",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

@@ -799,3 +799,337 @@ def llm_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM quality scoring (the order-2 sibling of llm_unigram_logprob)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_bigram_logprob",
+    survey_id="LLM-9/LLM-11",
+    oracle=rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, t.i AS pos, w[t.i + 1] AS w1, w[t.i + 2] AS w2
+            FROM words, unnest(range(len(w) - 1)) AS t(i)
+        ), uni AS (
+            SELECT w1 AS w, COUNT(*) AS c FROM (
+                SELECT doc_id, unnest(w) AS w1 FROM words
+            ) GROUP BY w1 HAVING COUNT(*) >= {UNIGRAM_MIN_COUNT}
+        ), v AS (
+            SELECT COUNT(*)::DOUBLE AS vsize FROM uni
+        ), bi AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM toks GROUP BY w1, w2
+        )
+        SELECT toks.doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln((COALESCE(bi.c2, 0) + 1)
+                             / (u1.c + v.vsize))), 6) AS avg_neg_logprob
+        FROM toks
+        JOIN uni u1 ON toks.w1 = u1.w
+        JOIN uni u2 ON toks.w2 = u2.w
+        LEFT JOIN bi ON toks.w1 = bi.w1 AND toks.w2 = bi.w2
+        CROSS JOIN v
+        GROUP BY toks.doc_id
+    """,
+)
+def llm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-1 smoothing — the
+    order-2 upgrade of llm_unigram_logprob's KenLM-style perplexity
+    gate: each document scores the mean surprisal of its in-vocabulary
+    word bigrams, p(w2|w1) = (c(w1,w2)+1)/(c(w1)+|V|), so repeated
+    improbable transitions (shuffled text, gibberish interleave) score
+    high where the unigram gate is blind.
+
+    The vocabulary discipline mirrors the unigram operator exactly:
+    only bigrams whose BOTH words pass the corpus min-count filter are
+    scored (the filter is what keeps the broadcast tables bounded at
+    100 TB — the raw bigram table grows with the corpus, but the
+    min-count vocab saturates), and an in-vocab bigram never seen in
+    the corpus smooths to c2=0 rather than being dropped, which is the
+    whole point of smoothing. Plan shape: one exploded-bigram pass,
+    counts via map-side-combining aggregates, scoring through TWO
+    broadcast joins (vocab, vocab-filtered observed-bigram counts) plus
+    the 1-row |V| scalar — the scoring pass itself is map-only, no
+    shuffle of the exploded corpus on skewed word keys. The in-vocab
+    bigram table is the one term that still grows (sub-linearly) with
+    the corpus; when it outgrows broadcast, production either prunes
+    low-count bigrams KenLM-style (accepting approximate smoothing) or
+    shuffles the scoring join on (w1, w2) — a well-distributed compound
+    key, unlike the stopword-skewed unigram key."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+    toks = words.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("w") >= 2,
+                F.zip_with(
+                    F.slice("w", 1, F.size("w") - 1),
+                    F.slice("w", 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array()),
+        ).alias("pos", "bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= UNIGRAM_MIN_COUNT)
+    )
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"))
+    # the broadcast bigram table carries ONLY in-vocab pairs (a scored
+    # pair's count is the same either way — filtering the table by key
+    # membership never changes c2); OOV-keyed counts would otherwise
+    # grow the broadcast with the corpus tail
+    bi = (
+        toks.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .join(F.broadcast(u1.select("w1")), "w1", "left_semi")
+        .join(F.broadcast(u2), "w2", "left_semi")
+    )
+    return (
+        toks.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .join(F.broadcast(bi), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.col("c1") + F.col("vsize"))
+                    )
+                ),
+                6,
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture temperature weights
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.5  # temperature exponent: 1.0 = proportional, 0 = uniform
+
+
+@query(
+    "llm_mixture_temperature_weights",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH per_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), powed AS (
+            SELECT source, n_docs, n_tokens,
+                   ROUND(pow(n_tokens, {MIXTURE_ALPHA}), 9) AS p_raw
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(p_raw / SUM(p_raw) OVER (), 6) AS sample_weight
+        FROM powed
+    """,
+)
+def llm_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture sampling weights — the standard
+    multilingual/multi-source rebalancing step (the alpha-sampling of
+    mBERT/XLM-R and the motivation for UniMax): each source's sampling
+    probability is n_tokens^alpha normalized over sources, so alpha=1
+    reproduces natural proportions and alpha→0 flattens toward uniform,
+    boosting low-resource sources. Downstream, llm_mixture_sample /
+    llm_weighted_sample consume exactly such per-source weights.
+
+    Cross-engine float discipline: pow() is the one non-algebraic term
+    (libm implementations may differ in the last ulp), so the raw power
+    is PRE-ROUNDED at 9 dp on both engines before normalization — the
+    llm_pagerank discipline — and the normalized weight reported at
+    6 dp; magnitudes here (hundreds) leave 9 dp far above ulp noise.
+
+    Scale: one map-side-combining aggregate over documents (token
+    counts), then the weight arithmetic runs on one row per source —
+    dozens of rows at any corpus size; the window-normalization is a
+    single-partition pass over that tiny table, never over data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.filter(normalized_words(F.col("text")), lambda x: x != ""))
+        ).alias("n_tokens"),
+    )
+    powed = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow(F.col("n_tokens"), F.lit(MIXTURE_ALPHA)), 9).alias("p_raw"),
+    )
+    w = Window.partitionBy()
+    return powed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("p_raw") / F.sum("p_raw").over(w), 6).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 10
+
+
+@query(
+    "llm_curriculum_order",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH phased AS (
+            SELECT doc_id,
+                   NTILE({CURRICULUM_PHASES}) OVER
+                       (ORDER BY n_chars, doc_id) AS phase,
+                   {_md5_bucket_sql("doc_id::VARCHAR", "curr:", 1_000_000)}
+                       AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(phase AS INT) AS phase,
+               CAST(ROW_NUMBER() OVER
+                   (PARTITION BY phase ORDER BY shuffle_key, doc_id)
+                   AS BIGINT) AS ord
+        FROM phased
+    """,
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: assign each document a training phase by
+    difficulty decile (length-based curriculum — short/easy first, the
+    classic Bengio et al. schedule) and a deterministic within-phase
+    shuffle position, so the training loader can stream phase 1..10 in
+    order while each phase arrives well-mixed. The shuffle key is the
+    md5 integerization (no RNG — re-runs and the oracle agree exactly;
+    ties broken by doc_id).
+
+    Scale: difficulty uses the PRE-COMPUTED n_chars column (no text
+    scan). The graded form's global NTILE is the toy-scale shape; at
+    100 TB phase boundaries come from an approx-quantile pass over
+    n_chars (the wn_ntile_scalable two-phase doctrine) and the
+    within-phase order is (shuffle_key, doc_id) — already a total
+    order, so the loader sorts each phase's shard files independently
+    and no global window ever runs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    phased = docs.select(
+        "doc_id",
+        F.ntile(CURRICULUM_PHASES)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("phase"),
+        md5_bucket(F.col("doc_id").cast("string"), "curr:", 1_000_000).alias(
+            "shuffle_key"
+        ),
+    )
+    return phased.select(
+        "doc_id",
+        F.col("phase").cast("int").alias("phase"),
+        F.row_number()
+        .over(Window.partitionBy("phase").orderBy("shuffle_key", "doc_id"))
+        .cast("bigint")
+        .alias("ord"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption planning (T5-style denoising objective)
+# ---------------------------------------------------------------------------
+
+CORRUPT_BLOCK = 20  # tokens per block; one span corrupted per full block
+CORRUPT_SPAN = 3  # tokens masked per span (mean span length in T5)
+
+
+@query(
+    "llm_span_corruption_plan",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(b.i AS INT) AS span_idx,
+               CAST(b.i * {CORRUPT_BLOCK}
+                    + ('0x' || substring(md5('span:' || doc_id::VARCHAR
+                          || '|' || b.i::VARCHAR), 1, 8))::BIGINT
+                      % {CORRUPT_BLOCK - CORRUPT_SPAN + 1} AS BIGINT)
+                   AS start_pos,
+               CAST({CORRUPT_SPAN} AS INT) AS span_len
+        FROM words, unnest(range(n_tokens // {CORRUPT_BLOCK})) AS b(i)
+    """,
+)
+def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption plan — the T5/UL2 denoising-objective prep step:
+    decide which token spans each document masks BEFORE tokenized
+    shards are written, so the same corruption is reproducible across
+    epochs and engines. Deterministic variant of T5's random policy:
+    each full 20-token block hosts exactly one 3-token span (15%
+    corruption rate, mean span 3 — the T5 defaults) at an md5-drawn
+    offset within the block, which guarantees spans never overlap and
+    never cross block boundaries — the two invariants the random
+    sampler enforces with rejection. One output row per span
+    (doc_id, span_idx, start_pos, span_len), the layout a masking
+    kernel consumes by merge-joining on doc_id.
+
+    Scale: map-only — token count per doc then a bounded explode
+    (n_tokens/20 rows per doc, proportional to output); no shuffle, no
+    state, trivially parallel at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(normalized_words(F.col("text")), lambda x: x != "")
+        ).alias("n_tokens"),
+    )
+    n_off = CORRUPT_BLOCK - CORRUPT_SPAN + 1
+    return (
+        # the >= block filter guards Spark's sequence(): with start > stop
+        # it produces a DESCENDING [0, -1], not the empty set DuckDB's
+        # range(0) yields — sub-block docs must never reach the explode
+        words.filter(F.col("n_tokens") >= CORRUPT_BLOCK)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor(F.col("n_tokens") / CORRUPT_BLOCK) - 1
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("span_idx"),
+            (
+                F.col("i") * CORRUPT_BLOCK
+                + md5_bucket(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("i").cast("string"),
+                    ),
+                    "span:",
+                    n_off,
+                )
+            )
+            .cast("bigint")
+            .alias("start_pos"),
+            F.lit(CORRUPT_SPAN).cast("int").alias("span_len"),
+        )
+    )
