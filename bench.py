@@ -74,6 +74,17 @@ def headline_queries() -> list[str]:
         "ag_count_min_sketch",
         # heaviest of the final batches: 100k sliding mean+stddev frames
         "wn_bollinger_bands",
+        # round 4: the re-blocked SimHash (recursive hot-bucket kernel),
+        # the oriented triangle wedge closure, and the bigram scoring's
+        # double-broadcast pass — the round's heaviest new shapes, plus
+        # the Arrow inference kernel whose rounding fix must not cost
+        "llm_simhash_near_dup",
+        "jn_triangle_count",
+        "llm_bigram_logprob",
+        "udf_model_batch_inference",
+        # the rollup twin that isolates jn_interval_overlap's JOIN cost
+        # from the 617k-row driver-collect tax (see its docstring)
+        "jn_interval_overlap_daily",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -59,6 +59,7 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_mixture_temperature_weights",
     "llm_curriculum_order",
     "llm_span_corruption_plan",
+    "jn_interval_overlap_daily",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

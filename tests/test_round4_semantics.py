@@ -1,0 +1,198 @@
+"""Semantic/property tests for the round-4 operators — the invariants
+their oracles cannot state (oracles prove value equality; these prove the
+CLAIMED guarantees hold on adversarial inputs the testdata never shows).
+
+The headline test is the SimHash recursion guarantee: the round-4 docstring
+claims hot-bucket refinement can never drop a Hamming ≤ 4 pair unless the
+pair sits inside an over-cap clone cluster. That claim is structural
+(pigeonhole), so it must survive a synthetic corpus built specifically to
+defeat one-level blocking: hundreds of DISTINCT signatures crammed into one
+level-1 bucket."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sealnet_etl_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_simhash_recursive_refinement_never_drops_qualifying_pairs(spark):
+    """Adversarial hot bucket: 200 distinct signatures, all sharing block 0
+    (bits 0..12 identical -> one level-1 bucket of 200 > HOT_BUCKET_CAP),
+    differing only in bits 13+. Brute-force Hamming <= 4 pairs must ALL be
+    found — the k+1-block guarantee recursing into complement segments,
+    exactly as simhash_candidate_pairs' docstring promises. A chained
+    (round-3) pairing provably misses most of these."""
+    from sealnet_etl_spark.operators.dedup import (
+        HOT_BUCKET_CAP,
+        SIMHASH_MAX_HAMMING,
+        simhash_candidate_pairs,
+    )
+
+    n = 200
+    assert n > HOT_BUCKET_CAP
+    rows = []
+    for i in range(n):
+        # distinct patterns in bits 13..20 (one byte) + a sprinkle in the
+        # high half so pairs span the lo/hi straddle path too
+        lo = (i & 0xFF) << 13
+        hi = (i >> 3) & 0x7
+        rows.append((i, lo, hi))
+    sigs = spark.createDataFrame(rows, "doc_id bigint, sim_lo bigint, sim_hi bigint")
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(sigs).collect()
+    }
+
+    def ham(a, b):
+        return bin((a[1] ^ b[1])).count("1") + bin((a[2] ^ b[2])).count("1")
+
+    expect = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            h = ham(rows[i], rows[j])
+            if h <= SIMHASH_MAX_HAMMING:
+                expect.add((rows[i][0], rows[j][0], h))
+    assert expect, "adversarial corpus must actually contain qualifying pairs"
+    assert got == expect, (
+        f"missing={sorted(expect - got)[:5]} extra={sorted(got - expect)[:5]}"
+    )
+
+
+def test_simhash_clone_cluster_still_chains(spark):
+    """The one designed exception: an over-cap cluster of IDENTICAL
+    signatures (true boilerplate) chains — linear pair count, connectivity
+    preserved — because its exact output is quadratic by definition."""
+    from sealnet_etl_spark.operators.dedup import (
+        CHAIN_WINDOW,
+        simhash_candidate_pairs,
+    )
+    from sealnet_etl_spark.operators.dedup import connected_components
+
+    n = 150
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0xABC).cast("bigint").alias("sim_lo"),
+        F.lit(0x123).cast("bigint").alias("sim_hi"),
+    )
+    pairs = simhash_candidate_pairs(sigs)
+    cnt = pairs.count()
+    assert 0 < cnt <= n * CHAIN_WINDOW
+    clusters = connected_components(pairs, "doc_a", "doc_b")
+    assert clusters.select("cluster_id").distinct().count() == 1
+    assert clusters.count() == n
+
+
+def test_triangle_output_rows_are_real_oriented_triangles(spark, queries):
+    """Every emitted (v1, v2, v3) must be strictly ordered and each of its
+    three edges present in the synthesized edge set; and the emitted set
+    must be complete and duplicate-free against a local recount."""
+    import hashlib
+
+    rows = queries["jn_triangle_count"](spark, SF_DIR).collect()
+    triples = [(r.v1, r.v2, r.v3) for r in rows]
+    assert len(triples) == len(set(triples)), "duplicate triangles"
+    assert all(a < b < c for a, b, c in triples)
+
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    edges = set()
+    for b in range(2, n_cust + 1):
+        for i in range(3):
+            h = int(
+                hashlib.md5(f"tri|{b}|{i}".encode()).hexdigest()[:8], 16
+            )
+            a = (h % (b - 1)) + 1
+            if a != b:
+                edges.add((a, b))
+    for a, b, c in triples:
+        assert {(a, b), (a, c), (b, c)} <= edges, (a, b, c)
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    expect = {
+        (a, b, c)
+        for a in adj
+        for b in sorted(adj[a])
+        for c in sorted(adj[a])
+        if b < c and c in adj.get(b, set())
+    }
+    assert set(triples) == expect
+
+
+def test_span_corruption_invariants(spark, queries):
+    """Spans must never overlap, never cross their 20-token block, and
+    cover exactly 15% of full-block tokens (3 per 20)."""
+    from sealnet_etl_spark.operators.trainprep import (
+        CORRUPT_BLOCK,
+        CORRUPT_SPAN,
+    )
+
+    rows = queries["llm_span_corruption_plan"](spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, spans in by_doc.items():
+        spans.sort(key=lambda r: r.span_idx)
+        assert [s.span_idx for s in spans] == list(range(len(spans)))
+        for s in spans:
+            block_start = s.span_idx * CORRUPT_BLOCK
+            assert block_start <= s.start_pos
+            assert s.start_pos + CORRUPT_SPAN <= block_start + CORRUPT_BLOCK
+            assert s.span_len == CORRUPT_SPAN
+        for s1, s2 in zip(spans, spans[1:]):
+            assert s1.start_pos + s1.span_len <= s2.start_pos
+
+
+def test_curriculum_phases_are_balanced_and_orders_contiguous(spark, queries):
+    """NTILE must spread docs across phases within 1 of each other, and
+    each phase's within-phase order must be exactly 1..|phase|."""
+    rows = queries["llm_curriculum_order"](spark, SF_DIR).collect()
+    by_phase: dict[int, list] = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.ord)
+    sizes = [len(v) for v in by_phase.values()]
+    assert max(sizes) - min(sizes) <= 1
+    for phase, ords in by_phase.items():
+        assert sorted(ords) == list(range(1, len(ords) + 1)), phase
+
+
+def test_rrf_scores_are_monotone_and_exact(spark, queries):
+    """The returned top-20 must be sorted by fused score with doc_id
+    tie-break, and each score must equal 1/(60+r1)+1/(60+r2) exactly."""
+    from sealnet_etl_spark.operators.windows import RRF_K, RRF_TOP
+
+    rows = queries["wn_rrf_rank_fusion"](spark, SF_DIR).collect()
+    assert len(rows) == RRF_TOP
+    for r in rows:
+        assert r.rrf == 1.0 / (RRF_K + r.rank1) + 1.0 / (RRF_K + r.rank2)
+    keys = [(-r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_manifest_files_exist_on_disk(spark, queries):
+    """The manifest's file counts must describe real files: re-deriving
+    the count from the written directory agrees with the audit."""
+    import glob
+    import os
+
+    rows = queries["src_parquet_manifest"](spark, SF_DIR).collect()
+    from sealnet_etl_spark.sources.ingest import _scratch
+
+    base = _scratch(SF_DIR, "documents_manifest_shards")
+    for r in rows:
+        files = [
+            f
+            for f in glob.glob(os.path.join(base, f"shard={r.shard}", "*"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == r.n_files, (r.shard, files)
