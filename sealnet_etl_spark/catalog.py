@@ -60,6 +60,10 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_curriculum_order",
     "llm_span_corruption_plan",
     "jn_interval_overlap_daily",
+    "jn_asof_nearest",
+    "etl_vacuum_plan",
+    "ag_welch_ttest",
+    "llm_dedup_audit_report",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

@@ -1619,3 +1619,82 @@ def ag_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "ag_welch_ttest",
+    survey_id="AG-7",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(value), 9)      AS m,
+                   ROUND(VAR_SAMP(value), 9) AS s2
+            FROM events
+            WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+            GROUP BY event_type
+        ), w AS (
+            SELECT a.n AS n1, b.n AS n2, a.m AS m1, b.m AS m2,
+                   a.s2 AS s21, b.s2 AS s22
+            FROM g a JOIN g b
+              ON a.event_type = 'purchase' AND b.event_type = 'click'
+        )
+        SELECT n1, n2,
+               ROUND(m1 - m2, 6) AS mean_diff,
+               ROUND((m1 - m2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_stat,
+               ROUND(pow(s21 / n1 + s22 / n2, 2)
+                     / (pow(s21 / n1, 2) / (n1 - 1)
+                        + pow(s22 / n2, 2) / (n2 - 1)), 6) AS welch_df
+        FROM w
+    """,
+)
+def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on purchase vs click values — the
+    means-based sibling of ag_ab_test_proportions' z-test (the two cover
+    the standard experiment-readout pair: conversion RATES there,
+    magnitude METRICS here). Reports group sizes, mean difference, the
+    Welch t statistic, and the Welch-Satterthwaite degrees of freedom —
+    everything a downstream p-value lookup needs.
+
+    Float discipline: the group moments (mean, sample variance) are
+    PRE-ROUNDED at 9 dp — partial-aggregation makes their accumulation
+    order engine- and partition-dependent in the last ulp, and t/df are
+    RATIOS that amplify ulp noise — then the test statistics are pure
+    arithmetic on the rounded moments, reported at 6 dp (the pagerank
+    nested-rounding discipline). Scale: one partial-agg shuffle to two
+    group rows; the statistics are driver-free 2-row arithmetic via a
+    broadcast self-join."""
+    events = load_table(spark, sf_dir, "events")
+    g = (
+        events.filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 9).alias("m"),
+            F.round(F.var_samp("value"), 9).alias("s2"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("s2").alias("s21")
+    )
+    b = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("s2").alias("s22")
+    )
+    se2 = F.col("s21") / F.col("n1") + F.col("s22") / F.col("n2")
+    return a.crossJoin(F.broadcast(b)).select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("s21") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("s22") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )

@@ -1458,3 +1458,46 @@ def llm_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_AUDIT_ORACLE = f"""WITH RECURSIVE {_CLUSTER_CTES}, labels AS (
+            {_CLUSTER_LABEL_SELECT}
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size FROM labels
+            GROUP BY cluster_id
+        )
+        SELECT CAST(cluster_size AS BIGINT)      AS cluster_size,
+               CAST(COUNT(*) AS BIGINT)          AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY cluster_size
+"""
+
+
+@query("llm_dedup_audit_report", survey_id="LLM-3/LLM-9", oracle=_AUDIT_ORACLE)
+def llm_dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: the cluster-size histogram an engineer reads before
+    committing a dedup pass — how many duplicate families exist at each
+    size, how many documents they hold, and how many rows a
+    keep-one-per-cluster sweep would remove (Σ size-1). The difference
+    between a corpus of pairs (size-2 clusters) and one boilerplate
+    blob (one giant cluster) is invisible in pair counts and obvious
+    here; it decides between simple keep-best and human review.
+
+    Derives from the same cached verified-pair list + connected
+    components as llm_dedup_clusters (the audit costs two tiny
+    aggregates on top — cluster sizes, then the histogram), so the
+    report can never disagree with the dedup it audits. Scale: both
+    aggregates run at cluster cardinality, bounded by near-dup density,
+    never corpus size."""
+    clusters = connected_components(
+        minhash_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("n_removable"),
+    )

@@ -1605,3 +1605,69 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_source_rows")
     )
     return missing.join(F.broadcast(per_day), "missing_day", "inner")
+
+
+VACUUM_RETENTION_DAYS = 21  # partitions older than newest_day - 21 get swept
+
+
+@query(
+    "etl_vacuum_plan",
+    survey_id="ETL-6/SRC-5",
+    oracle=f"""
+        WITH days AS (
+            SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT)    AS n_rows
+            FROM events GROUP BY 1
+        ), hi AS (SELECT MAX(day) AS newest FROM days)
+        SELECT day, n_rows,
+               CASE WHEN day < newest - {VACUUM_RETENTION_DAYS}
+                    THEN 'delete' ELSE 'keep' END AS action
+        FROM days CROSS JOIN hi
+    """,
+)
+def etl_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention vacuum planning — the nightly lake chore that pairs with
+    etl_backfill_plan (that one fills missing partitions; this one sweeps
+    expired ones): write the events table day-partitioned, discover the
+    partitions actually ON DISK, and emit keep/delete per partition
+    against a retention watermark derived from the newest present day.
+    The row counts ride along so the sweep job can log reclaimed volume
+    and a misplaced watermark (deleting fat recent partitions) is visible
+    in the plan BEFORE anything is removed — plans are cheap, deletes
+    are not.
+
+    Scale: partition discovery reads partition VALUES from the written
+    layout's directory structure (no data pages); the per-day row counts
+    are one partial-agg shuffle at calendar cardinality; the watermark is
+    a 1-row max broadcast. The delete action itself is out of scope by
+    design — the plan is the deliverable, exactly as with backfill."""
+    from ..sources.ingest import _scratch
+
+    path = _scratch(sf_dir, "events_vacuum_layout")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    (
+        events.select("event_id", "day")
+        .repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    on_disk = (
+        spark.read.schema("event_id bigint, day date").parquet(path)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    newest = on_disk.agg(F.max("day").alias("newest"))
+    return on_disk.crossJoin(F.broadcast(newest)).select(
+        "day",
+        "n_rows",
+        F.when(
+            F.col("day")
+            < F.date_sub(F.col("newest"), VACUUM_RETENTION_DAYS),
+            F.lit("delete"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )

@@ -1395,3 +1395,122 @@ def jn_interval_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap_us").alias("total_overlap_us"),
         F.max("overlap_us").alias("max_overlap_us"),
     )
+
+
+@query(
+    "jn_asof_nearest",
+    survey_id="JN-8",
+    oracle="""
+        WITH purchases AS (
+            SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+            WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT user_id, ts::TIMESTAMP AS vts, ROUND(value, 2) AS vvalue
+            FROM events WHERE event_type = 'view'
+        ), both_sides AS (
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) - epoch_us(b.vts) AS gap_back_us,
+                   b.vvalue AS val_back,
+                   epoch_us(f.vts) - epoch_us(p.ts) AS gap_fwd_us,
+                   f.vvalue AS val_fwd
+            FROM purchases p
+            ASOF LEFT JOIN views b
+              ON p.user_id = b.user_id AND p.ts >= b.vts
+            ASOF LEFT JOIN views f
+              ON p.user_id = f.user_id AND p.ts <= f.vts
+        )
+        SELECT event_id, user_id,
+               CASE
+                   WHEN gap_back_us IS NOT NULL
+                        AND (gap_fwd_us IS NULL OR gap_back_us <= gap_fwd_us)
+                       THEN 'backward'
+                   WHEN gap_fwd_us IS NOT NULL THEN 'forward'
+               END AS direction,
+               CASE
+                   WHEN gap_back_us IS NOT NULL
+                        AND (gap_fwd_us IS NULL OR gap_back_us <= gap_fwd_us)
+                       THEN gap_back_us
+                   ELSE gap_fwd_us
+               END AS gap_us,
+               CASE
+                   WHEN gap_back_us IS NOT NULL
+                        AND (gap_fwd_us IS NULL OR gap_back_us <= gap_fwd_us)
+                       THEN val_back
+                   ELSE val_fwd
+               END AS nearest_view_value
+        FROM both_sides
+    """,
+)
+def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of join (pandas ``merge_asof``
+    direction='nearest'): each purchase pairs with the user's closest
+    view in TIME, before or after, ties to the earlier side — the
+    feature-engineering shape when context is symmetric (sensor reading
+    nearest an annotation, quote nearest a trade).
+
+    Spark composition: the SAME single-shuffle union-window trick as the
+    backward asof (JN-8), run in BOTH directions over one exchange —
+    last(view-struct) over unbounded-preceding gives the backward
+    candidate, first(view-struct) over unbounded-following the forward
+    one, and a pure-arithmetic comparison of the two integer-microsecond
+    gaps picks the winner (exact on both engines; a same-timestamp view
+    sorts before the purchase, lands on the backward side with gap 0,
+    and wins every tie — matching the oracle's gb <= gf rule). Cost is
+    one shuffle of (user, ts, tag, value) + two ordered window passes —
+    still no range-join candidate explosion, still AQE-skew-safe.
+    Cross-checked against DuckDB's native ASOF run both directions."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.round("value", 2).alias("vvalue"),
+    )
+    tagged = purchases.select(
+        "user_id",
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        "event_id",
+        F.lit(None).cast("struct<vts:timestamp,vvalue:double>").alias("__v"),
+    ).unionByName(
+        views.select(
+            "user_id",
+            F.col("vts").alias("__ts"),
+            F.lit(0).alias("__is_left"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.struct("vts", "vvalue").alias("__v"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    enriched = (
+        tagged.withColumn("__b", F.last("__v", ignorenulls=True).over(w_back))
+        .withColumn("__f", F.first("__v", ignorenulls=True).over(w_fwd))
+        .filter(F.col("__is_left") == 1)
+    )
+    gap_back = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__b.vts"))
+    gap_fwd = F.unix_micros(F.col("__f.vts")) - F.unix_micros(F.col("__ts"))
+    back_wins = F.col("__b").isNotNull() & (
+        F.col("__f").isNull() | (gap_back <= gap_fwd)
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.lit("backward"))
+        .when(F.col("__f").isNotNull(), F.lit("forward"))
+        .alias("direction"),
+        F.when(back_wins, gap_back).otherwise(gap_fwd).alias("gap_us"),
+        F.when(back_wins, F.col("__b.vvalue"))
+        .otherwise(F.col("__f.vvalue"))
+        .alias("nearest_view_value"),
+    )
