@@ -64,6 +64,9 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "etl_vacuum_plan",
     "ag_welch_ttest",
     "llm_dedup_audit_report",
+    "llm_bpe_train",
+    "wn_gap_fill_interpolate",
+    "llm_dedup_threshold_sweep",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

@@ -1501,3 +1501,60 @@ def llm_dedup_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cluster_size").alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("n_removable"),
     )
+
+
+SWEEP_TAUS = [0.80, 0.85, 0.90, 0.95]
+
+_SWEEP_ORACLE = (
+    "WITH pairs AS ("
+    + _NGRAM_ORACLE_TEMPLATE.format(
+        k=SHINGLE_K, km1=SHINGLE_K - 1, tau=JACCARD_TAU, block=""
+    )
+    + f"""
+    ), taus AS (SELECT unnest({SWEEP_TAUS!r})::DOUBLE AS tau),
+    members AS (
+        SELECT t.tau, p.doc_a AS doc_id
+        FROM taus t JOIN pairs p ON p.jaccard >= t.tau
+        UNION ALL
+        SELECT t.tau, p.doc_b
+        FROM taus t JOIN pairs p ON p.jaccard >= t.tau
+    )
+    SELECT tau,
+           CAST(COUNT(*) / 2 AS BIGINT)           AS n_pairs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM members GROUP BY tau
+"""
+)
+
+
+@query("llm_dedup_threshold_sweep", survey_id="LLM-2/LLM-9", oracle=_SWEEP_ORACLE)
+def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity sweep: near-dup pair and member-doc counts at
+    every candidate Jaccard cut ABOVE the operating point (0.80/0.85/
+    0.90/0.95) — the curve an engineer reads to decide whether tightening
+    the dedup threshold meaningfully shrinks the removed set. Sweeping
+    BELOW the LSH operating point would be dishonest (banding recall is
+    only certified down to the configured tau), so the sweep starts
+    there — a constraint the docstring states because the obvious
+    extension silently under-counts.
+
+    Derives from the same cached verified pair list as the dedup itself;
+    the sweep is an explode over 4 thresholds of an id-pair list bounded
+    by near-dup density — audit-priced at any corpus size. Comparisons
+    run on the 6 dp-rounded jaccard on BOTH engines (the stored value),
+    so the cut can never disagree across engines at a boundary."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    taus = F.array(*[F.lit(t) for t in SWEEP_TAUS])
+    swept = pairs.select(
+        "doc_a", "doc_b", "jaccard", F.explode(taus).alias("tau")
+    ).filter(F.col("jaccard") >= F.col("tau"))
+    members = swept.select("tau", F.col("doc_a").alias("doc_id")).unionByName(
+        swept.select("tau", F.col("doc_b").alias("doc_id"))
+    )
+    return (
+        members.groupBy("tau")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

@@ -1133,3 +1133,133 @@ def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CORRUPT_SPAN).cast("int").alias("span_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge loop)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 5
+#: replace() is non-overlapping left-to-right, so one pass can miss merges
+#: in runs of the same symbol (' a a a a ' -> ' aa a a '); both engines
+#: apply exactly this many passes per merge so the sequences stay
+#: bit-identical either way (4 passes fully merge runs up to length 16,
+#: far beyond natural-text repetition).
+_BPE_REPLACE_PASSES = 4
+
+
+def _bpe_oracle_sql() -> str:
+    """Fully unrolled 5-merge BPE twin: the same word-frequency table,
+    the same adjacent-pair counts, the same (count DESC, pair ASC)
+    argmax, the same replace-based rewrite, stage by stage."""
+    ctes = [
+        r"""words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> '' GROUP BY w
+        ), seq0 AS (
+            SELECT ' ' || array_to_string(string_split_regex(w, ''), ' ')
+                   || ' </w> ' AS s, freq
+            FROM words
+        )"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        rewrite = "s"
+        for _ in range(_BPE_REPLACE_PASSES):
+            rewrite = (
+                f"replace({rewrite}, ' ' || b{k}.l || ' ' || b{k}.r || ' ',"
+                f" ' ' || b{k}.l || b{k}.r || ' ')"
+            )
+        ctes.append(
+            f"""pc{k} AS (
+            SELECT a[t.i + 1] AS l, a[t.i + 2] AS r, SUM(freq) AS cnt
+            FROM (SELECT string_split_regex(trim(s), ' ') AS a, freq
+                  FROM seq{k - 1}),
+                 unnest(range(len(a) - 1)) AS t(i)
+            GROUP BY l, r
+        ), b{k} AS (
+            SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+        ), seq{k} AS (
+            SELECT {rewrite} AS s, freq FROM seq{k - 1} CROSS JOIN b{k}
+        )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, l AS sym_left, r AS sym_right,"
+        f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + finals
+
+
+@query("llm_bpe_train", survey_id="LLM-11/LLM-7", oracle=_bpe_oracle_sql())
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the iterative merge loop itself (the
+    sibling llm_bpe_merge_candidates scores one step; this runs the
+    algorithm): start from characters + an end-of-word marker over the
+    corpus word-frequency table, and 5 times (a) count
+    frequency-weighted adjacent symbol pairs, (b) take the most frequent
+    pair (ties by symbol order — the determinism rule), (c) merge every
+    occurrence. Output is the learned merge table
+    (rank, left, right, merged, count) — exactly what a tokenizer ships.
+
+    Scale: classic BPE never touches raw text after the first pass —
+    training runs on the BOUNDED word-frequency table (vocabulary
+    saturates; GPT-2's BPE trained on exactly such a table), so each
+    iteration is an explode of per-word symbol arrays (vocab × word
+    length rows), a map-side-combined pair count, and a TakeOrdered(1)
+    argmax whose single row is collected as the merge decision — the
+    same bounded-collect class as the CC fixpoint witness (one scalar
+    decision per iteration, never data). The rewrite is a literal
+    4-pass replace on the spaced symbol string (see _BPE_REPLACE_PASSES
+    for the run-of-identical-symbols subtlety), identical in the
+    unrolled DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqdf = words.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("w"), ""), " "),
+            F.lit(" </w> "),
+        ).alias("s"),
+        "freq",
+    ).cache()
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pairs = seqdf.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        counts = pairs.groupBy("p.l", "p.r").agg(F.sum("freq").alias("cnt"))
+        best = counts.orderBy(
+            F.col("cnt").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        left, right, cnt = best[0].l, best[0].r, best[0].cnt
+        merges.append((rank, left, right, left + right, cnt))
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        new_s = F.col("s")
+        for _ in range(_BPE_REPLACE_PASSES):
+            new_s = F.replace(new_s, F.lit(pat), F.lit(rep))
+        nxt = seqdf.select(new_s.alias("s"), "freq").cache()
+        seqdf.unpersist()
+        seqdf = nxt
+    seqdf.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_left string, sym_right string, "
+        "merged string, pair_count bigint",
+    )

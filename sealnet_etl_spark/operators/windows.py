@@ -1949,3 +1949,116 @@ def wn_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
+
+
+@query(
+    "wn_gap_fill_interpolate",
+    survey_id="WN-4/ETL-6",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day,
+                   ROUND(SUM(value), 2) AS day_value
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM span
+        ), walled AS (
+            SELECT s.user_id, s.day, d.day_value,
+                   LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   LAST_VALUE(CASE WHEN d.day_value IS NOT NULL
+                                   THEN s.day END IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   FIRST_VALUE(d.day_value IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL
+                                    THEN s.day END IGNORE NULLS) OVER (
+                       PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM spine s LEFT JOIN daily d USING (user_id, day)
+        )
+        SELECT user_id, day, day_value,
+               CASE WHEN day_value IS NOT NULL THEN day_value
+                    ELSE ROUND(pv + (nv - pv)
+                         * (date_diff('day', pd, day)::DOUBLE
+                            / date_diff('day', pd, nd)), 6)
+               END AS interp_value,
+               day_value IS NULL AS is_gap
+        FROM walled
+    """,
+)
+def wn_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill by LINEAR INTERPOLATION — the sibling of
+    wn_gap_fill_locf on the identical per-user daily spine: interior
+    missing days take pv + (nv - pv) * elapsed/total between their
+    bracketing observations instead of carrying the last one forward
+    (the fill you want for continuous signals — sensor drift, balances —
+    where LOCF introduces staircase bias). Because the spine spans each
+    user's own [first, last] OBSERVED day, every gap is interior and
+    both brackets always exist — no edge policy needed by construction.
+
+    Cross-engine float discipline: the bracketing values are already on
+    the 2 dp lattice, day distances are exact integers, and both engines
+    evaluate the literally identical expression shape
+    ``pv + (nv-pv) * (elapsed/total)`` before one 6 dp round.
+
+    Scale: identical to LOCF — events collapse to ≤ users×days rows
+    first, and all four bracket columns ride ONE user_id shuffle (two
+    frame directions over the same sorted partition, no extra
+    exchange)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    walled = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("pv", F.last("day_value", ignorenulls=True).over(w_back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(w_back))
+        .withColumn("nv", F.first("day_value", ignorenulls=True).over(w_fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(w_fwd))
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    return walled.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(
+            F.round(F.col("pv") + (F.col("nv") - F.col("pv")) * frac, 6)
+        )
+        .alias("interp_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )
