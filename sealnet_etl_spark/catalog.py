@@ -67,6 +67,9 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_bpe_train",
     "wn_gap_fill_interpolate",
     "llm_dedup_threshold_sweep",
+    # rows-only -> hash upgrades (the simhash/read_blob precedents)
+    "ag_kmv_distinct_sketch",
+    "src_binary_files",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

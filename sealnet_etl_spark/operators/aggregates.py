@@ -383,21 +383,67 @@ def ag_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMV_K = 64
 
 
-@query("ag_kmv_distinct_sketch", survey_id="AG-3", oracle=None)
+@query(
+    "ag_kmv_distinct_sketch",
+    survey_id="AG-3",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   ((('0x' || substring(md5('kmv|' || user_id::VARCHAR),
+                             1, 8))::BIGINT % 2147483647) + 1)::DOUBLE
+                       / 2147483647.0 AS hv
+            FROM events
+        ), ranked AS (
+            SELECT event_type, hv,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv)
+                       AS rn
+            FROM h
+        ), kept AS (
+            SELECT event_type, hv, rn FROM ranked WHERE rn <= {KMV_K}
+        )
+        SELECT event_type,
+               CAST(CASE WHEN MAX(rn) >= {KMV_K}
+                         THEN ROUND(({KMV_K} - 1)
+                              / MAX(CASE WHEN rn = {KMV_K} THEN hv END), 0)
+                         ELSE MAX(rn) END AS BIGINT) AS kmv_estimate,
+               CAST(MAX(rn) AS INT) AS n_hashes_kept
+        FROM kept GROUP BY event_type
+    """,
+)
 def ag_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct sketch, built from relational primitives:
     keep the K smallest normalized hashes per group; estimate
     |distinct| ≈ (K-1) / kth_min. The sketch is MERGEABLE (union = merge
     sorted lists, keep K smallest) — the same partial/final algebra as any
     Spark aggregate, so it scales as a two-phase agg with K values per
-    group crossing the shuffle. Rows-only check; the estimate's error
-    bound vs exact is asserted in tests/test_llm_semantics.py.
+    group crossing the shuffle.
+
+    Hash-oracled since round 4 by the SimHash precedent: the member hash
+    is the repo's md5-prefix integerization (normalized onto (0, 1] over
+    the Mersenne prime), so DuckDB recomputes the IDENTICAL sketch —
+    k-min set, kth value, and estimate — not merely a row count. The
+    estimate-vs-exact error band remains asserted in
+    tests/test_llm_semantics.py. (A production deployment would swap the
+    member hash back to xxhash64 for speed — the sketch algebra is
+    hash-agnostic; md5 here buys cross-engine checkability.)
 
     (Spark ships HLL via approx_count_distinct — AG-3; this demonstrates
     how a custom sketch slots into the same partial-aggregate shape.)"""
     events = load_table(spark, sf_dir, "events")
-    # normalized hash in (0, 1]: pmod(xxhash64)/2^31-1 over the Mersenne prime
-    h = (F.pmod(F.xxhash64("user_id"), F.lit(2147483647)) + 1).cast("double") / 2147483647.0
+    # normalized hash in (0, 1]: md5-prefix mod the Mersenne prime 2^31-1
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2147483647
+        + 1
+    ).cast("double") / 2147483647.0
     # PARTIAL phase: per (map partition, group) keep only the K smallest
     # hashes — bounded sketch state crosses the shuffle, not the data
     partials = events.groupBy(

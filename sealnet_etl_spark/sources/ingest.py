@@ -114,12 +114,31 @@ def src_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("src_binary_files", survey_id="SRC-4", oracle=None)
+@query(
+    "src_binary_files",
+    survey_id="SRC-4",
+    oracle="""
+        SELECT regexp_extract(filename, '([^/]+)\\.parquet$', 1)
+                   AS table_name,
+               CAST(size AS BIGINT) AS n_bytes,
+               chr(('0x' || substring(hex(content), 1, 2))::INT)
+                   || chr(('0x' || substring(hex(content), 3, 2))::INT)
+                   || chr(('0x' || substring(hex(content), 5, 2))::INT)
+                   || chr(('0x' || substring(hex(content), 7, 2))::INT)
+                   AS magic
+        FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    """,
+)
 def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal/binary file source: files → (path, length, content:binary)
     rows with filename-derived metadata — the reference's imagery ingest
-    (flight/camera/timestamp encoded in filenames). Rows-only check: content
-    bytes and mtimes aren't SQL-comparable. LLM-10 builds on this."""
+    (flight/camera/timestamp encoded in filenames). Hash-checked since
+    round 4 via the read_blob technique (llm_multimodal_frame_sample's):
+    DuckDB re-reads the same files' size and 4-byte magic (every parquet
+    file leads with ASCII 'PAR1'), so the binaryFile scan's length and
+    content head are value-certified, not merely counted. The oracle
+    reads the graded sf0.01 directory; the Spark side honors sf_dir.
+    LLM-10 builds on this."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select(
         F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table_name"),
