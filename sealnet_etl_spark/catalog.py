@@ -70,6 +70,9 @@ _REGRADE_FIRST: tuple[str, ...] = (
     # rows-only -> hash upgrades (the simhash/read_blob precedents)
     "ag_kmv_distinct_sketch",
     "src_binary_files",
+    "llm_pack_lineage",
+    "llm_pii_scrub",
+    "etl_schema_drift_report",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

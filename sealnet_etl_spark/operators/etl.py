@@ -1671,3 +1671,74 @@ def etl_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("action"),
     )
+
+
+@query(
+    "etl_schema_drift_report",
+    survey_id="ETL-6/SRC-3",
+    oracle="""
+        WITH v1 AS (
+            SELECT name, type FROM parquet_schema(
+                '/root/repo/.scratch/sf0.01/schema_drift/v1/*.parquet')
+            WHERE num_children IS NULL
+        ), v2 AS (
+            SELECT name, type FROM parquet_schema(
+                '/root/repo/.scratch/sf0.01/schema_drift/v2/*.parquet')
+            WHERE num_children IS NULL
+        )
+        SELECT COALESCE(v1.name, v2.name) AS column_name,
+               CASE WHEN v1.name IS NULL THEN 'added'
+                    WHEN v2.name IS NULL THEN 'removed'
+                    WHEN v1.type <> v2.type THEN 'type_changed'
+                    ELSE 'kept' END AS change
+        FROM v1 FULL OUTER JOIN v2 ON v1.name = v2.name
+    """,
+)
+def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report between two published dataset versions — the
+    contract check a lake runs before swapping a consumer onto a new
+    publish: which columns were added, removed, or changed PHYSICAL type.
+    Two versions of the documents table are written (v2 widens doc_id
+    int→bigint, drops n_chars, adds a quality double), then the report
+    derives from the REAL parquet footers of both layouts — not from
+    intended DDL — because drift that matters is what readers will
+    actually see. The oracle reads the same footers through DuckDB's
+    parquet_schema, so the classification is independently certified;
+    change classes compare types WITHIN each engine (v1-vs-v2), never
+    across engines, sidestepping type-name dialects.
+
+    Scale: footer-only reads — no data pages are touched on either side;
+    the report is schema-cardinality rows. The fixed scratch layout under
+    the graded sf dir follows the repo's read-side oracle convention
+    (llm_multimodal_frame_sample)."""
+    from ..sources.ingest import _scratch
+
+    base = _scratch(sf_dir, "schema_drift")
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        F.col("doc_id").cast("int").alias("doc_id"), "text", "lang", "n_chars"
+    )
+    v2 = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "text",
+        "lang",
+        (F.col("n_chars") / 100.0).alias("quality"),
+    )
+    v1.coalesce(1).write.mode("overwrite").parquet(f"{base}/v1")
+    v2.coalesce(1).write.mode("overwrite").parquet(f"{base}/v2")
+    s1 = spark.read.parquet(f"{base}/v1").schema
+    s2 = spark.read.parquet(f"{base}/v2").schema
+    t1 = {f.name: f.dataType.simpleString() for f in s1.fields}
+    t2 = {f.name: f.dataType.simpleString() for f in s2.fields}
+    rows = []
+    for name in sorted(set(t1) | set(t2)):
+        if name not in t1:
+            change = "added"
+        elif name not in t2:
+            change = "removed"
+        elif t1[name] != t2[name]:
+            change = "type_changed"
+        else:
+            change = "kept"
+        rows.append((name, change))
+    return spark.createDataFrame(rows, "column_name string, change string")

@@ -928,3 +928,74 @@ def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_unk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction with audit counts)
+# ---------------------------------------------------------------------------
+
+#: Patterns kept inside the Java-regex/RE2 COMMON dialect (no lookarounds,
+#: no backrefs) so Spark and DuckDB match identical spans.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+PII_LONG_ID = r"\d{9,}"
+
+
+@query(
+    "llm_pii_scrub",
+    survey_id="LLM-8/PF-3",
+    oracle=rf"""
+        WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
+                   WHERE text IS NOT NULL),
+        scrubbed AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(s, '{PII_EMAIL}'))   AS n_emails,
+                   len(regexp_extract_all(s, '{PII_PHONE}'))   AS n_phones,
+                   regexp_replace(
+                       regexp_replace(s, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g') AS s2
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_emails AS INT) AS n_emails,
+               CAST(n_phones AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(s2, '{PII_LONG_ID}')) AS INT)
+                   AS n_long_ids,
+               md5(regexp_replace(s2, '{PII_LONG_ID}', '<ID>', 'g'))
+                   AS scrubbed_md5
+        FROM scrubbed
+    """,
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every web-scale training corpus
+    runs before packing (C4/Dolma-style): emails, phone-shaped numbers,
+    and long digit runs are replaced with typed placeholder tokens, with
+    per-doc audit counts. The output certifies the scrub BYTE-EXACTLY:
+    the md5 of the fully scrubbed text must match an independent engine's
+    scrub, so a drifting regex dialect or replacement order can't pass
+    silently (the counts alone would). Order is fixed
+    email → phone → long-id because each stage's replacement tokens must
+    not be re-matched by later patterns.
+
+    Patterns deliberately stay in the Java-regex ∩ RE2 common dialect
+    (character classes, bounded repetition — no lookarounds/backrefs),
+    the same portability constraint the PF-3 extract operator documents.
+    Scale: map-only narrow transform at scan speed — regex cost is
+    per-byte, no shuffle, no state; at 100 TB this is the canonical
+    embarrassingly-parallel pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    s = F.lower(F.col("text"))
+    s_email = F.regexp_replace(s, PII_EMAIL, "<EMAIL>")
+    s_phone = F.regexp_replace(s_email, PII_PHONE, "<PHONE>")
+    s_id = F.regexp_replace(s_phone, PII_LONG_ID, "<ID>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(s, F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(s_email, F.lit(PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(s_phone, F.lit(PII_LONG_ID))
+        .cast("int")
+        .alias("n_long_ids"),
+        F.md5(s_id).alias("scrubbed_md5"),
+    )

@@ -1263,3 +1263,93 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, sym_left string, sym_right string, "
         "merged string, pair_count bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-sequence lineage (the inverse mapping of llm_sequence_pack)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llm_pack_lineage",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_md5_bucket_sql("doc_id::VARCHAR", "pack:", PACK_SHARDS)}
+                       AS shard,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        ), offsets AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_offset
+            FROM toks WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard,
+               CAST(q.seq AS BIGINT) AS seq_idx,
+               CAST(GREATEST(start_offset, q.seq * {SEQ_LEN})
+                    - q.seq * {SEQ_LEN} AS BIGINT)      AS seq_start,
+               CAST(LEAST(start_offset + n_tokens, (q.seq + 1) * {SEQ_LEN})
+                    - GREATEST(start_offset, q.seq * {SEQ_LEN})
+                    AS BIGINT)                           AS n_tokens_in_seq
+        FROM offsets,
+             unnest(range(start_offset // {SEQ_LEN},
+                          (start_offset + n_tokens - 1) // {SEQ_LEN} + 1))
+                 AS q(seq)
+    """,
+)
+def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence LINEAGE — the inverse mapping of llm_sequence_pack:
+    one row per (doc, training sequence it touches) with the doc's token
+    span inside that sequence. This is the table data governance needs
+    ("which documents fed sample N?" for takedown/contamination tracing)
+    and the writer needs to slice per-sequence attention-mask boundaries.
+    Pure integer arithmetic over the same deterministic pack layout, so
+    both engines derive identical spans; a doc crossing K boundaries
+    explodes into K+1 rows — output-proportional, never more.
+
+    Scale: identical to the pack itself (one shard-key shuffle + per-shard
+    running sum), plus a bounded explode of ceil(n_tokens/SEQ_LEN) rows
+    per doc. The lineage table is the artifact to PERSIST bucketed by
+    seq_idx at production scale, so takedown queries are point lookups."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = toks.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    first_seq = F.floor(F.col("start_offset") / SEQ_LEN)
+    last_seq = F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_LEN)
+    exploded = offsets.select(
+        "doc_id",
+        "shard",
+        "start_offset",
+        "n_tokens",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_idx"),
+    )
+    span_lo = F.greatest(F.col("start_offset"), F.col("seq_idx") * SEQ_LEN)
+    span_hi = F.least(
+        F.col("start_offset") + F.col("n_tokens"),
+        (F.col("seq_idx") + 1) * SEQ_LEN,
+    )
+    return exploded.select(
+        "doc_id",
+        "shard",
+        F.col("seq_idx").cast("bigint").alias("seq_idx"),
+        (span_lo - F.col("seq_idx") * SEQ_LEN).cast("bigint").alias("seq_start"),
+        (span_hi - span_lo).cast("bigint").alias("n_tokens_in_seq"),
+    )
