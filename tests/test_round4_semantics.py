@@ -196,3 +196,115 @@ def test_manifest_files_exist_on_disk(spark, queries):
             if f.endswith(".parquet")
         ]
         assert len(files) == r.n_files, (r.shard, files)
+
+
+def test_pack_lineage_partitions_every_doc(spark, queries):
+    """Lineage spans must tile each doc exactly: per doc, the per-sequence
+    token counts sum to the doc's packed token count, sequence indices are
+    contiguous, and every span fits inside [0, SEQ_LEN)."""
+    from sealnet_etl_spark.operators.trainprep import SEQ_LEN
+
+    pack = {
+        r.doc_id: (r.n_tokens, r.first_seq, r.last_seq)
+        for r in queries["llm_sequence_pack"](spark, SF_DIR).collect()
+    }
+    lineage: dict[int, list] = {}
+    for r in queries["llm_pack_lineage"](spark, SF_DIR).collect():
+        assert 0 <= r.seq_start < SEQ_LEN
+        assert 0 < r.n_tokens_in_seq <= SEQ_LEN
+        lineage.setdefault(r.doc_id, []).append(r)
+    assert set(lineage) == set(pack)
+    for doc_id, rows in lineage.items():
+        n_tokens, first_seq, last_seq = pack[doc_id]
+        rows.sort(key=lambda r: r.seq_idx)
+        assert [r.seq_idx for r in rows] == list(range(first_seq, last_seq + 1))
+        assert sum(r.n_tokens_in_seq for r in rows) == n_tokens
+
+
+def test_bpe_train_matches_reference_implementation(spark, queries):
+    """The learned merge table must equal a plain-Python BPE run over the
+    same word-frequency table — same pair counts, same (count, pair)
+    argmax, same greedy left-to-right merging."""
+    from collections import Counter
+
+    from sealnet_etl_spark.operators.trainprep import BPE_MERGES
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    freq: Counter = Counter()
+    for r in docs:
+        if r.text:
+            for w in r.text.lower().split():
+                if w:
+                    freq[w] += 1
+    seqs = {tuple(list(w) + ["</w>"]): f for w, f in freq.items()}
+    expect = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for sym, f in seqs.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expect.append((rank, left, right, left + right, cnt))
+        merged: dict = {}
+        for sym, f in seqs.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + f
+        seqs = merged
+    got = [
+        (r.merge_rank, r.sym_left, r.sym_right, r.merged, r.pair_count)
+        for r in queries["llm_bpe_train"](spark, SF_DIR)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
+
+
+def test_pii_scrub_plants_and_removes(spark, queries):
+    """A planted corpus with known PII must come back with the right
+    counts and with no residual matches in the scrubbed text."""
+    import hashlib
+    import re
+
+    from sealnet_etl_spark.operators.textstats import (
+        PII_EMAIL,
+        PII_LONG_ID,
+        PII_PHONE,
+    )
+    from sealnet_etl_spark.registry import QUERIES
+
+    rows = [
+        (1, "Contact Bob@Example.COM or 555-123-4567 now"),
+        (2, "ids 123456789 and 98765432109 overlap none"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    import tempfile, os
+
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in QUERIES["llm_pii_scrub"].fn(spark, tmp).collect()
+    }
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert out[2].n_long_ids == 2
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_long_ids) == (0, 0, 0)
+    for doc_id, text in rows:
+        s = text.lower()
+        s = re.sub(PII_EMAIL, "<EMAIL>", s)
+        s = re.sub(PII_PHONE, "<PHONE>", s)
+        s = re.sub(PII_LONG_ID, "<ID>", s)
+        assert out[doc_id].scrubbed_md5 == hashlib.md5(s.encode()).hexdigest()
+        assert not re.search(PII_EMAIL, s.replace("<EMAIL>", "#"))
