@@ -388,6 +388,10 @@ _BNLJ_ALLOWED = {
     "ag_rfm_segmentation",  # 1-row max-date + 1-row quintile thresholds
     "llm_pagerank",         # 1-row node-count n for the 1/n and 0.15/n terms
     "etl_medallion_pipeline",  # 1-row landing-zone audit counters
+    # round 4
+    "llm_bigram_logprob",   # 1-row |V| smoothing denominator
+    "etl_vacuum_plan",      # 1-row newest-day retention watermark
+    "ag_welch_ttest",       # two 1-row group-moment sides
 }
 
 
