@@ -430,6 +430,12 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select("src_id", "nbr_id")
         .distinct()  # a pair can collide in several (table, probe) keys
+        # A/B-measured round 4: scoring UN-deduped pairs (×1.23 rows) and
+        # deduping inside a collect_set top-k aggregate is SLOWER here
+        # (2.5 s vs 2.2 s median) — the extra Arrow rows through the
+        # Python scorer cost more than the distinct exchange saves, and
+        # the ranking window's shuffle is no bigger than the set-agg's.
+        # Kept the simpler distinct+window plan on the measurement.
     )
     scored = _score_pairs_from_tile(candidates, f"{base}/tile=0")
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
