@@ -73,6 +73,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_pack_lineage",
     "llm_pii_scrub",
     "etl_schema_drift_report",
+    "jn_interval_containment",
+    "llm_code_detect",
 )
 
 #: Hash-green driver rows from CORRECTNESS_r03 (48/50; the other two are

@@ -1514,3 +1514,67 @@ def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("__f.vvalue"))
         .alias("nearest_view_value"),
     )
+
+
+@query(
+    "jn_interval_containment",
+    survey_id="JN-7",
+    oracle="""
+        WITH win AS (
+            SELECT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day,
+                   MIN(ts::TIMESTAMP) AS w_start,
+                   MAX(ts::TIMESTAMP) AS w_end
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, day
+        )
+        SELECT a.day, a.user_id AS outer_user, b.user_id AS inner_user,
+               epoch_us(b.w_end) - epoch_us(b.w_start) AS inner_span_us
+        FROM win a JOIN win b
+          ON a.day = b.day AND a.user_id <> b.user_id
+         AND a.w_start <= b.w_start AND b.w_end <= a.w_end
+    """,
+)
+def jn_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval CONTAINMENT join — the asymmetric sibling of
+    jn_interval_overlap: pairs where one user's same-day error window
+    fully ENCLOSES another's (incident-within-incident attribution,
+    sub-transaction nesting). Unlike overlap, containment admits a
+    CHEAPER blocking: the inner interval's START hour must lie inside
+    the outer interval, so only the OUTER side explodes over its hour
+    bins while the inner side keys on the single (day, hour(w_start))
+    bin — asymmetric replication, half the exploded rows of the overlap
+    join, and no emit-once dedup condition is needed at all (each pair
+    meets in exactly one bin: the inner's start bin). The exact
+    containment predicate prunes within blocks; AQE splits hot bins."""
+    events = load_table(spark, sf_dir, "events")
+    win = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    outer = win.withColumn(
+        "hr", F.explode(F.sequence(F.hour("w_start"), F.hour("w_end")))
+    ).alias("a")
+    inner = win.withColumn("hr", F.hour("w_start")).alias("b")
+    return (
+        outer.join(
+            inner,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a.w_start") <= F.col("b.w_start"))
+            & (F.col("b.w_end") <= F.col("a.w_end")),
+        )
+        .select(
+            F.col("a.day").alias("day"),
+            F.col("a.user_id").alias("outer_user"),
+            F.col("b.user_id").alias("inner_user"),
+            (
+                F.unix_micros(F.col("b.w_end"))
+                - F.unix_micros(F.col("b.w_start"))
+            ).alias("inner_span_us"),
+        )
+    )

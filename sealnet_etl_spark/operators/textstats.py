@@ -999,3 +999,66 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_long_ids"),
         F.md5(s_id).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection (heuristic classifier over integer signals)
+# ---------------------------------------------------------------------------
+
+CODE_SYMBOL = r"[{};=<>()\[\]]"
+CODE_KEYWORD = r"\b(def|class|return|import|function|var|const|if|else|for|while)\b"
+CODE_SCORE_MIN = 25  # per-mille symbol+keyword density above which = code
+
+
+@query(
+    "llm_code_detect",
+    survey_id="LLM-8",
+    oracle=rf"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{CODE_SYMBOL}')) AS INT)
+                   AS n_symbols,
+               CAST(len(regexp_extract_all(lower(text), '{CODE_KEYWORD}'))
+                   AS INT) AS n_keywords,
+               CAST((len(regexp_extract_all(text, '{CODE_SYMBOL}'))
+                     + 3 * len(regexp_extract_all(lower(text),
+                                                  '{CODE_KEYWORD}')))
+                    * 1000 // length(text) AS INT) AS code_permille,
+               CAST((len(regexp_extract_all(text, '{CODE_SYMBOL}'))
+                     + 3 * len(regexp_extract_all(lower(text),
+                                                  '{CODE_KEYWORD}')))
+                    * 1000 // length(text) >= {CODE_SCORE_MIN} AS INT)
+                   AS is_code
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+    """,
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection — the routing gate a mixed web corpus runs
+    before language-specific pipelines (code goes to a code tokenizer and
+    license filters, prose to quality gates): per-mille density of code
+    punctuation plus 3×-weighted language keywords, thresholded. All
+    signals are INTEGER counts and the density is integer per-mille
+    floor-division, so the score and the cut are exact on both engines —
+    no float path at all (the udf_model_batch_inference micro-unit
+    lesson applied at design time rather than as a fix).
+
+    The keyword regex stays in the Java-regex/RE2 common dialect
+    (alternation + word boundaries). On this synthetic English corpus
+    every doc scores prose — the operator's value here is the certified
+    mechanics; the threshold is the tunable.
+
+    Scale: map-only regex counting at scan speed, no shuffle — the same
+    embarrassingly-parallel class as llm_pii_scrub."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_sym = F.regexp_count(F.col("text"), F.lit(CODE_SYMBOL))
+    n_kw = F.regexp_count(F.lower("text"), F.lit(CODE_KEYWORD))
+    permille = F.floor((n_sym + 3 * n_kw) * 1000 / F.length("text"))
+    return docs.select(
+        "doc_id",
+        n_sym.cast("int").alias("n_symbols"),
+        n_kw.cast("int").alias("n_keywords"),
+        permille.cast("int").alias("code_permille"),
+        (permille >= CODE_SCORE_MIN).cast("int").alias("is_code"),
+    )
