@@ -1407,17 +1407,30 @@ def jn_interval_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), views AS (
             SELECT user_id, ts::TIMESTAMP AS vts, ROUND(value, 2) AS vvalue
             FROM events WHERE event_type = 'view'
-        ), both_sides AS (
-            SELECT p.event_id, p.user_id,
-                   epoch_us(p.ts) - epoch_us(b.vts) AS gap_back_us,
-                   b.vvalue AS val_back,
-                   epoch_us(f.vts) - epoch_us(p.ts) AS gap_fwd_us,
-                   f.vvalue AS val_fwd
+        ), asof_ts AS (
+            -- ASOF resolves the matched TIMESTAMP (deterministic value even
+            -- when several view rows share it); the row-level tie among
+            -- equal-vts views is then broken explicitly by MAX(vvalue), the
+            -- same arg-max-by-(vts, vvalue) rule the Spark side applies —
+            -- without this, each engine picks its own arbitrary tied row
+            -- (ADVICE r4).
+            SELECT p.event_id, p.user_id, p.ts, b.vts AS bvts, f.vts AS fvts
             FROM purchases p
             ASOF LEFT JOIN views b
               ON p.user_id = b.user_id AND p.ts >= b.vts
             ASOF LEFT JOIN views f
               ON p.user_id = f.user_id AND p.ts <= f.vts
+        ), both_sides AS (
+            SELECT a.event_id, a.user_id,
+                   epoch_us(a.ts) - epoch_us(a.bvts) AS gap_back_us,
+                   (SELECT MAX(v.vvalue) FROM views v
+                     WHERE v.user_id = a.user_id AND v.vts = a.bvts)
+                       AS val_back,
+                   epoch_us(a.fvts) - epoch_us(a.ts) AS gap_fwd_us,
+                   (SELECT MAX(v.vvalue) FROM views v
+                     WHERE v.user_id = a.user_id AND v.vts = a.fvts)
+                       AS val_fwd
+            FROM asof_ts a
         )
         SELECT event_id, user_id,
                CASE
@@ -1450,15 +1463,28 @@ def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark composition: the SAME single-shuffle union-window trick as the
     backward asof (JN-8), run in BOTH directions over one exchange —
-    last(view-struct) over unbounded-preceding gives the backward
-    candidate, first(view-struct) over unbounded-following the forward
+    max(view-struct) over unbounded-preceding gives the backward
+    candidate, min(view-struct) over unbounded-following the forward
     one, and a pure-arithmetic comparison of the two integer-microsecond
     gaps picks the winner (exact on both engines; a same-timestamp view
     sorts before the purchase, lands on the backward side with gap 0,
     and wins every tie — matching the oracle's gb <= gf rule). Cost is
     one shuffle of (user, ts, tag, value) + two ordered window passes —
     still no range-join candidate explosion, still AQE-skew-safe.
-    Cross-checked against DuckDB's native ASOF run both directions."""
+
+    Row-level tie rule (ADVICE r4): when several views share the matched
+    timestamp, BOTH engines take the MAX vvalue at that timestamp —
+    Spark via lexicographic max(struct(vts, vvalue)) backward and
+    min(struct(vts, -vvalue)) forward (frame membership is deterministic
+    because views sort before the purchase at equal ts via __is_left;
+    min/max aggregates are order-insensitive within the frame, unlike
+    the last()/first() they replace), the oracle via ASOF on the
+    timestamp followed by MAX(vvalue) among views AT that timestamp.
+    The -vvalue negation is exact (sign-flip of a double); the events
+    generator emits no NULL view values (asserted in
+    test_round4_semantics), which the negated-key ordering relies on.
+    Cross-checked against DuckDB's native ASOF run both directions, and
+    against a planted duplicate-timestamp corpus in tests."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id"), F.col("user_id"), F.col("ts")
@@ -1474,6 +1500,7 @@ def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("__is_left"),
         "event_id",
         F.lit(None).cast("struct<vts:timestamp,vvalue:double>").alias("__v"),
+        F.lit(None).cast("struct<vts:timestamp,nvv:double>").alias("__vn"),
     ).unionByName(
         views.select(
             "user_id",
@@ -1481,6 +1508,10 @@ def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("__is_left"),
             F.lit(None).cast("bigint").alias("event_id"),
             F.struct("vts", "vvalue").alias("__v"),
+            # negated-vvalue twin: min() of it arg-maxes vvalue at tied vts
+            F.struct(
+                F.col("vts"), (-F.col("vvalue")).alias("nvv")
+            ).alias("__vn"),
         )
     )
     w_back = (
@@ -1494,8 +1525,18 @@ def jn_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     enriched = (
-        tagged.withColumn("__b", F.last("__v", ignorenulls=True).over(w_back))
-        .withColumn("__f", F.first("__v", ignorenulls=True).over(w_fwd))
+        tagged.withColumn("__b", F.max("__v").over(w_back))
+        .withColumn("__fn", F.min("__vn").over(w_fwd))
+        .withColumn(
+            "__f",
+            F.when(
+                F.col("__fn").isNotNull(),
+                F.struct(
+                    F.col("__fn.vts").alias("vts"),
+                    (-F.col("__fn.nvv")).alias("vvalue"),
+                ),
+            ),
+        )
         .filter(F.col("__is_left") == 1)
     )
     gap_back = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__b.vts"))

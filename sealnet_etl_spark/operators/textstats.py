@@ -947,14 +947,20 @@ PII_LONG_ID = r"\d{9,}"
     oracle=rf"""
         WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
                    WHERE text IS NOT NULL),
-        scrubbed AS (
+        st1 AS (
+            -- each stage counts on the SAME string the replace runs on, so
+            -- both engines count phones in the email-redacted text: a
+            -- phone-shaped run inside an email local part must count 0
             SELECT doc_id,
-                   len(regexp_extract_all(s, '{PII_EMAIL}'))   AS n_emails,
-                   len(regexp_extract_all(s, '{PII_PHONE}'))   AS n_phones,
-                   regexp_replace(
-                       regexp_replace(s, '{PII_EMAIL}', '<EMAIL>', 'g'),
-                       '{PII_PHONE}', '<PHONE>', 'g') AS s2
+                   len(regexp_extract_all(s, '{PII_EMAIL}')) AS n_emails,
+                   regexp_replace(s, '{PII_EMAIL}', '<EMAIL>', 'g') AS s1
             FROM t
+        ),
+        st2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(s1, '{PII_PHONE}')) AS n_phones,
+                   regexp_replace(s1, '{PII_PHONE}', '<PHONE>', 'g') AS s2
+            FROM st1
         )
         SELECT doc_id,
                CAST(n_emails AS INT) AS n_emails,
@@ -963,7 +969,7 @@ PII_LONG_ID = r"\d{9,}"
                    AS n_long_ids,
                md5(regexp_replace(s2, '{PII_LONG_ID}', '<ID>', 'g'))
                    AS scrubbed_md5
-        FROM scrubbed
+        FROM st2
     """,
 )
 def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -288,6 +288,10 @@ def test_pii_scrub_plants_and_removes(spark, queries):
         (1, "Contact Bob@Example.COM or 555-123-4567 now"),
         (2, "ids 123456789 and 98765432109 overlap none"),
         (3, "clean text only"),
+        # ADVICE r4: a phone-shaped run inside an email local part (the
+        # email charset admits digits/hyphens) — must count as 1 email,
+        # 0 phones, on BOTH engines (phones are counted post-email-redact).
+        (4, "mail 123-456-7890@relay.example.com before 555-000-1111 ok"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     import tempfile, os
@@ -301,6 +305,24 @@ def test_pii_scrub_plants_and_removes(spark, queries):
     assert (out[1].n_emails, out[1].n_phones) == (1, 1)
     assert out[2].n_long_ids == 2
     assert (out[3].n_emails, out[3].n_phones, out[3].n_long_ids) == (0, 0, 0)
+    # phone inside the email match is consumed by the email redaction;
+    # only the free-standing phone counts
+    assert (out[4].n_emails, out[4].n_phones) == (1, 1)
+    # and the DuckDB oracle must agree cell-for-cell on this planted corpus
+    # (documents-only view: duck_connection() needs all 10 tables on disk)
+    import duckdb
+
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'documents.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["llm_pii_scrub"].oracle).df()
+    con.close()
+    spark_pdf = QUERIES["llm_pii_scrub"].fn(spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
     for doc_id, text in rows:
         s = text.lower()
         s = re.sub(PII_EMAIL, "<EMAIL>", s)
