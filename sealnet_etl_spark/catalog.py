@@ -48,6 +48,10 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "jn_asof_nearest",
     "jn_interval_overlap_daily",
     "llm_pii_scrub",
+    # greedy-fold BPE rewrite (replaces the 4-pass replace approximation)
+    "llm_bpe_train",
+    # oracle path now derived from the shared _drift_base() constant
+    "etl_schema_drift_report",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

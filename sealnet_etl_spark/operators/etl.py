@@ -1673,17 +1673,31 @@ def etl_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drift_base() -> str:
+    """One shared location for BOTH the Spark writes and the DuckDB
+    oracle reads of the schema-drift layouts (ADVICE r4: a hardcoded
+    oracle path vs a per-sf Spark path can silently diverge). The report
+    is schema-only, hence sf-independent, so a single pinned tag is
+    sound at any graded sf; the oracle string is built from this same
+    constant at registration, so the two sides cannot point at
+    different directories. Spark-before-oracle ordering is guaranteed
+    because the writes are eager actions inside the query fn."""
+    from ..sources.ingest import _scratch
+
+    return _scratch("sf0.01", "schema_drift")
+
+
 @query(
     "etl_schema_drift_report",
     survey_id="ETL-6/SRC-3",
-    oracle="""
+    oracle=f"""
         WITH v1 AS (
             SELECT name, type FROM parquet_schema(
-                '/root/repo/.scratch/sf0.01/schema_drift/v1/*.parquet')
+                '{_drift_base()}/v1/*.parquet')
             WHERE num_children IS NULL
         ), v2 AS (
             SELECT name, type FROM parquet_schema(
-                '/root/repo/.scratch/sf0.01/schema_drift/v2/*.parquet')
+                '{_drift_base()}/v2/*.parquet')
             WHERE num_children IS NULL
         )
         SELECT COALESCE(v1.name, v2.name) AS column_name,
@@ -1708,12 +1722,10 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, sidestepping type-name dialects.
 
     Scale: footer-only reads — no data pages are touched on either side;
-    the report is schema-cardinality rows. The fixed scratch layout under
-    the graded sf dir follows the repo's read-side oracle convention
-    (llm_multimodal_frame_sample)."""
-    from ..sources.ingest import _scratch
-
-    base = _scratch(sf_dir, "schema_drift")
+    the report is schema-cardinality rows. Both sides resolve the layout
+    directory from _drift_base() — see its docstring for the shared-path
+    invariant."""
+    base = _drift_base()
     docs = load_table(spark, sf_dir, "documents")
     v1 = docs.select(
         F.col("doc_id").cast("int").alias("doc_id"), "text", "lang", "n_chars"

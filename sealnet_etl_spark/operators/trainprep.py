@@ -1140,18 +1140,22 @@ def llm_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BPE_MERGES = 5
-#: replace() is non-overlapping left-to-right, so one pass can miss merges
-#: in runs of the same symbol (' a a a a ' -> ' aa a a '); both engines
-#: apply exactly this many passes per merge so the sequences stay
-#: bit-identical either way (4 passes fully merge runs up to length 16,
-#: far beyond natural-text repetition).
-_BPE_REPLACE_PASSES = 4
 
 
 def _bpe_oracle_sql() -> str:
     """Fully unrolled 5-merge BPE twin: the same word-frequency table,
     the same adjacent-pair counts, the same (count DESC, pair ASC)
-    argmax, the same replace-based rewrite, stage by stage."""
+    argmax, the same greedy left-to-right fold rewrite, stage by stage.
+
+    The rewrite is a `list_reduce` fold over the symbol tokens that
+    merges the current token into the accumulator's tail whenever
+    (tail, current) equals the chosen pair — EXACT canonical greedy
+    non-overlapping merging, because a just-merged tail token l||r can
+    never equal l again (r is non-empty), so a fold never re-consumes
+    its own output within a pass (' a a a a a ' -> ' aa aa a ', where a
+    replace()-based rewrite yields ' aa a aa '; ADVICE r4). Tokens
+    contain no spaces, so ends_with(acc, ' '||l) holds iff the last
+    token is exactly l."""
     ctes = [
         r"""words AS (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -1165,12 +1169,16 @@ def _bpe_oracle_sql() -> str:
         )"""
     ]
     for k in range(1, BPE_MERGES + 1):
-        rewrite = "s"
-        for _ in range(_BPE_REPLACE_PASSES):
-            rewrite = (
-                f"replace({rewrite}, ' ' || b{k}.l || ' ' || b{k}.r || ' ',"
-                f" ' ' || b{k}.l || b{k}.r || ' ')"
-            )
+        rewrite = (
+            f"""list_reduce(
+                list_prepend('', string_split(trim(s), ' ')),
+                (acc, x) -> CASE
+                    WHEN x = b{k}.r AND ends_with(acc, ' ' || b{k}.l)
+                        THEN left(acc, len(acc) - len(b{k}.l))
+                             || b{k}.l || b{k}.r
+                    ELSE acc || ' ' || x END
+            ) || ' '"""
+        )
         ctes.append(
             f"""pc{k} AS (
             SELECT a[t.i + 1] AS l, a[t.i + 2] AS r, SUM(freq) AS cnt
@@ -1210,10 +1218,11 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     length rows), a map-side-combined pair count, and a TakeOrdered(1)
     argmax whose single row is collected as the merge decision — the
     same bounded-collect class as the CC fixpoint witness (one scalar
-    decision per iteration, never data). The rewrite is a literal
-    4-pass replace on the spaced symbol string (see _BPE_REPLACE_PASSES
-    for the run-of-identical-symbols subtlety), identical in the
-    unrolled DuckDB oracle."""
+    decision per iteration, never data). The rewrite is a greedy
+    left-to-right fold over the symbol tokens (F.aggregate /
+    list_reduce — exact canonical BPE merging even on odd runs of the
+    merged symbol; see _bpe_oracle_sql for the argument), identical in
+    the unrolled DuckDB oracle."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(normalized_words(F.col("text"))).alias("w"))
@@ -1250,10 +1259,18 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right, cnt = best[0].l, best[0].r, best[0].cnt
         merges.append((rank, left, right, left + right, cnt))
-        pat, rep = f" {left} {right} ", f" {left}{right} "
-        new_s = F.col("s")
-        for _ in range(_BPE_REPLACE_PASSES):
-            new_s = F.replace(new_s, F.lit(pat), F.lit(rep))
+        folded = F.aggregate(
+            F.split(F.trim(F.col("s")), " "),
+            F.lit(""),
+            lambda acc, x: F.when(
+                (x == F.lit(right)) & F.endswith(acc, F.lit(" " + left)),
+                F.concat(
+                    F.left(acc, F.length(acc) - F.lit(len(left))),
+                    F.lit(left + right),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        new_s = F.concat(folded, F.lit(" "))
         nxt = seqdf.select(new_s.alias("s"), "freq").cache()
         seqdf.unpersist()
         seqdf = nxt

@@ -1,0 +1,140 @@
+"""Semantic/property tests for the round-5 fixes — invariants the oracles
+cannot state, on adversarial inputs the testdata never shows (the round-4
+file documents the pattern).
+
+Headline: the BPE rewrite is now a greedy left-to-right FOLD, not a
+replace() pass — the two diverge exactly on odd runs (>= 5) of the merged
+symbol (' a a a a a ' -> greedy 'aa aa a' vs replace 'aa a aa'), which
+changes next-iteration adjacency counts (ADVICE r4). These tests plant
+that corpus and require Spark, the unrolled DuckDB oracle, and a
+tokenwise-greedy Python reference to agree three ways."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sealnet_etl_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def _greedy_bpe_reference(freq: dict, n_merges: int) -> list[tuple]:
+    """Plain-Python tokenwise greedy BPE over a word-frequency table —
+    the canonical algorithm every tokenizer library implements."""
+    from collections import Counter
+
+    seqs = {tuple(list(w) + ["</w>"]): f for w, f in freq.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, f in seqs.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, left, right, left + right, cnt))
+        merged: dict = {}
+        for sym, f in seqs.items():
+            toks, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == (left, right):
+                    toks.append(left + right)
+                    i += 2
+                else:
+                    toks.append(sym[i])
+                    i += 1
+            key = tuple(toks)
+            merged[key] = merged.get(key, 0) + f
+        seqs = merged
+    return out
+
+
+def test_bpe_train_greedy_on_odd_runs(spark, queries, tmp_path):
+    """Planted corpus dominated by odd runs of one character ('.....'
+    char-splits to a run of 5 '.'), so merge 1 is ('.', '.') and the
+    greedy-vs-replace divergence CHANGES merge 2's pair counts. Spark,
+    the DuckDB oracle, and the tokenwise reference must agree 3-way."""
+    import duckdb
+
+    from sealnet_etl_spark.operators.trainprep import BPE_MERGES
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+    from sealnet_etl_spark.registry import QUERIES
+
+    words = {
+        ".....": 40,   # odd run: greedy -> [.. .. . </w>]; replace -> [.. . ..]
+        ".......": 25,  # odd run of 7
+        "...": 30,
+        "ab": 20,
+        "abab": 15,
+        "zq": 3,
+    }
+    rows, doc_id = [], 0
+    for w, f in words.items():
+        for _ in range(f):
+            rows.append((doc_id, w))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    tmp = str(tmp_path / "sf_bpe")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+
+    expect = _greedy_bpe_reference(words, BPE_MERGES)
+    got = [
+        (r.merge_rank, r.sym_left, r.sym_right, r.merged, r.pair_count)
+        for r in queries["llm_bpe_train"](spark, tmp)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expect
+
+    # the divergence must actually be exercised: a replace()-based round-4
+    # rewrite would disagree with the greedy reference on this corpus
+    def replace_rewrite_reference():
+        seqs = {
+            " " + " ".join(list(w) + ["</w>"]) + " ": f
+            for w, f in words.items()
+        }
+        out = []
+        for rank in range(1, BPE_MERGES + 1):
+            from collections import Counter
+
+            pairs: Counter = Counter()
+            for s, f in seqs.items():
+                toks = s.split()
+                for a, b in zip(toks, toks[1:]):
+                    pairs[(a, b)] += f
+            (left, right), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((rank, left, right, left + right, cnt))
+            merged: dict = {}
+            for s, f in seqs.items():
+                for _ in range(4):
+                    s = s.replace(f" {left} {right} ", f" {left}{right} ")
+                merged[s] = merged.get(s, 0) + f
+            seqs = merged
+        return out
+
+    assert replace_rewrite_reference() != expect, (
+        "planted corpus fails to separate greedy from replace rewrite"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'documents.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["llm_bpe_train"].oracle).df()
+    con.close()
+    spark_pdf = (
+        queries["llm_bpe_train"](spark, tmp).toPandas()
+    )
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
