@@ -5,8 +5,13 @@
 "sf": ...}.
 
 Methodology mirrors BASELINE.md: one shared SparkSession, each query is run
-once to warm (codegen + broadcast + file listing), then timed on the second
-run. Reported seconds are warm wall-clock per query; "value" is their sum.
+once to warm (codegen + broadcast + file listing), then timed on THREE
+further runs and reported as their MEDIAN — round 4's single-warm-sample
+methodology let one GC/JIT interleave in a 36-query session masquerade as a
++27.6% regression (llm_repetition_filter, VERDICT r4 "What's wrong" #2;
+isolated re-profiling measured 0.87-1.18 s against the 1.45 s bench row).
+The median of 3 bounds that interleaving noise; "value" is the sum of
+per-query medians.
 """
 
 from __future__ import annotations
@@ -85,6 +90,13 @@ def headline_queries() -> list[str]:
         # the rollup twin that isolates jn_interval_overlap's JOIN cost
         # from the 617k-row driver-collect tax (see its docstring)
         "jn_interval_overlap_daily",
+        # round 5 (VERDICT r4 #9): every remaining round-4 addition with a
+        # non-trivial plan — the iterative BPE trainer (bounded-collect
+        # loop), the positional interval containment, and the Derby JDBC
+        # round trip — so regressions in new code show as trends
+        "llm_bpe_train",
+        "jn_interval_containment",
+        "src_jdbc_roundtrip",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
@@ -106,9 +118,12 @@ def main() -> None:
         fn = queries[name]
         try:
             fn(spark, sf_dir).collect()  # warm: codegen, broadcasts, listing
-            start = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            timings[name] = round(time.perf_counter() - start, 4)
+            samples = []
+            for _ in range(3):
+                start = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                samples.append(time.perf_counter() - start)
+            timings[name] = round(sorted(samples)[1], 4)  # median of 3
         except Exception as exc:  # a broken query must not zero the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
