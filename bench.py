@@ -97,6 +97,10 @@ def headline_queries() -> list[str]:
         "llm_bpe_train",
         "jn_interval_containment",
         "src_jdbc_roundtrip",
+        # round-5 semantic changes: the two-sided asof (tie-rule rework)
+        # and the 3-regex PII scrub pass — tracked from their change round
+        "jn_asof_nearest",
+        "llm_pii_scrub",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
