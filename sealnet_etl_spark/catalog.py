@@ -52,6 +52,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_bpe_train",
     # oracle path now derived from the shared _drift_base() constant
     "etl_schema_drift_report",
+    # rows-only -> hash upgrade: per-bucket physical-layout witness
+    "srt_within_partitions",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

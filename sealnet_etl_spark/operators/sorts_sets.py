@@ -63,17 +63,104 @@ def srt_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("srt_within_partitions", survey_id="SRT-3", oracle=None)
+@query(
+    "srt_within_partitions",
+    survey_id="SRT-3",
+    oracle="""
+        SELECT
+            CAST(('0x' || substring(md5('pt|' || l_orderkey), 1, 8))::BIGINT
+                 % 8 AS INT)            AS bucket,
+            CAST(COUNT(*) AS BIGINT)    AS n_rows,
+            MIN(l_orderkey)             AS min_orderkey,
+            MAX(l_orderkey)             AS max_orderkey,
+            TRUE                        AS is_sorted
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
 def srt_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sortWithinPartitions: per-partition clustering without a global
     shuffle — the sink-layout primitive (parquet run-length/dictionary
-    pages compress far better on locally sorted data). Rows-only check;
-    content equals the input by construction."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    return (
-        lineitem.repartition(8, "l_orderkey")
-        .sortWithinPartitions("l_orderkey", "l_linenumber")
-        .select("l_orderkey", "l_linenumber", "l_quantity")
+    pages compress far better on locally sorted data).
+
+    Upgraded rows-only -> hash (round 5, VERDICT r4 #6): the output is a
+    per-bucket LAYOUT WITNESS rather than the echoed input. Rows route
+    on a content-derived md5 bucket (the repo's md5_bucket convention,
+    so DuckDB can recompute membership — Spark's own hash partitioning
+    cannot be mirrored in SQL), get sorted within partitions by
+    (bucket, l_orderkey, l_linenumber), and a mapInPandas pass then
+    walks each partition in PHYSICAL row order, carrying the running
+    last-seen key across Arrow batches, and emits per bucket: row
+    count, key min/max, and whether the rows were truly encountered in
+    sorted order. Equal bucket keys land in exactly one partition, so
+    per-bucket witnesses need no cross-partition merge. The oracle
+    recomputes count/min/max per bucket and asserts is_sorted — a
+    false flag (e.g. sortWithinPartitions dropped, or batches
+    re-ordered) hash-mismatches instead of passing silently."""
+    from ..operators.trainprep import md5_bucket
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    bucketed = (
+        lineitem.withColumn(
+            "bucket",
+            md5_bucket(F.col("l_orderkey").cast("string"), "pt|", 8).cast(
+                "int"
+            ),
+        )
+        .repartition(8, "bucket")
+        .sortWithinPartitions("bucket", "l_orderkey", "l_linenumber")
+    )
+
+    def _witness(batches):
+        import pandas as pd
+
+        stats: dict[int, list] = {}
+        last_key = None
+        sorted_ok = True
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            keys = list(
+                zip(pdf["bucket"], pdf["l_orderkey"], pdf["l_linenumber"])
+            )
+            if last_key is not None and keys and keys[0] < last_key:
+                sorted_ok = False
+            for a, b in zip(keys, keys[1:]):
+                if b < a:
+                    sorted_ok = False
+                    break
+            last_key = keys[-1]
+            grp = pdf.groupby("bucket")["l_orderkey"]
+            for bkt, (n, mn, mx) in (
+                grp.agg(["count", "min", "max"]).iterrows()
+            ):
+                cur = stats.setdefault(int(bkt), [0, mn, mx])
+                cur[0] += int(n)
+                cur[1] = min(cur[1], mn)
+                cur[2] = max(cur[2], mx)
+        yield pd.DataFrame(
+            {
+                "bucket": list(stats),
+                "n_rows": [v[0] for v in stats.values()],
+                "min_orderkey": [v[1] for v in stats.values()],
+                "max_orderkey": [v[2] for v in stats.values()],
+                "is_sorted": [sorted_ok] * len(stats),
+            }
+        ).astype(
+            {
+                "bucket": "int32",
+                "n_rows": "int64",
+                "min_orderkey": "int64",
+                "max_orderkey": "int64",
+            }
+        )
+
+    return bucketed.mapInPandas(
+        _witness,
+        "bucket int, n_rows bigint, min_orderkey bigint, "
+        "max_orderkey bigint, is_sorted boolean",
     )
 
 
