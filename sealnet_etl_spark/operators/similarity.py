@@ -334,7 +334,7 @@ def llm_tiled_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- approximate path -------------------------------------------------------
 
-N_HYPERPLANES = 8  # 256 buckets per table
+N_HYPERPLANES = 8  # 256 buckets per table (floor; see _lsh_bits_for)
 # Round-4 retune (VERDICT r3 #6): recall@3 was ≈0.55 at T=6 — a thin
 # margin over the test floor. Measured curve on this corpus (sf0.1 /
 # sf0.01, radius-1 multi-probe): T=6 → 0.59/0.55 at 21% candidates;
@@ -342,15 +342,44 @@ N_HYPERPLANES = 8  # 256 buckets per table
 # reaches 0.91+ but at 44-53% candidates (≈ half of exact scan —
 # pointless). T=10 is the knee: ≥0.7 recall for ~1.5× the scoring work.
 N_TABLES = 10
+MAX_HYPERPLANES = 16
+LSH_TARGET_BUCKET = 8  # aim ~8 vectors per bucket per table
 
+# Two-pass generation keeps the first 8 planes of EVERY table bit-identical
+# to the round-2..4 constants (the extension draws come after the whole
+# original block), so bucketing — and therefore the measured recall bands
+# and bench numbers — is unchanged wherever 8 bits are chosen.
 _rng = random.Random(7)
 _HYPERPLANES: list[list[list[float]]] = [
     [[_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(N_HYPERPLANES)]
     for _ in range(N_TABLES)
 ]
+for _planes in _HYPERPLANES:
+    _planes.extend(
+        [_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)]
+        for _ in range(MAX_HYPERPLANES - N_HYPERPLANES)
+    )
 
 
-def _lsh_keyed(df: DataFrame, probe: bool, out: str) -> DataFrame:
+def _lsh_bits_for(n_vectors: int) -> int:
+    """Bucket bits scaled to corpus size: 2^bits buckets per table sized so
+    the AVERAGE bucket holds ~LSH_TARGET_BUCKET vectors. With bits fixed
+    (rounds 2-4) a 10× corpus made every bucket 10× fatter and the
+    candidate join quadratically denser — the sf1-decade measurement
+    (SCALE.md round 5) clocked 24× wall time for 10× data. Clamped to
+    [8, 16]: 8 keeps sf0.01/sf0.1 behavior (and the pinned recall bands)
+    identical; 16 bounds the probe fan-out at H+1 = 17 keys/table."""
+    import math
+
+    if n_vectors <= 0:
+        return N_HYPERPLANES
+    want = math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 1.0)))
+    return max(N_HYPERPLANES, min(MAX_HYPERPLANES, want))
+
+
+def _lsh_keyed(
+    df: DataFrame, probe: bool, out: str, n_bits: int = N_HYPERPLANES
+) -> DataFrame:
     """Random-hyperplane signatures for every table in ONE vectorized pass:
     bit h = sign(vec · r_h), 8 bits → bucket in [0, 256), key =
     (table << 32) | bucket. With ``probe`` each row also emits every
@@ -365,13 +394,13 @@ def _lsh_keyed(df: DataFrame, probe: bool, out: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_keys = N_TABLES * (1 + N_HYPERPLANES if probe else 1)
+    n_keys = N_TABLES * (1 + n_bits if probe else 1)
 
     def keyed_batches(batches):
-        hyper = np.asarray(_HYPERPLANES, dtype=np.float64).reshape(
-            N_TABLES * N_HYPERPLANES, EMBED_DIM
-        )
-        weights = 1 << np.arange(N_HYPERPLANES, dtype=np.int64)
+        hyper = np.asarray(
+            [planes[:n_bits] for planes in _HYPERPLANES], dtype=np.float64
+        ).reshape(N_TABLES * n_bits, EMBED_DIM)
+        weights = 1 << np.arange(n_bits, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 yield pd.DataFrame({out: [], "bucket": []}).astype(
@@ -381,7 +410,7 @@ def _lsh_keyed(df: DataFrame, probe: bool, out: str) -> DataFrame:
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             bits = (vecs @ hyper.T) > 0  # (n, T*H)
             buckets = (
-                bits.reshape(len(pdf), N_TABLES, N_HYPERPLANES) * weights
+                bits.reshape(len(pdf), N_TABLES, n_bits) * weights
             ).sum(axis=2)  # (n, T)
             keys = buckets + (np.arange(N_TABLES, dtype=np.int64) << 32)
             if probe:
@@ -424,9 +453,13 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
+    # one metadata-cheap count sizes the bucket space to the corpus —
+    # fixed bits made candidate density quadratic in corpus growth
+    # (measured 24× time for the 10× sf1 decade; see _lsh_bits_for)
+    n_bits = _lsh_bits_for(emb.count())
     candidates = (
-        _lsh_keyed(emb, probe=True, out="src_id")
-        .join(_lsh_keyed(emb, probe=False, out="nbr_id"), "bucket")
+        _lsh_keyed(emb, probe=True, out="src_id", n_bits=n_bits)
+        .join(_lsh_keyed(emb, probe=False, out="nbr_id", n_bits=n_bits), "bucket")
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select("src_id", "nbr_id")
         .distinct()  # a pair can collide in several (table, probe) keys
