@@ -579,4 +579,7 @@ def test_interval_overlap_blocks_on_day_hour_equi_join(spark):
         "BroadcastHashJoin" in plan
     ), plan
     # the join keys must carry the exploded hour bin, not just the day
-    assert "hr" in plan, plan
+    # round 5 renamed the exploded block column hr -> bin when the grain
+    # became adaptive (60-minute bins at every measured SF; see
+    # _interval_grain_minutes for the replication-capped refinement rule)
+    assert "bin" in plan, plan
