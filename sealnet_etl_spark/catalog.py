@@ -54,6 +54,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "etl_schema_drift_report",
     # rows-only -> hash upgrade: per-bucket physical-layout witness
     "srt_within_partitions",
+    # new round-5 operator: cross-doc duplicate-substring spans
+    "llm_substring_dedup_spans",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

@@ -1591,3 +1591,133 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-2 (substring granularity): cross-document duplicate-SPAN removal
+# ---------------------------------------------------------------------------
+
+#: Anchor width (words) for duplicate-substring detection. Any cross-doc
+#: duplicated run of >= SUBSTR_K words contains at least one K-shingle that
+#: appears in >= 2 docs, so anchoring on K-shingles has 100% recall for
+#: runs >= K by construction (the suffix-array method's guarantee, met by
+#: a pure DataFrame pipeline).
+SUBSTR_K = 8
+
+_SUBSTR_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents
+    ),
+    shpos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - {SUBSTR_K} + 1)) AS i
+        FROM w
+        WHERE len(w) >= {SUBSTR_K}
+    ),
+    sh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(array_to_string(w[i + 1 : i + {SUBSTR_K}], ' ')) AS h
+        FROM shpos
+    ),
+    anchors AS (
+        SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM anchors)
+    ),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                         <= {SUBSTR_K} THEN 0 ELSE 1 END AS brk
+        FROM hits
+    ),
+    grouped AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    )
+    SELECT doc_id,
+           MIN(pos)                                   AS span_start,
+           MAX(pos) + {SUBSTR_K} - 1                  AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS span_words
+    FROM grouped
+    GROUP BY doc_id, g
+"""
+
+
+@query("llm_substring_dedup_spans", survey_id="LLM-2", oracle=_SUBSTR_ORACLE)
+def llm_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-SUBSTRING removal plan (the operator behind
+    'deduplicating training data' suffix-array dedup, Lee et al. 2022):
+    emit, per document, every maximal word span that is part of a run
+    duplicated in at least one OTHER document, as (doc_id, span_start,
+    span_end, span_words) with 0-based inclusive word offsets. Document-
+    level dedup (llm_minhash_near_dup / llm_exact_dedup) misses the long
+    boilerplate runs embedded in otherwise-unique pages; this finds them.
+
+    Spark-first shape instead of a distributed suffix array:
+      1. positioned K-word shingles per doc (posexplode over a JVM-side
+         transform — narrow, no Python),
+      2. duplicate ANCHORS = shingle hashes in >= 2 distinct docs (one
+         partial-agg shuffle of (hash, doc) pairs; hashes are 32B, text
+         never shuffles),
+      3. left-semi join positions onto anchors (AQE handles boilerplate
+         hot hashes — a shingle in a million docs is one skewed key,
+         split at runtime),
+      4. per-doc gaps-and-islands merge of overlapping/adjacent anchor
+         ranges into maximal spans (doc-partitioned window; a doc's
+         anchor positions always fit an executor).
+    Recall is structural: any duplicated run of >= K words contains a
+    duplicated K-shingle, so no qualifying span is missed; runs < K are
+    below the dedup threshold by definition. At 100 TB every stage is a
+    narrow map or a single keyed exchange — the quadratic suffix-array
+    sort never materializes.
+
+    Oracle: the same anchor+islands pipeline in DuckDB (list slicing +
+    window), bit-identical md5 anchors; probed densities sf0.01/sf0.1 =
+    1 015/10 533 duplicate anchors merging into bounded span lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = SUBSTR_K
+    words = normalized_words(F.col("text"))
+    sh = (
+        docs.withColumn("__w", words)
+        .filter(F.size("__w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - k),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("__w"), i + 1, k))
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    anchors = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(anchors, "h", "left_semi").select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) <= k, F.lit(1) * 0)
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "g",
+        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        grouped.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_words"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_words")
+    )

@@ -202,3 +202,63 @@ def test_srt_witness_detects_unsorted_layout(spark):
     assert any(not r.ok for r in out if r.n > 1), (
         "unsorted layout was reported sorted — witness is vacuous"
     )
+
+
+def test_substring_dedup_planted_spans(spark, queries, tmp_path):
+    """Planted corpus with exactly-known duplicated runs. K=8 anchors must
+    (a) find a 12-word run shared by two docs at different offsets,
+    (b) split two shared runs separated by a 9-word unique gap into TWO
+        spans (the islands rule: merge only when anchor gap <= K),
+    (c) report nothing for a fully-unique doc, and
+    (d) agree with the DuckDB oracle on the same fixture."""
+    import duckdb
+
+    from sealnet_etl_spark.operators.dedup import SUBSTR_K
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+    from sealnet_etl_spark.registry import QUERIES
+
+    assert SUBSTR_K == 8, "fixture offsets below assume K=8"
+    run12 = " ".join(f"dup{i}" for i in range(12))        # 12-word shared run
+    runa = " ".join(f"alpha{i}" for i in range(10))        # 10-word shared run
+    runb = " ".join(f"beta{i}" for i in range(10))         # 10-word shared run
+    docs = [
+        # doc 1: run12 at words 3..14
+        (1, "u1a u1b u1c " + run12 + " u1d u1e"),
+        # doc 2: run12 at words 5..16
+        (2, "u2a u2b u2c u2d u2e " + run12 + " u2f"),
+        # doc 3: fully unique -> no spans
+        (3, " ".join(f"solo{i}" for i in range(30))),
+        # docs 4/5: runa at 0..9, a 9-word unique gap (anchor gap 17 > K),
+        # runb after it -> two separate spans per doc
+        (4, runa + " " + " ".join(f"g4x{i}" for i in range(9)) + " " + runb),
+        (5, runa + " " + " ".join(f"g5x{i}" for i in range(9)) + " " + runb),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tmp = str(tmp_path / "sf_substr")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_words)
+        for r in queries["llm_substring_dedup_spans"](spark, tmp).collect()
+    }
+    assert got == {
+        (1, 3, 14, 12),
+        (2, 5, 16, 12),
+        (4, 0, 9, 10),
+        (4, 19, 28, 10),
+        (5, 0, 9, 10),
+        (5, 19, 28, 10),
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'documents.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["llm_substring_dedup_spans"].oracle).df()
+    con.close()
+    spark_pdf = queries["llm_substring_dedup_spans"](spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
