@@ -54,8 +54,9 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "etl_schema_drift_report",
     # rows-only -> hash upgrade: per-bucket physical-layout witness
     "srt_within_partitions",
-    # new round-5 operator: cross-doc duplicate-substring spans
+    # new round-5 operators: cross-doc duplicate-substring spans + apply
     "llm_substring_dedup_spans",
+    "llm_substring_dedup_apply",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

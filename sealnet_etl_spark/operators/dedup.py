@@ -1604,9 +1604,13 @@ def llm_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a pure DataFrame pipeline).
 SUBSTR_K = 8
 
-_SUBSTR_ORACLE = rf"""
-    WITH w AS (
-        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+#: Shared CTE block: normalized words -> positioned K-shingle anchors ->
+#: cross-doc duplicate filter -> gaps-and-islands merge. Both the span
+#: query and the apply query build on exactly this, so their oracles can
+#: never drift apart.
+_SUBSTR_CTES = rf"""
+    w AS (
+        SELECT doc_id, string_split_regex(lower(COALESCE(text, '')), '\s+') AS w
         FROM documents
     ),
     shpos AS (
@@ -1636,13 +1640,52 @@ _SUBSTR_ORACLE = rf"""
                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS g
         FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id,
+               MIN(pos)                                   AS span_start,
+               MAX(pos) + {SUBSTR_K} - 1                  AS span_end,
+               CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS span_words
+        FROM grouped
+        GROUP BY doc_id, g
+    )
+"""
+
+_SUBSTR_ORACLE = f"""
+    WITH {_SUBSTR_CTES}
+    SELECT doc_id, span_start, span_end, span_words FROM spans
+"""
+
+_SUBSTR_APPLY_ORACLE = f"""
+    WITH {_SUBSTR_CTES},
+    idx AS (
+        SELECT doc_id, w[i + 1] AS word, CAST(i AS BIGINT) AS i
+        FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM w)
+    ),
+    rem AS (
+        SELECT DISTINCT x.doc_id, x.i
+        FROM idx x JOIN spans s
+          ON s.doc_id = x.doc_id
+         AND x.i >= s.span_start AND x.i <= s.span_end
+    ),
+    kept AS (
+        SELECT x.doc_id,
+               COALESCE(
+                   string_agg(x.word, ' ' ORDER BY x.i)
+                       FILTER (WHERE r.i IS NULL),
+                   ''
+               ) AS clean,
+               COUNT(*)   AS n_words,
+               COUNT(r.i) AS n_removed
+        FROM idx x
+        LEFT JOIN rem r ON r.doc_id = x.doc_id AND r.i = x.i
+        GROUP BY x.doc_id
     )
     SELECT doc_id,
-           MIN(pos)                                   AS span_start,
-           MAX(pos) + {SUBSTR_K} - 1                  AS span_end,
-           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS span_words
-    FROM grouped
-    GROUP BY doc_id, g
+           CAST(n_words AS BIGINT)   AS n_words,
+           CAST(n_removed AS BIGINT) AS n_words_removed,
+           md5(clean)                AS clean_md5
+    FROM kept
 """
 
 
@@ -1720,4 +1763,57 @@ def llm_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pos") - F.min("pos") + k).cast("long").alias("span_words"),
         )
         .select("doc_id", "span_start", "span_end", "span_words")
+    )
+
+
+@query(
+    "llm_substring_dedup_apply",
+    survey_id="LLM-2",
+    oracle=_SUBSTR_APPLY_ORACLE,
+)
+def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the duplicate-substring plan: rewrite each document with its
+    duplicated spans cut out, reporting (doc_id, n_words,
+    n_words_removed, clean_md5) — the md5 fingerprint stands in for the
+    cleaned text so the graded result stays compact while still pinning
+    every byte of the rewrite.
+
+    Scale shape: the span list (llm_substring_dedup_spans — KBs per
+    million docs) collect_lists into per-doc struct arrays and joins
+    back onto the corpus, then the cut runs ENTIRELY in JVM higher-order
+    functions — F.filter with a positional lambda over the word array,
+    F.exists over the doc's own spans — no Python, no extra shuffle
+    beyond the one span join. Docs with no spans skip the lambda via an
+    isNull branch (a null-predicate F.filter would silently drop every
+    word). Text is cut at word granularity against the SAME
+    normalization the detector used, so span offsets can never drift
+    from the words they index."""
+    k = SUBSTR_K
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    spans_agg = (
+        llm_substring_dedup_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    j = docs.join(spans_agg, "doc_id", "left").withColumn(
+        "__w", normalized_words(F.col("text"))
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("__w")).otherwise(
+        F.filter(
+            F.col("__w"),
+            lambda _, i: ~F.exists(
+                F.col("spans"),
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("__w").cast("long").alias("n_words"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_words_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )

@@ -259,6 +259,27 @@ def test_substring_dedup_planted_spans(spark, queries, tmp_path):
         f"read_parquet('{os.path.join(tmp, 'documents.parquet', '*.parquet')}')"
     )
     duck_pdf = con.execute(QUERIES["llm_substring_dedup_spans"].oracle).df()
-    con.close()
     spark_pdf = queries["llm_substring_dedup_spans"](spark, tmp).toPandas()
     assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
+
+    # the APPLY step must cut exactly those spans: doc 3 is untouched
+    # (fingerprint == md5 of its own normalized text), doc 1 loses the
+    # 12 shared words, docs 4/5 lose both 10-word runs
+    import hashlib
+
+    applied = {
+        r.doc_id: (r.n_words, r.n_words_removed, r.clean_md5)
+        for r in queries["llm_substring_dedup_apply"](spark, tmp).collect()
+    }
+    assert {d: (n, rm) for d, (n, rm, _) in applied.items()} == {
+        1: (17, 12), 2: (18, 12), 3: (30, 0), 4: (29, 20), 5: (29, 20),
+    }
+    doc3_clean = " ".join(f"solo{i}" for i in range(30))
+    assert applied[3][2] == hashlib.md5(doc3_clean.encode()).hexdigest()
+    doc1_clean = "u1a u1b u1c u1d u1e"
+    assert applied[1][2] == hashlib.md5(doc1_clean.encode()).hexdigest()
+
+    duck_apply = con.execute(QUERIES["llm_substring_dedup_apply"].oracle).df()
+    con.close()
+    spark_apply = queries["llm_substring_dedup_apply"](spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_apply) == pdf_to_multiset(duck_apply)
