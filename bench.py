@@ -101,6 +101,11 @@ def headline_queries() -> list[str]:
         # and the 3-regex PII scrub pass — tracked from their change round
         "jn_asof_nearest",
         "llm_pii_scrub",
+        # round-5 new operators: duplicate-substring detection (positioned
+        # shingle explode + distinct-doc agg + islands window) and its
+        # apply rewrite (span join + positional higher-order cut)
+        "llm_substring_dedup_spans",
+        "llm_substring_dedup_apply",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
