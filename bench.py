@@ -106,6 +106,7 @@ def headline_queries() -> list[str]:
         # apply rewrite (span join + positional higher-order cut)
         "llm_substring_dedup_spans",
         "llm_substring_dedup_apply",
+        "llm_bm25_topk",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

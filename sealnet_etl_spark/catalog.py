@@ -54,9 +54,11 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "etl_schema_drift_report",
     # rows-only -> hash upgrade: per-bucket physical-layout witness
     "srt_within_partitions",
-    # new round-5 operators: cross-doc duplicate-substring spans + apply
+    # new round-5 operators: cross-doc duplicate-substring spans + apply,
+    # and BM25 retrieval scoring (completes tfidf -> bm25 -> rrf fusion)
     "llm_substring_dedup_spans",
     "llm_substring_dedup_apply",
+    "llm_bm25_topk",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

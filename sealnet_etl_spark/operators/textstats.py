@@ -1072,3 +1072,111 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         permille.cast("int").alias("code_permille"),
         (permille >= CODE_SCORE_MIN).cast("int").alias("is_code"),
     )
+
+
+# --- BM25 retrieval scoring (completes tfidf -> bm25 -> rrf_fusion) --------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "slow", "big")  # present at every SF (df-probed)
+BM25_TOPN = 20
+
+_BM25_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    terms AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM terms
+        WHERE term IN {BM25_QUERY!r}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT COUNT(*) AS n_docs,
+               (SELECT SUM(dl) FROM dl)::DOUBLE / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ROUND(
+                   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)),
+                   9)) AS s,
+               COUNT(*) AS n_terms
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN st
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           ROUND(s, 6)               AS bm25,
+           CAST(n_terms AS BIGINT)   AS n_terms_matched
+    FROM scored
+    ORDER BY ROUND(s, 6) DESC, doc_id
+    LIMIT {BM25_TOPN}
+"""
+
+
+@query("llm_bm25_topk", survey_id="LLM-8", oracle=_BM25_ORACLE)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{20} retrieval for a fixed query term set — the
+    ranking function real retrieval stacks run where llm_tfidf stops at
+    raw weights; its output is exactly the kind of ranked list
+    wn_rrf_rank_fusion fuses. idf = ln(1 + (N - df + ½)/(df + ½))
+    (Lucene form, never negative), k1 = 1.2, b = 0.75.
+
+    Scale shape: the exploded word stream filters to the QUERY TERMS
+    before any aggregation (the only shuffled rows are (doc, term ∈ q)
+    pairs — for a 3-term query that is a vanishing fraction of the token
+    stream); df and the (n_docs, avgdl) scalars are query-term-sized and
+    1-row broadcasts; the per-doc score joins touch only matching docs.
+    TakeOrdered materializes the top-20, never a global sort.
+
+    Float discipline (SURVEY §5.3): per-term contributions round to 9 dp
+    before the sum, the sum to 6 dp before ranking, identical in the
+    oracle — ln's last ulp can differ across engines and the logprob
+    family proved this two-stage rounding stable on this corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+    dl = w.select("doc_id", F.size("w").alias("dl"))
+    tf = (
+        w.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    st = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").cast("double").alias("sum_dl"))
+    ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPN)

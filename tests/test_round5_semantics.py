@@ -283,3 +283,49 @@ def test_substring_dedup_planted_spans(spark, queries, tmp_path):
     con.close()
     spark_apply = queries["llm_substring_dedup_apply"](spark, tmp).toPandas()
     assert pdf_to_multiset(spark_apply) == pdf_to_multiset(duck_apply)
+
+
+def test_bm25_planted_ranking(spark, queries, tmp_path):
+    """Planted corpus with hand-checkable BM25 structure: (a) more
+    occurrences of a query term rank higher at equal length, (b) a doc
+    matching two query terms beats one matching a single term with the
+    same tf, (c) longer docs are penalized at equal tf (the b-term),
+    (d) non-matching docs never appear, and (e) the DuckDB oracle agrees
+    on the planted fixture."""
+    import duckdb
+
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+    from sealnet_etl_spark.registry import QUERIES
+
+    pad = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    docs = [
+        (1, "data data data " + pad(7, "a")),        # tf=3, dl=10
+        (2, "data " + pad(9, "b")),                   # tf=1, dl=10
+        (3, "data slow " + pad(8, "c")),              # two terms, dl=10
+        (4, "data data data " + pad(27, "d")),        # tf=3, dl=30 (longer)
+        (5, pad(10, "e")),                            # no match
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    tmp = str(tmp_path / "sf_bm25")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+
+    rows = queries["llm_bm25_topk"](spark, tmp).collect()
+    score = {r.doc_id: r.bm25 for r in rows}
+    matched = {r.doc_id: r.n_terms_matched for r in rows}
+    assert 5 not in score                      # (d)
+    assert score[1] > score[2]                 # (a)
+    assert score[3] > score[2] and matched[3] == 2  # (b)
+    assert score[1] > score[4]                 # (c)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'documents.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["llm_bm25_topk"].oracle).df()
+    con.close()
+    spark_pdf = queries["llm_bm25_topk"](spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
