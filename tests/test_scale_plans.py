@@ -392,6 +392,8 @@ _BNLJ_ALLOWED = {
     "llm_bigram_logprob",   # 1-row |V| smoothing denominator
     "etl_vacuum_plan",      # 1-row newest-day retention watermark
     "ag_welch_ttest",       # two 1-row group-moment sides
+    # round 5
+    "llm_bm25_topk",        # 1-row (n_docs, avgdl) corpus stats
 }
 
 
