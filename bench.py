@@ -107,6 +107,7 @@ def headline_queries() -> list[str]:
         "llm_substring_dedup_spans",
         "llm_substring_dedup_apply",
         "llm_bm25_topk",
+        "str_streaming_near_dup",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -59,6 +59,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_substring_dedup_spans",
     "llm_substring_dedup_apply",
     "llm_bm25_topk",
+    # streaming near-dup: MinHash probe of the accumulated per-batch index
+    "str_streaming_near_dup",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

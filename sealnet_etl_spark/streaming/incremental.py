@@ -13,6 +13,7 @@ matches so far" over an unbounded ingest feed.
 from __future__ import annotations
 
 import random
+import shutil
 
 import pandas as pd
 
@@ -166,4 +167,200 @@ def str_incremental_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFra
             & (F.col("n_seen") == F.col("n_final")),
         )
         .select("label", "vec_id", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup: MinHash probe of a persisted index, per micro-batch
+# ---------------------------------------------------------------------------
+
+#: Documents replay chunk count. 3 chunks (not the events replay's 2) so
+#: the persisted index demonstrably ACCUMULATES: batch 1 probes chunk 0,
+#: batch 2 probes chunks 0+1 — the second probe reads state no single
+#: batch wrote. Chunk membership is doc_id % N — a pure function the SQL
+#: oracle recomputes, unlike an arrival-time split.
+N_DOC_CHUNKS = 3
+
+_DOC_REPLAY_CACHE: dict[str, str] = {}
+
+_STREAM_NEAR_DUP_ORACLE: str
+
+
+def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    from .replay import write_replay_chunks
+
+    if sf_dir in _DOC_REPLAY_CACHE:
+        return _DOC_REPLAY_CACHE[sf_dir]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [
+        docs.filter(F.pmod("doc_id", F.lit(N_DOC_CHUNKS)) == i)
+        for i in range(N_DOC_CHUNKS)
+    ]
+    path = write_replay_chunks(spark, sf_dir, "docs_replay", chunks)
+    _DOC_REPLAY_CACHE[sf_dir] = path
+    return path
+
+
+from ..operators.dedup import (  # noqa: E402
+    HOT_BUCKET_CAP,
+    JACCARD_TAU,
+    SHINGLE_K,
+    minhash_band_keys,
+    minhash_signature_cols,
+    normalized_words,
+    shingle_base_hashes,
+    word_shingles,
+)
+
+_STREAM_NEAR_DUP_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {N_DOC_CHUNKS} AS chunk,
+               list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                   i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= {SHINGLE_K}
+    )
+    SELECT p.doc_id AS doc_prior, n.doc_id AS doc_new,
+           ROUND(len(list_intersect(n.sh, p.sh))::DOUBLE
+                 / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh))),
+                 6) AS jaccard
+    FROM toks p JOIN toks n ON p.chunk < n.chunk
+    WHERE len(list_intersect(n.sh, p.sh))::DOUBLE
+          / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh)))
+          >= {JACCARD_TAU}
+"""
+
+
+@query(
+    "str_streaming_near_dup",
+    survey_id="STR-8/LLM-2",
+    oracle=_STREAM_NEAR_DUP_ORACLE,
+)
+def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection: documents arrive as
+    micro-batches; each batch is MinHash-probed against a PERSISTED LSH
+    index + shingle store covering every EARLIER batch, then appended to
+    both — the continuous-ingestion deployment of
+    llm_incremental_near_dup, where the 'prior corpus' is not a fixed
+    artifact but the accumulated stream itself.
+
+    foreachBatch mechanics (the write-ahead-by-batchId pattern of
+    str_foreach_batch_upsert): each batch writes its band keys, shingle
+    sets, and verified pairs under ``chunk=<batch_id>`` partitions with
+    per-partition overwrite, so a crash-replayed batch rewrites the SAME
+    partitions — idempotent on plain parquet. Probes read only
+    partitions with chunk < batch_id, which also excludes a half-written
+    current batch. Per-batch cost is O(batch) signatures + an 8-byte
+    band-key join against the index (hot buckets capped both sides, as
+    in the batch op); earlier batches are NEVER re-shingled — their
+    shingle store is read only to verify the candidates the index
+    surfaced.
+
+    Replay is 3 chunks keyed doc_id % 3 (deterministic, so the oracle —
+    the brute-force cross-chunk Jaccard join — recomputes membership);
+    batch 2's probe hits state accumulated across TWO prior batches.
+    Within-batch pairs are by design not emitted (the one-shot batch
+    operator owns those). Banding recall at J ≥ 0.8 is the documented
+    ≥ 0.9997, which is why the exact oracle still hash-matches."""
+    import os as _os
+
+    from ..sources.ingest import _scratch
+    from .replay import read_events_stream  # noqa: F401 (pattern ref)
+
+    replay = _docs_replay_dir(spark, sf_dir)
+    index_store = _scratch(sf_dir, "str_neardup_index")
+    shingle_store = _scratch(sf_dir, "str_neardup_shingles")
+    results_store = _scratch(sf_dir, "str_neardup_pairs")
+    checkpoint = _scratch(sf_dir, "str_streaming_near_dup_ckpt")
+    for p in (index_store, shingle_store, results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def _cap(df: DataFrame, id_col: str) -> DataFrame:
+        w = Window.partitionBy("band_key").orderBy(id_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= HOT_BUCKET_CAP)
+            .drop("__rn")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        words = normalized_words(F.col("text"))
+        shingled = (
+            batch_df.withColumn("__w", words)
+            .filter(F.size("__w") >= SHINGLE_K)
+            .withColumn("shingles", word_shingles(F.col("__w"), SHINGLE_K))
+            .select("doc_id", "shingles")
+            .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+            .localCheckpoint()
+        )
+        keys = shingled.select(
+            "doc_id", *minhash_signature_cols(F.col("__base"))
+        ).select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+
+        if batch_id > 0 and _os.path.isdir(index_store):
+            prior_keys = (
+                spark.read.parquet(index_store)
+                .filter(F.col("chunk") < batch_id)
+                .withColumnRenamed("doc_id", "doc_prior")
+            )
+            cand = (
+                _cap(prior_keys, "doc_prior")
+                .join(
+                    _cap(keys.withColumnRenamed("doc_id", "doc_new"), "doc_new"),
+                    "band_key",
+                )
+                .select("doc_prior", "doc_new")
+                .distinct()
+            )
+            prior_sh = (
+                spark.read.parquet(shingle_store)
+                .filter(F.col("chunk") < batch_id)
+                .select(
+                    F.col("doc_id").alias("doc_prior"),
+                    F.col("shingles").alias("sh_prior"),
+                )
+            )
+            inter = F.size(F.array_intersect(F.col("sh_prior"), F.col("shingles")))
+            union = F.size("sh_prior") + F.size("shingles") - inter
+            jac = inter.cast("double") / union
+            verified = (
+                cand.join(prior_sh, "doc_prior")
+                .join(
+                    shingled.select(
+                        F.col("doc_id").alias("doc_new"), "shingles"
+                    ),
+                    "doc_new",
+                )
+                .filter(jac >= JACCARD_TAU)
+                .select(
+                    "doc_prior", "doc_new", F.round(jac, 6).alias("jaccard")
+                )
+            )
+            verified.write.mode("overwrite").parquet(
+                f"{results_store}/chunk={batch_id}"
+            )
+        keys.write.mode("overwrite").parquet(f"{index_store}/chunk={batch_id}")
+        shingled.select("doc_id", "shingles").write.mode("overwrite").parquet(
+            f"{shingle_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame(
+            [], "doc_prior long, doc_new long, jaccard double"
+        )
+    return spark.read.parquet(results_store).select(
+        "doc_prior", "doc_new", "jaccard"
     )

@@ -329,3 +329,27 @@ def test_bm25_planted_ranking(spark, queries, tmp_path):
     con.close()
     spark_pdf = queries["llm_bm25_topk"](spark, tmp).toPandas()
     assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
+
+
+def test_streaming_near_dup_accumulates_and_is_deterministic(spark, queries):
+    """The streaming near-dup's persisted index must ACCUMULATE: the pair
+    set must contain matches against BOTH earlier chunks from batch 2
+    ((0,2) and (1,2) chunk combos), not just adjacent-batch matches —
+    proving batch 2's probe read state written across two prior batches.
+    Two full runs must agree exactly (fresh-run determinism of the
+    replay + per-partition-overwrite write path)."""
+    from .conftest import SF_DIR
+
+    run1 = {
+        (r.doc_prior, r.doc_new, r.jaccard)
+        for r in queries["str_streaming_near_dup"](spark, SF_DIR).collect()
+    }
+    assert run1, "no cross-chunk near-dup pairs found at sf0.01"
+    combos = {(p % 3, n % 3) for p, n, _ in run1}
+    assert combos == {(0, 1), (0, 2), (1, 2)}, combos
+    assert all(p % 3 < n % 3 for p, n, _ in run1)
+    run2 = {
+        (r.doc_prior, r.doc_new, r.jaccard)
+        for r in queries["str_streaming_near_dup"](spark, SF_DIR).collect()
+    }
+    assert run1 == run2
