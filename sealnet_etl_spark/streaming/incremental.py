@@ -183,8 +183,6 @@ N_DOC_CHUNKS = 3
 
 _DOC_REPLAY_CACHE: dict[str, str] = {}
 
-_STREAM_NEAR_DUP_ORACLE: str
-
 
 def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     from .replay import write_replay_chunks
