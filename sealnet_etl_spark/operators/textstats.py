@@ -1126,7 +1126,7 @@ _BM25_ORACLE = rf"""
 
 @query("llm_bm25_topk", survey_id="LLM-8", oracle=_BM25_ORACLE)
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-{20} retrieval for a fixed query term set — the
+    """Okapi BM25 top-20 retrieval for a fixed query term set — the
     ranking function real retrieval stacks run where llm_tfidf stops at
     raw weights; its output is exactly the kind of ranked list
     wn_rrf_rank_fusion fuses. idf = ln(1 + (N - df + ½)/(df + ½))
@@ -1145,7 +1145,12 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     family proved this two-stage rounding stable on this corpus."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
-    dl = w.select("doc_id", F.size("w").alias("dl"))
+    # cache the tiny (doc_id, dl) frame: the avgdl aggregate and the
+    # per-doc score join are separate DAG branches, and Catalyst does
+    # not share subtrees across branches — uncached, each one re-runs
+    # the full-corpus regex tokenization (review finding; same pattern
+    # as the dedup pipeline's shingled.cache())
+    dl = w.select("doc_id", F.size("w").alias("dl")).cache()
     tf = (
         w.select("doc_id", F.explode("w").alias("term"))
         .filter(F.col("term").isin(*BM25_QUERY))

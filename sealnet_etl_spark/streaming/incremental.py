@@ -185,8 +185,6 @@ _DOC_REPLAY_CACHE: dict[str, str] = {}
 
 
 def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
-    from .replay import write_replay_chunks
-
     if sf_dir in _DOC_REPLAY_CACHE:
         return _DOC_REPLAY_CACHE[sf_dir]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -203,6 +201,7 @@ from ..operators.dedup import (  # noqa: E402
     HOT_BUCKET_CAP,
     JACCARD_TAU,
     SHINGLE_K,
+    jaccard,
     minhash_band_keys,
     minhash_signature_cols,
     normalized_words,
@@ -250,8 +249,13 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions — idempotent on plain parquet. Probes read only
     partitions with chunk < batch_id, which also excludes a half-written
     current batch. Per-batch cost is O(batch) signatures + an 8-byte
-    band-key join against the index (hot buckets capped both sides, as
-    in the batch op); earlier batches are NEVER re-shingled — their
+    band-key join against the index. Hot buckets are capped both sides
+    by TRUNCATION at the HOT_BUCKET_CAP lowest ids per band key — the
+    same accepted pair-recall trade as llm_incremental_near_dup's
+    incremental probe (NOT the one-shot op's chained pairing, which
+    preserves hot-bucket connectivity; a corpus with > CAP docs sharing
+    a band key loses cross-cap pairs here, as it does in the batch
+    incremental path). Earlier batches are NEVER re-shingled — their
     shingle store is read only to verify the candidates the index
     surfaced.
 
@@ -264,7 +268,6 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..sources.ingest import _scratch
-    from .replay import read_events_stream  # noqa: F401 (pattern ref)
 
     replay = _docs_replay_dir(spark, sf_dir)
     index_store = _scratch(sf_dir, "str_neardup_index")
@@ -319,9 +322,7 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("shingles").alias("sh_prior"),
                 )
             )
-            inter = F.size(F.array_intersect(F.col("sh_prior"), F.col("shingles")))
-            union = F.size("sh_prior") + F.size("shingles") - inter
-            jac = inter.cast("double") / union
+            jac = jaccard(F.col("sh_prior"), F.col("shingles"))
             verified = (
                 cand.join(prior_sh, "doc_prior")
                 .join(

@@ -357,8 +357,15 @@ def test_pca_power_iteration_converges(spark, queries):
     assert quotients[-1] >= 0.95 * top_eig, (quotients[-1], top_eig)
 
 
+_SF1_DIR = str(
+    __import__("pathlib").Path(__file__).resolve().parent.parent
+    / ".scratch"
+    / "sf1"
+)
+
+
 @pytest.mark.skipif(
-    not os.path.isdir("/root/repo/.scratch/sf1"),
+    not os.path.isdir(_SF1_DIR),
     reason="sf1 decade fixture not generated (tools/gen_sf1.py)",
 )
 def test_lsh_ann_recall_at_decade(spark, queries):
@@ -373,18 +380,27 @@ def test_lsh_ann_recall_at_decade(spark, queries):
 
     from sealnet_etl_spark.operators.similarity import _lsh_params_for
 
-    sf1 = "/root/repo/.scratch/sf1"
+    sf1 = _SF1_DIR
     pdf = spark.read.parquet(sf1 + "/embeddings.parquet").orderBy("vec_id").toPandas()
     assert _lsh_params_for(len(pdf)) == (12, 24)
     ids = pdf["vec_id"].to_numpy()
     V = np.array(list(pdf["embedding"]), dtype=np.float64)
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
-    S = V @ V.T
-    np.fill_diagonal(S, -np.inf)
-    top3 = np.argsort(-S, axis=1)[:, :3]
-    exact = {
-        (int(ids[i]), int(ids[j])) for i in range(len(ids)) for j in top3[i]
-    }
+    # blockwise exact top-3: never materialize the full 20k x 20k
+    # similarity matrix (~10 GB with the argsort temps — review finding);
+    # peak here is one 1024 x 20k block (~160 MB)
+    exact = set()
+    for lo in range(0, len(ids), 1024):
+        hi = min(lo + 1024, len(ids))
+        S = V[lo:hi] @ V.T
+        for r in range(hi - lo):
+            S[r, lo + r] = -np.inf  # mask self
+        top3 = np.argpartition(-S, 3, axis=1)[:, :3]
+        for r in range(hi - lo):
+            exact.update(
+                (int(ids[lo + r]), int(ids[j])) for j in top3[r]
+            )
+
     ann = {
         (r.src_id, r.nbr_id)
         for r in queries["llm_lsh_ann_topk"](spark, sf1).collect()
