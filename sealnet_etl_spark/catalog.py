@@ -61,6 +61,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_bm25_topk",
     # streaming near-dup: MinHash probe of the accumulated per-batch index
     "str_streaming_near_dup",
+    # Benford first-digit audit (integer-cent rounding on both engines)
+    "ag_benford_audit",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

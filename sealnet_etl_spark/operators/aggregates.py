@@ -1744,3 +1744,88 @@ def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_df"),
     )
+
+
+# --- Benford first-digit audit (data-QA: fabricated-number detection) ------
+
+_BENFORD_ORACLE = r"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) AS total FROM obs),
+    grid AS (
+        SELECT g.d, COALESCE(obs.n, 0) AS n, tot.total
+        FROM (SELECT unnest(range(1, 10)) AS d) g
+        CROSS JOIN tot
+        LEFT JOIN obs USING (d)
+    )
+    SELECT d                                         AS digit,
+           CAST(n AS BIGINT)                         AS n_obs,
+           ROUND(n / total::DOUBLE, 6)               AS p_obs,
+           ROUND(log10(1.0 + 1.0 / d), 6)            AS p_benford,
+           ROUND(POW(n / total::DOUBLE - log10(1.0 + 1.0 / d), 2)
+                 / log10(1.0 + 1.0 / d) * total, 6)  AS chi_term
+    FROM grid
+    ORDER BY d
+"""
+
+
+@query("ag_benford_audit", survey_id="AG-1/ETL-6", oracle=_BENFORD_ORACLE)
+def ag_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the order amounts — the
+    standard fabricated-data / data-entry-anomaly screen in financial
+    QA: natural multiplicative quantities put digit d first with
+    probability log10(1 + 1/d); synthetic or truncated feeds deviate,
+    and the per-digit chi-square terms localize WHICH digits do.
+
+    Determinism discipline: o_totalprice is a DOUBLE whose ×100 lands
+    ~1e-9 off an integer for 2/3 of rows, and a bare double→BIGINT cast
+    TRUNCATES in Spark but ROUNDS in DuckDB — a latent first-digit flip
+    wherever truncation crosses a leading-digit boundary (199.999…→
+    digit 1 vs 2). Both engines therefore ROUND to integer cents
+    explicitly (identical doubles in, identical integers out — the
+    generator's 2-dp values never sit at an exact .5 cent), and the
+    digit comes from that integer's string — never from float
+    formatting, whose scientific-notation edge cases differ across
+    engines.
+
+    Scale: one narrow projection into a 9-group partial agg — the
+    exchange carries at most 9 rows; the digit grid and the 1-row total
+    are literals and a broadcast. Scan-speed at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").alias("digit"))
+    tot = obs.agg(F.sum("n").cast("double").alias("total"))
+    p_ben = F.log10(1.0 + 1.0 / F.col("digit"))
+    p_obs = F.col("n") / F.col("total")
+    return (
+        grid.join(
+            obs.withColumnRenamed("d", "digit"), "digit", "left"
+        )
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_obs"),
+            F.round(p_obs, 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(
+                F.pow(p_obs - p_ben, 2) / p_ben * F.col("total"), 6
+            ).alias("chi_term"),
+        )
+    )

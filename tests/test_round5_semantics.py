@@ -353,3 +353,43 @@ def test_streaming_near_dup_accumulates_and_is_deterministic(spark, queries):
         for r in queries["str_streaming_near_dup"](spark, SF_DIR).collect()
     }
     assert run1 == run2
+
+
+def test_benford_digit_boundary_rounding(spark, queries, tmp_path):
+    """Planted amounts at the truncate-vs-round boundary: 199.99999999999997
+    (a double whose x100 is 19999.999999999996) must land on digit 2 in
+    BOTH engines — a bare double->BIGINT cast truncates in Spark but
+    rounds in DuckDB, flipping the first digit (the latent trap the
+    operator's explicit ROUND removes). Distribution columns and the
+    oracle must agree on the fixture."""
+    import duckdb
+
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+    from sealnet_etl_spark.registry import QUERIES
+
+    amounts = [199.99999999999997, 99.99999999999999, 123.45, 500.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(amounts)],
+        "o_orderkey bigint, o_totalprice double",
+    )
+    tmp = str(tmp_path / "sf_benford")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "orders.parquet")
+    )
+
+    rows = {r.digit: r.n_obs for r in queries["ag_benford_audit"](spark, tmp).collect()}
+    # 199.999... -> 20000 cents -> digit 2; 99.999... -> 10000 -> digit 1;
+    # 123.45 -> digit 1; 500.0 -> digit 5; 0.0 excluded by the > 0 filter
+    assert rows[2] == 1 and rows[1] == 2 and rows[5] == 1
+    assert sum(rows.values()) == 4
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'orders.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["ag_benford_audit"].oracle).df()
+    con.close()
+    spark_pdf = queries["ag_benford_audit"](spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
