@@ -108,6 +108,9 @@ def headline_queries() -> list[str]:
         "llm_substring_dedup_apply",
         "llm_bm25_topk",
         "str_streaming_near_dup",
+        # DSIR importance weights: token explode + doc-bucket partial agg
+        # + 256-row broadcast lambda join (the data-selection workhorse)
+        "llm_dsir_importance",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -63,6 +63,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "str_streaming_near_dup",
     # Benford first-digit audit (integer-cent rounding on both engines)
     "ag_benford_audit",
+    # DSIR importance weighting (integer micro-unit log-ratio lambdas)
+    "llm_dsir_importance",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

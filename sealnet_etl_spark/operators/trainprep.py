@@ -1370,3 +1370,145 @@ def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (span_lo - F.col("seq_idx") * SEQ_LEN).cast("bigint").alias("seq_start"),
         (span_hi - span_lo).cast("bigint").alias("n_tokens_in_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection for language models)
+# ---------------------------------------------------------------------------
+
+#: Hashed-feature dimensionality for the DSIR bucket distributions. 256
+#: buckets keeps the lambda table broadcast-trivial at any corpus size
+#: (the table has exactly B rows no matter how many tokens feed it).
+_DSIR_BUCKETS = 256
+
+#: The "target" slice standing in for a high-quality reference corpus
+#: (the role Wikipedia+books play in the DSIR paper): a fixed 20% of the
+#: synthetic sources. Content-defined, so re-runs are deterministic.
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@query(
+    "llm_dsir_importance",
+    survey_id="LLM-9",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   ('0x' || substring(md5('dsir:' || w), 1, 8))::BIGINT
+                       % {_DSIR_BUCKETS} AS bucket
+            FROM (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents
+            ) WHERE w <> ''
+        ), db AS (
+            SELECT doc_id, source, bucket, COUNT(*) AS cnt
+            FROM toks GROUP BY 1, 2, 3
+        ), raw AS (
+            SELECT bucket, SUM(cnt) AS raw_cnt FROM db GROUP BY 1
+        ), tgt AS (
+            SELECT bucket, SUM(cnt) AS tgt_cnt FROM db
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT SUM(raw_cnt) FROM raw) AS raw_tot,
+                   (SELECT COALESCE(SUM(tgt_cnt), 0) FROM tgt) AS tgt_tot
+        ), lam AS (
+            SELECT r.bucket,
+                   CAST(FLOOR(1000000.0 * (
+                       ln((COALESCE(t.tgt_cnt, 0) + 1)::DOUBLE
+                          / (tot.tgt_tot + {_DSIR_BUCKETS}))
+                     - ln((r.raw_cnt + 1)::DOUBLE
+                          / (tot.raw_tot + {_DSIR_BUCKETS}))
+                   )) AS BIGINT) AS lam_micro
+            FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot
+        )
+        SELECT db.doc_id, db.source,
+               CAST(SUM(db.cnt) AS BIGINT)                  AS n_toks,
+               CAST(SUM(db.cnt * lam.lam_micro) AS BIGINT)  AS score_micro,
+               CAST(SUM(db.cnt * lam.lam_micro) AS BIGINT) > 0 AS target_like
+        FROM db JOIN lam USING (bucket)
+        GROUP BY db.doc_id, db.source
+    """,
+)
+def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weight per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling", public
+    arXiv:2302.03169): hash every token into B=256 buckets, fit add-one-
+    smoothed bucket unigram distributions for a fixed TARGET slice (the
+    high-quality-reference role) and for the RAW corpus, and score each
+    doc by its log-likelihood ratio sum(cnt_b * ln(p_tgt_b / p_raw_b)).
+    Docs that look more target-like than corpus-average score positive.
+
+    Cross-engine discipline: the per-bucket log-ratio is floored ONCE into
+    integer micro-units (the udf_model_batch_inference precedent), so the
+    per-doc reduction is an exact integer dot product — no float-sum
+    ordering hazard ever touches the per-doc aggregation; the only float
+    step is 2*B ln() calls on exact integer ratios, identical on both
+    engines.
+
+    Scale shape: one partial-agg shuffle of (doc_id, bucket) token counts;
+    both distributions re-aggregate FROM that table (tokens are never
+    re-read); the lambda table is exactly B=256 rows regardless of corpus
+    size, so it broadcasts back onto the doc-bucket stream and the final
+    per-doc sum reuses the same shuffle key prefix. At 100 TB this is two
+    narrow scans' worth of explode + a single wide exchange — the same
+    shape the DSIR paper runs over the Pile with hashed n-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(normalized_words(F.col("text"))).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "source",
+            md5_bucket(F.col("w"), "dsir:", _DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    db = toks.groupBy("doc_id", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw = db.groupBy("bucket").agg(F.sum("cnt").alias("raw_cnt"))
+    tgt = (
+        db.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tgt_cnt"))
+    )
+    tot = raw.agg(F.sum("raw_cnt").alias("raw_tot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("tgt_cnt"), F.lit(0)).alias("tgt_tot"))
+    )
+    lam = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"tgt_cnt": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.log(
+                        (F.col("tgt_cnt") + F.lit(1)).cast("double")
+                        / (F.col("tgt_tot") + F.lit(_DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("raw_cnt") + F.lit(1)).cast("double")
+                        / (F.col("raw_tot") + F.lit(_DSIR_BUCKETS))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("lam_micro"),
+        )
+    )
+    score = F.sum(F.col("cnt") * F.col("lam_micro"))
+    return (
+        db.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_toks"),
+            score.cast("bigint").alias("score_micro"),
+            (score > 0).alias("target_like"),
+        )
+    )

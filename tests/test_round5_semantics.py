@@ -393,3 +393,61 @@ def test_benford_digit_boundary_rounding(spark, queries, tmp_path):
     con.close()
     spark_pdf = queries["ag_benford_audit"](spark, tmp).toPandas()
     assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
+
+
+def test_dsir_importance_matches_pure_python_reference(spark, queries):
+    """Recompute llm_dsir_importance end-to-end in plain Python (hashlib
+    md5 buckets, Counter distributions, math.log micro-unit lambdas) and
+    require cell-exact agreement at sf0.001 — pins the DSIR math
+    independently of the DuckDB oracle, including the integer micro-unit
+    discipline (any float-sum ordering leak would break the exact ==)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from sealnet_etl_spark.operators.trainprep import (
+        _DSIR_BUCKETS as B,
+        DSIR_TARGET_SOURCES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.doc_id: (r.n_toks, r.score_micro, r.target_like)
+        for r in queries["llm_dsir_importance"](spark, sf).collect()
+    }
+
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    per_doc: dict = {}
+    raw: Counter = Counter()
+    tgt: Counter = Counter()
+    for row in docs.itertuples():
+        toks = [w for w in re.split(r"\s+", (row.text or "").lower()) if w]
+        c = Counter(
+            int(hashlib.md5(("dsir:" + w).encode()).hexdigest()[:8], 16) % B
+            for w in toks
+        )
+        if not c:
+            continue
+        per_doc[row.doc_id] = c
+        raw.update(c)
+        if row.source in DSIR_TARGET_SOURCES:
+            tgt.update(c)
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: math.floor(
+            1000000.0
+            * (
+                math.log((tgt.get(b, 0) + 1) / (tgt_tot + B))
+                - math.log((raw[b] + 1) / (raw_tot + B))
+            )
+        )
+        for b in raw
+    }
+    assert len(out) == len(per_doc)
+    for doc_id, c in per_doc.items():
+        n = sum(c.values())
+        s = sum(cnt * lam[b] for b, cnt in c.items())
+        assert out[doc_id] == (n, s, s > 0)
