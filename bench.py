@@ -111,6 +111,8 @@ def headline_queries() -> list[str]:
         # DSIR importance weights: token explode + doc-bucket partial agg
         # + 256-row broadcast lambda join (the data-selection workhorse)
         "llm_dsir_importance",
+        # MMR re-rank: brute top-24 pool + bounded greedy (driver-side K*N)
+        "llm_mmr_diversify",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

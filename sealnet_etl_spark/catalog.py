@@ -65,6 +65,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "ag_benford_audit",
     # DSIR importance weighting (integer micro-unit log-ratio lambdas)
     "llm_dsir_importance",
+    # MMR diversified retrieval (integer (7,3) lambda, unrolled CTE oracle)
+    "llm_mmr_diversify",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

@@ -1279,3 +1279,164 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         history, "iteration int, rayleigh_quotient double"
     ).select("iteration", F.round("rayleigh_quotient", 4).alias("rayleigh_quotient"))
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+
+#: Fixed MMR parameters. The relevance/diversity trade-off lambda = 0.7 is
+#: carried as the integer pair (7, 3) so every MMR score is an exact
+#: integer: score_micro = 7*rel_micro - 3*max_sim_micro. No float ever
+#: enters the greedy loop, so both engines select identically by
+#: construction (the only rounding step is the shared micro-unit cosine).
+MMR_QUERY_ID = 0
+MMR_POOL = 24
+MMR_K = 8
+
+
+def _micro_cos_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(ROUND(1000000.0 * list_cosine_similarity("
+        f"{a}::DOUBLE[], {b}::DOUBLE[])) AS BIGINT)"
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """Machine-unrolled greedy MMR as a DuckDB CTE chain (the llm_bpe_train
+    precedent: iterative argmax becomes K unrolled stages, each ORDER BY
+    score DESC, vec_id LIMIT 1 over the not-yet-picked pool)."""
+    parts = [
+        f"""
+        WITH rel AS MATERIALIZED (
+            SELECT e.vec_id,
+                   {_micro_cos_sql('e.embedding', 'q.embedding')} AS rel_micro
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings
+                  WHERE vec_id = {MMR_QUERY_ID}) q
+            WHERE e.vec_id <> {MMR_QUERY_ID}
+        ), cand AS MATERIALIZED (
+            SELECT vec_id, rel_micro FROM rel
+            ORDER BY rel_micro DESC, vec_id LIMIT {MMR_POOL}
+        ), sims AS MATERIALIZED (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   {_micro_cos_sql('ea.embedding', 'eb.embedding')} AS sim_micro
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id
+        ), sel1 AS MATERIALIZED (
+            SELECT vec_id, rel_micro, 7 * rel_micro AS score_micro,
+                   1 AS sel_rank
+            FROM cand ORDER BY rel_micro DESC, vec_id LIMIT 1
+        ), picked1 AS MATERIALIZED (SELECT vec_id FROM sel1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f""", sel{i} AS MATERIALIZED (
+            SELECT c.vec_id, c.rel_micro,
+                   7 * c.rel_micro - 3 * MAX(s.sim_micro) AS score_micro,
+                   {i} AS sel_rank
+            FROM cand c
+            JOIN sims s ON s.va = c.vec_id
+                       AND s.vb IN (SELECT vec_id FROM picked{i - 1})
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{i - 1})
+            GROUP BY c.vec_id, c.rel_micro
+            ORDER BY score_micro DESC, c.vec_id LIMIT 1
+        ), picked{i} AS MATERIALIZED (
+            SELECT vec_id FROM picked{i - 1}
+            UNION ALL SELECT vec_id FROM sel{i}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT * FROM sel{i}" for i in range(1, MMR_K + 1)
+    )
+    parts.append(
+        f"""
+        SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, rel_micro,
+               score_micro AS mmr_score_micro
+        FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@query("llm_mmr_diversify", survey_id="LLM-4", oracle=_mmr_oracle_sql())
+def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    from the top-{MMR_POOL} cosine candidates for a fixed query vector,
+    greedily pick K={MMR_K} docs maximizing lambda*rel - (1-lambda)*
+    max-similarity-to-already-picked — the standard diversity re-ranker
+    that sits after every dense-retrieval top-k.
+
+    Determinism: relevance and pairwise similarity are rounded ONCE into
+    integer micro-units via the shared `cosine` kernel (the hash-proven
+    llm_topk_cosine discipline), and lambda=0.7 is carried as the integer
+    pair (7, 3), so the greedy loop compares exact integers with a vec_id
+    tiebreak — both engines select identically by construction. The
+    oracle unrolls the K greedy stages as a CTE chain (llm_bpe_train
+    precedent).
+
+    Scale shape: the distributed work is candidate generation (brute
+    cosine top-N here; at 100 TB swap in the tile/BLAS or LSH path — the
+    re-rank contract is unchanged). The MMR loop itself touches a BOUNDED
+    pool: collect is N=24 rows of integers plus N*(N-1) pairwise micro
+    sims, O(KN) driver work — the sanctioned bounded-collect shape
+    (codebook/BPE-argmax precedent); no vector ever reaches the driver."""
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    qvec = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    micro = lambda c: F.round(F.lit(1000000.0) * c).cast("bigint")  # noqa: E731
+    cand = (
+        emb.filter(F.col("vec_id") != MMR_QUERY_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            micro(cosine(F.col("embedding"), F.col("q_embedding"))).alias(
+                "rel_micro"
+            ),
+        )
+        .orderBy(F.desc("rel_micro"), "vec_id")
+        .limit(MMR_POOL)
+    )
+    sims = (
+        cand.select("vec_id", "embedding")
+        .alias("a")
+        .join(
+            cand.select(
+                F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+            ).alias("b"),
+            F.col("a.vec_id") != F.col("b.vb"),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            "vb",
+            micro(cosine(F.col("a.embedding"), F.col("eb"))).alias("sim_micro"),
+        )
+    )
+    pool = [(r.vec_id, r.rel_micro) for r in cand.select("vec_id", "rel_micro").collect()]
+    sim = {(r.va, r.vb): r.sim_micro for r in sims.collect()}
+
+    picked: list = []
+    rows: list = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid, rel in pool:
+            if any(vid == p for p, _ in picked):
+                continue
+            if rank == 1:
+                score = 7 * rel
+            else:
+                score = 7 * rel - 3 * max(sim[(vid, p)] for p, _ in picked)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, score)
+        if best is None:  # pool smaller than K (matches the oracle's
+            break  # empty selK stages — union just carries fewer rows)
+        _, vid, rel, score = best
+        picked.append((vid, rel))
+        rows.append((rank, vid, rel, score))
+    return spark.createDataFrame(
+        rows,
+        "sel_rank int, vec_id bigint, rel_micro bigint, mmr_score_micro bigint",
+    )

@@ -451,3 +451,48 @@ def test_dsir_importance_matches_pure_python_reference(spark, queries):
         n = sum(c.values())
         s = sum(cnt * lam[b] for b, cnt in c.items())
         assert out[doc_id] == (n, s, s > 0)
+
+
+def test_mmr_diversify_reorders_against_pure_relevance(spark, tmp_path, queries):
+    """Plant the classic MMR demonstration: v1 best, v2 a near-duplicate
+    of v1 with the second-best relevance, v3 less relevant but diverse.
+    Pure relevance ranks (v1, v2, v3); MMR at lambda=0.7 must pick the
+    diverse v3 second (7*0.80 - 3*0.46 = 4.2 beats 7*0.89 - 3*0.9998 =
+    3.23) and the near-duplicate last. Pool (3) < K (8) also exercises
+    the exhaustion guard on both engines."""
+    import math
+    import os
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),                                # query
+        (1, [0.9, math.sqrt(1 - 0.81), 0.0, 0.0], 0),                # best
+        (2, [0.89, math.sqrt(1 - 0.89 * 0.89), 0.0, 0.0], 0),        # near-dup
+        (3, [0.8, -0.6, 0.0, 0.0], 0),                               # diverse
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>, label int"
+    )
+    tmp = str(tmp_path / "sf_mmr")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "embeddings.parquet")
+    )
+
+    out = queries["llm_mmr_diversify"](spark, tmp).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.sel_rank)] == [1, 3, 2]
+    assert len(out) == 3  # pool exhausted before K=8
+
+    import duckdb
+
+    from sealnet_etl_spark.oracle import pdf_to_multiset
+    from sealnet_etl_spark.registry import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp, 'embeddings.parquet', '*.parquet')}')"
+    )
+    duck_pdf = con.execute(QUERIES["llm_mmr_diversify"].oracle).df()
+    con.close()
+    spark_pdf = queries["llm_mmr_diversify"](spark, tmp).toPandas()
+    assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)

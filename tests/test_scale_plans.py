@@ -394,6 +394,8 @@ _BNLJ_ALLOWED = {
     "ag_welch_ttest",       # two 1-row group-moment sides
     # round 5
     "llm_bm25_topk",        # 1-row (n_docs, avgdl) corpus stats
+    "llm_dsir_importance",  # 1-row (raw_tot, tgt_tot) distribution totals
+    "llm_mmr_diversify",    # 1-row query-vector side on the candidate scan
 }
 
 
