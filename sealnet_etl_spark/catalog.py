@@ -67,6 +67,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_dsir_importance",
     # MMR diversified retrieval (integer (7,3) lambda, unrolled CTE oracle)
     "llm_mmr_diversify",
+    # binary-blob exact dedup (md5-over-hex content key, read_blob oracle)
+    "llm_multimodal_exact_dedup",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

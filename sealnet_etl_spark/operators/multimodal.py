@@ -197,3 +197,70 @@ def llm_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select("path", "content").mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
+@query(
+    "llm_multimodal_exact_dedup",
+    survey_id="LLM-10/LLM-1",
+    oracle=r"""
+        WITH f AS MATERIALIZED (
+            SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+                   md5(lower(hex(content))) AS content_md5,
+                   CAST(size AS BIGINT) AS n_bytes
+            FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        ), bth AS MATERIALIZED (
+            SELECT *, 'a' AS ingest_tag FROM f
+            UNION ALL
+            SELECT *, 'b' AS ingest_tag FROM f
+        ), stats AS (
+            SELECT content_md5, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   MIN(ingest_tag || '|' || file_name) AS canon
+            FROM bth GROUP BY 1
+        )
+        SELECT b.file_name, b.ingest_tag, b.content_md5, b.n_bytes,
+               s.n_copies,
+               (b.ingest_tag || '|' || b.file_name) = s.canon AS is_canonical
+        FROM bth b JOIN stats s USING (content_md5)
+    """,
+)
+def llm_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of BINARY blobs by content hash — the image-corpus twin
+    of llm_exact_dedup: a re-ingested mirror ('a'/'b' tags over the same
+    binaryFile scan) stands in for a re-crawl that re-delivered identical
+    bytes, and every blob resolves to one canonical copy (min (tag, name))
+    plus its copy count.
+
+    The content key is md5 over the lowercase hex of the bytes (DuckDB's
+    md5 is VARCHAR-only, so both engines hash the identical hex text —
+    the digest never leaves the executor/oracle as raw binary). Oracle
+    reads the graded sf0.01 directory, the llm_multimodal_features
+    convention; the Spark side honors whatever sf_dir it is given.
+
+    Scale shape: hashing rides the binaryFile scan (map-side, content
+    never shuffles — only 32-char digests and names reach the exchange);
+    the per-digest stats table is one partial-agg shuffle of digests and
+    joins back broadcast. At 100 TB of imagery this is THE first dedup
+    pass (cheap, exact) before any perceptual/embedding near-dup stage."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    base = files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
+        F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
+        F.col("length").alias("n_bytes"),
+    )
+    both = base.withColumn("ingest_tag", F.lit("a")).unionByName(
+        base.withColumn("ingest_tag", F.lit("b"))
+    )
+    stats = both.groupBy("content_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.concat_ws("|", "ingest_tag", "file_name")).alias("__canon"),
+    )
+    return both.join(F.broadcast(stats), "content_md5").select(
+        "file_name",
+        "ingest_tag",
+        "content_md5",
+        "n_bytes",
+        "n_copies",
+        (
+            F.concat_ws("|", "ingest_tag", "file_name") == F.col("__canon")
+        ).alias("is_canonical"),
+    )

@@ -496,3 +496,32 @@ def test_mmr_diversify_reorders_against_pure_relevance(spark, tmp_path, queries)
     con.close()
     spark_pdf = queries["llm_mmr_diversify"](spark, tmp).toPandas()
     assert pdf_to_multiset(spark_pdf) == pdf_to_multiset(duck_pdf)
+
+
+def test_multimodal_exact_dedup_planted_duplicate_blobs(spark, tmp_path, queries):
+    """Plant three blob files where two share identical bytes: the shared
+    digest must group 4 rows (2 files x 2 ingest tags) with exactly one
+    canonical ('a' tag, lexicographically-first name); the unique blob
+    groups only its own mirror pair."""
+    import os
+
+    tmp = str(tmp_path / "sf_blob")
+    os.makedirs(tmp, exist_ok=True)
+    dup = b"\x00\x01IDENTICAL-BYTES\xff" * 10
+    for name, payload in [
+        ("aaa.parquet", dup),
+        ("bbb.parquet", dup),
+        ("ccc.parquet", b"unique-bytes"),
+    ]:
+        with open(os.path.join(tmp, name), "wb") as fh:
+            fh.write(payload)
+
+    rows = queries["llm_multimodal_exact_dedup"](spark, tmp).collect()
+    assert len(rows) == 6
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file_name, []).append(r)
+    assert all(r.n_copies == 4 for r in by_file["aaa.parquet"] + by_file["bbb.parquet"])
+    assert all(r.n_copies == 2 for r in by_file["ccc.parquet"])
+    canon = [(r.file_name, r.ingest_tag) for r in rows if r.is_canonical]
+    assert sorted(canon) == [("aaa.parquet", "a"), ("ccc.parquet", "a")]
