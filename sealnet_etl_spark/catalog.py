@@ -69,6 +69,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_mmr_diversify",
     # binary-blob exact dedup (md5-over-hex content key, read_blob oracle)
     "llm_multimodal_exact_dedup",
+    # Mann-Whitney U (doubled mid-ranks keep every statistic integer)
+    "ag_mannwhitney_u",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

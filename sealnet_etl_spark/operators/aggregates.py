@@ -1829,3 +1829,109 @@ def ag_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi_term"),
         )
     )
+
+
+@query(
+    "ag_mannwhitney_u",
+    survey_id="AG-7",
+    oracle="""
+        WITH vals AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 1000000.0) AS BIGINT) AS v_micro
+            FROM events
+            WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+        ), bins AS (
+            SELECT v_micro, COUNT(*) AS cnt_all,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS cnt_p
+            FROM vals GROUP BY 1
+        ), ranked AS (
+            SELECT v_micro, cnt_all, cnt_p,
+                   COALESCE(SUM(cnt_all) OVER (ORDER BY v_micro
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_less
+            FROM bins
+        ), s AS (
+            SELECT CAST(SUM(cnt_p) AS BIGINT)                      AS n1,
+                   CAST(SUM(cnt_all - cnt_p) AS BIGINT)            AS n2,
+                   CAST(SUM(cnt_p * (2 * cum_less + cnt_all + 1))
+                        AS BIGINT)                                 AS r1_x2,
+                   CAST(SUM(cnt_all * cnt_all * cnt_all - cnt_all)
+                        AS BIGINT)                                 AS tie_term
+            FROM ranked
+        )
+        SELECT n1, n2,
+               CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+               CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+               ROUND((r1_x2 - n1 * (n1 + 1) - n1 * n2)
+                     / (2.0 * sqrt((n1 * n2 / 12.0)
+                         * ((n1 + n2 + 1)
+                            - tie_term / ((n1 + n2) * (n1 + n2 - 1.0))))), 6)
+                   AS z_stat
+        FROM s
+    """,
+)
+def ag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on purchase vs click values — the
+    NONPARAMETRIC sibling of ag_welch_ttest (same two groups; this one is
+    the standard readout when metric distributions are skewed/heavy-tailed
+    and means mislead). Reports group sizes, both U statistics, and the
+    normal-approximation z with the exact tie correction.
+
+    Exactness discipline: values integerize to micro-units ONCE (the
+    Benford integer-cent precedent), then ranks use DOUBLED mid-ranks
+    (2*cum_less + t + 1) so every rank sum, U, and the tie term
+    sum(t^3 - t) is an exact BIGINT on both engines — u1_x2/u2_x2 are
+    hash-exact integers; the single float step is the final z ratio
+    (IEEE-identical operations on identical integers, rounded at 6 dp).
+
+    Scale shape: one partial-agg shuffle collapses the event stream to
+    DISTINCT VALUE BINS (bins, not rows — the count-min discipline), the
+    cumulative rank walks that bounded bin table in one partition (the
+    scalable-ntile caveat: if distinct metric values outgrow one
+    partition, switch to the windows.py two-phase rank with identical
+    outputs), and the final statistics are a 1-row global agg."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("v_micro"),
+    )
+    bins = vals.groupBy("v_micro").agg(
+        F.count(F.lit(1)).alias("cnt_all"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("cnt_p"),
+    )
+    w = Window.orderBy("v_micro").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt_all").over(w), F.lit(0))
+    )
+    s = ranked.agg(
+        F.sum("cnt_p").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt_all") - F.col("cnt_p")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("cnt_p") * (2 * F.col("cum_less") + F.col("cnt_all") + 1)
+        ).cast("bigint").alias("r1_x2"),
+        F.sum(
+            F.col("cnt_all") * F.col("cnt_all") * F.col("cnt_all")
+            - F.col("cnt_all")
+        ).cast("bigint").alias("tie_term"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    var = (n1 * n2 / F.lit(12.0)) * (
+        (n1 + n2 + 1)
+        - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        (2 * n1 * n2 - u1_x2).cast("bigint").alias("u2_x2"),
+        F.round((u1_x2 - n1 * n2) / (F.lit(2.0) * F.sqrt(var)), 6).alias(
+            "z_stat"
+        ),
+    )

@@ -525,3 +525,29 @@ def test_multimodal_exact_dedup_planted_duplicate_blobs(spark, tmp_path, queries
     assert all(r.n_copies == 2 for r in by_file["ccc.parquet"])
     canon = [(r.file_name, r.ingest_tag) for r in rows if r.is_canonical]
     assert sorted(canon) == [("aaa.parquet", "a"), ("ccc.parquet", "a")]
+
+
+def test_mannwhitney_u_hand_computed_with_ties(spark, tmp_path, queries):
+    """Plant purchase=[1,2,2,5], click=[2,3]: the tied 2.0 triple spans
+    both groups, so mid-ranks and the t^3-t tie correction are exercised.
+    Hand computation: R1 = 1 + 3 + 3 + 6 = 13, U1 = 3, U2 = 5,
+    tie_term = 24, var = (8/12)*(7 - 24/30), z = (3-4)/sqrt(var)."""
+    import math
+    import os
+
+    rows = [("purchase", 1.0), ("purchase", 2.0), ("purchase", 2.0),
+            ("purchase", 5.0), ("click", 2.0), ("click", 3.0),
+            ("view", 99.0), ("purchase", None)]  # excluded by the filter
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    tmp = str(tmp_path / "sf_mwu")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+
+    out = queries["ag_mannwhitney_u"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n1, r.n2, r.u1_x2, r.u2_x2) == (4, 2, 6, 10)
+    var = (4 * 2 / 12.0) * ((4 + 2 + 1) - 24 / (6 * 5.0))
+    assert r.z_stat == round(-1.0 / math.sqrt(var), 6)
