@@ -113,6 +113,8 @@ def headline_queries() -> list[str]:
         "llm_dsir_importance",
         # MMR re-rank: brute top-24 pool + bounded greedy (driver-side K*N)
         "llm_mmr_diversify",
+        # positional winnowing: frame-min window + w-offset explode join
+        "llm_winnowing_fingerprints",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -71,6 +71,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_multimodal_exact_dedup",
     # Mann-Whitney U (doubled mid-ranks keep every statistic integer)
     "ag_mannwhitney_u",
+    # positional winnowing fingerprints (MOSS rightmost-min selection)
+    "llm_winnowing_fingerprints",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

@@ -1817,3 +1817,127 @@ def llm_substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("__w") - F.size(kept)).cast("long").alias("n_words_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (positional, Schleimer et al. 2003 / MOSS)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # words per k-gram
+WINNOW_W = 4  # consecutive k-gram hashes per winnowing window
+
+_WINNOW_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split_regex(lower(COALESCE(text, '')), '\s+') AS w
+        FROM documents
+    ),
+    shpos AS (
+        SELECT doc_id, w, unnest(range(0, len(w) - {WINNOW_K} + 1)) AS i
+        FROM w
+        WHERE len(w) >= {WINNOW_K} + {WINNOW_W} - 1
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               ('0x' || substring(md5(
+                   array_to_string(w[i + 1 : i + {WINNOW_K}], ' ')
+               ), 1, 8))::BIGINT AS h
+        FROM shpos
+    ),
+    wins AS MATERIALIZED (
+        SELECT doc_id, pos AS i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                   AND {WINNOW_W} - 1 FOLLOWING) AS win_min,
+               COUNT(h) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW
+                   AND {WINNOW_W} - 1 FOLLOWING) AS nf
+        FROM sh
+    ),
+    offs AS (
+        SELECT doc_id, i, win_min, unnest(range(0, {WINNOW_W})) AS o
+        FROM wins WHERE nf = {WINNOW_W}
+    ),
+    sel AS (
+        SELECT c.doc_id, c.i, c.win_min, MAX(c.i + c.o) AS fp_pos
+        FROM offs c
+        JOIN sh s ON s.doc_id = c.doc_id AND s.pos = c.i + c.o
+                 AND s.h = c.win_min
+        GROUP BY 1, 2, 3
+    )
+    SELECT DISTINCT doc_id, fp_pos, win_min AS fp FROM sel
+"""
+
+
+@query("llm_winnowing_fingerprints", survey_id="LLM-7", oracle=_WINNOW_ORACLE)
+def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE positional winnowing (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS fingerprinting algorithm): slide a window of {WINNOW_W}
+    consecutive k-gram hashes over each doc and keep the RIGHTMOST
+    MINIMUM of every window as a (position, hash) fingerprint. Guarantees
+    any match of >= WINNOW_W + WINNOW_K - 1 words shares a fingerprint
+    (llm_fingerprint's bottom-k sketch has no such locality guarantee —
+    this is the position-aware upgrade used for plagiarism/contamination
+    span localization), at expected density 2/(w+1).
+
+    Spark shape: positioned k-gram integer hashes (JVM transform +
+    posexplode, md5-prefix integerization so both engines order hashes
+    identically), per-doc frame MIN over [CURRENT, w-1 FOLLOWING]
+    (doc-partitioned window — one keyed exchange), then the rightmost
+    argmin per window via a bounded w-offset explode joined back on
+    (doc, pos) — w x blowup of 8-byte rows, never text. DISTINCT
+    collapses adjacent windows sharing a minimum (the density guarantee
+    doing its job). At 100 TB every stage is narrow or doc-keyed; no
+    global structure exists, so fingerprint selection parallelizes
+    perfectly per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, wlen = WINNOW_K, WINNOW_W
+    words = normalized_words(F.col("text"))
+    sh = (
+        docs.withColumn("__w", words)
+        .filter(F.size("__w") >= k + wlen - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(" ", F.slice(F.col("__w"), i + 1, k))
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                )
+            ).alias("pos", "h"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
+    wins = (
+        sh.withColumn("win_min", F.min("h").over(frame))
+        .withColumn("nf", F.count("h").over(frame))
+        .filter(F.col("nf") == wlen)
+        .select("doc_id", F.col("pos").alias("i"), "win_min")
+    )
+    cand = wins.select(
+        "doc_id",
+        "i",
+        "win_min",
+        F.explode(F.sequence(F.col("i"), F.col("i") + wlen - 1)).alias("j"),
+    )
+    sel = (
+        cand.join(
+            sh.select("doc_id", F.col("pos").alias("j"), "h"), ["doc_id", "j"]
+        )
+        .filter(F.col("h") == F.col("win_min"))
+        .groupBy("doc_id", "i", "win_min")
+        .agg(F.max("j").alias("fp_pos"))
+    )
+    return sel.select(
+        "doc_id", "fp_pos", F.col("win_min").alias("fp")
+    ).distinct()

@@ -551,3 +551,44 @@ def test_mannwhitney_u_hand_computed_with_ties(spark, tmp_path, queries):
     assert (r.n1, r.n2, r.u1_x2, r.u2_x2) == (4, 2, 6, 10)
     var = (4 * 2 / 12.0) * ((4 + 2 + 1) - 24 / (6 * 5.0))
     assert r.z_stat == round(-1.0 / math.sqrt(var), 6)
+
+
+def test_winnowing_matches_pure_python_reference(spark, queries):
+    """Recompute winnowing fingerprints in plain Python (hashlib k-gram
+    hashes, explicit rightmost-min per sliding window) and require
+    set-exact agreement at sf0.001 — pins the MOSS selection rule
+    (rightmost tie-break, full-window validity, distinct collapse)
+    independently of the DuckDB oracle. All-integer, no float anywhere."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from sealnet_etl_spark.operators.dedup import WINNOW_K, WINNOW_W
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.fp_pos, r.fp)
+        for r in queries["llm_winnowing_fingerprints"](spark, sf).collect()
+    }
+
+    expected = set()
+    docs = pd.read_parquet(sf + "/documents.parquet")
+    for row in docs.itertuples():
+        ws = [x for x in re.split(r"\s+", (row.text or "").lower())]
+        if len(ws) < WINNOW_K + WINNOW_W - 1:
+            continue
+        h = [
+            int(
+                hashlib.md5(
+                    " ".join(ws[i : i + WINNOW_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(ws) - WINNOW_K + 1)
+        ]
+        for i in range(len(h) - WINNOW_W + 1):
+            m = min(h[i : i + WINNOW_W])
+            j = max(p for p in range(i, i + WINNOW_W) if h[p] == m)
+            expected.add((row.doc_id, j, m))
+    assert got == expected
