@@ -115,6 +115,10 @@ def headline_queries() -> list[str]:
         "llm_mmr_diversify",
         # positional winnowing: frame-min window + w-offset explode join
         "llm_winnowing_fingerprints",
+        # the round-5 statistical + multimodal additions (cheap, tracked
+        # so regressions in new code show as trends per VERDICT r4 #9)
+        "ag_mannwhitney_u",
+        "llm_multimodal_exact_dedup",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
