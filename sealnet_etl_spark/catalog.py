@@ -73,6 +73,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "ag_mannwhitney_u",
     # positional winnowing fingerprints (MOSS rightmost-min selection)
     "llm_winnowing_fingerprints",
+    # Spark 4 VARIANT round trip (lossless typed extraction incl. doubles)
+    "fn_variant_extract",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

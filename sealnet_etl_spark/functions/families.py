@@ -474,3 +474,41 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "fn_variant_extract",
+    survey_id="FN-8",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority       AS pri,
+               o_totalprice          AS total,
+               CAST(NULL AS DOUBLE)  AS missing
+        FROM orders
+    """,
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT semi-structured round trip: serialize typed columns
+    to JSON, parse_json into an open VARIANT value, then pull typed fields
+    back out with variant_get (string leaf, double leaf, and a missing
+    path that must surface as NULL, not an error). VARIANT is the
+    engine's answer to schemaless ingest — the binary encoding keeps
+    shredded access O(field) instead of re-parsing text per access.
+
+    The oracle states the LOSSLESSNESS claim directly: extracting
+    '$.meta.p' / '$.meta.t' from the variant must reproduce the original
+    columns exactly (doubles survive because to_json emits
+    shortest-round-trip representations and variant_get parses them back
+    to the identical bits). Scale: parse + extract are per-row JVM
+    expressions inside whole-stage codegen — no shuffle, no Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = F.expr(
+        "parse_json(to_json(struct(o_orderkey AS k, "
+        "struct(o_orderpriority AS p, o_totalprice AS t) AS meta)))"
+    )
+    return orders.withColumn("__v", v).select(
+        "o_orderkey",
+        F.expr("variant_get(__v, '$.meta.p', 'string')").alias("pri"),
+        F.expr("variant_get(__v, '$.meta.t', 'double')").alias("total"),
+        F.expr("variant_get(__v, '$.meta.absent', 'double')").alias("missing"),
+    )

@@ -1935,3 +1935,4 @@ def ag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_stat"
         ),
     )
+
