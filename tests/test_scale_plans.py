@@ -396,6 +396,7 @@ _BNLJ_ALLOWED = {
     "llm_bm25_topk",        # 1-row (n_docs, avgdl) corpus stats
     "llm_dsir_importance",  # 1-row (raw_tot, tgt_tot) distribution totals
     "llm_mmr_diversify",    # 1-row query-vector side on the candidate scan
+    "ag_benford_audit",     # 1-row grand total under the 9-digit grid
 }
 
 
