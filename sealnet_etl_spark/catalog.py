@@ -75,6 +75,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_winnowing_fingerprints",
     # Spark 4 VARIANT round trip (lossless typed extraction incl. doubles)
     "fn_variant_extract",
+    # per-file lineage rollup via the hidden _metadata scan column
+    "src_file_provenance",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

@@ -592,3 +592,34 @@ def test_winnowing_matches_pure_python_reference(spark, queries):
             j = max(p for p in range(i, i + WINNOW_W) if h[p] == m)
             expected.add((row.doc_id, j, m))
     assert got == expected
+
+
+def test_file_provenance_multi_file_layout(spark, tmp_path, queries):
+    """Plant a 4-file documents table (plus 1-file orders/embeddings):
+    per-file rows must sum to the table count, key ranges must cover the
+    id space, and each file's reported size must match the filesystem."""
+    import os
+
+    tmp = str(tmp_path / "sf_prov")
+    os.makedirs(tmp, exist_ok=True)
+    docs = spark.range(100).selectExpr("id AS doc_id", "'x' AS text")
+    docs.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    spark.range(10).selectExpr("id AS o_orderkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "orders.parquet"))
+    spark.range(5).selectExpr("id AS vec_id").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "embeddings.parquet"))
+
+    rows = queries["src_file_provenance"](spark, tmp).collect()
+    doc_rows = [r for r in rows if r.table_name == "documents"]
+    assert len(doc_rows) == 4
+    assert sum(r.n_rows for r in doc_rows) == 100
+    assert min(r.min_key for r in doc_rows) == 0
+    assert max(r.max_key for r in doc_rows) == 99
+    for r in doc_rows:
+        path = os.path.join(tmp, "documents.parquet", r.file_name)
+        assert r.file_size == os.path.getsize(path)
+    assert {r.table_name for r in rows} == {"documents", "orders", "embeddings"}
