@@ -588,3 +588,33 @@ def test_interval_overlap_blocks_on_day_hour_equi_join(spark):
     # became adaptive (60-minute bins at every measured SF; see
     # _interval_grain_minutes for the replication-capped refinement rule)
     assert "bin" in plan, plan
+
+
+def test_dsir_lambda_join_broadcasts_onto_doc_bucket_stream(spark):
+    """llm_dsir_importance's lambda table is exactly 256 rows at any
+    corpus size, so it must reach the (doc, bucket) count stream as a
+    BROADCAST join — a sort-merge there would re-shuffle the heavy side
+    on a 256-value key. The distribution totals ride the allowlisted
+    1-row scalar BNLJ."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(all_queries()["llm_dsir_importance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_exchanges_are_doc_keyed_only(spark):
+    """llm_winnowing_fingerprints has no cross-document structure: every
+    exchange in its plan must be doc-keyed (the frame-min window and the
+    rightmost-argmin join both partition by doc_id) — any other key would
+    mean an accidental global structure that cannot scale per-doc."""
+    from sealnet_etl_spark.registry import all_queries
+
+    plan = _formatted_plan(
+        all_queries()["llm_winnowing_fingerprints"](spark, SF_DIR)
+    )
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "doc_id" in line, line
+    assert "CartesianProduct" not in plan
