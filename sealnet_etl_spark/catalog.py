@@ -77,6 +77,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "fn_variant_extract",
     # per-file lineage rollup via the hidden _metadata scan column
     "src_file_provenance",
+    # Hampel robust despiker (doubled-median integers, no float anywhere)
+    "wn_hampel_filter",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

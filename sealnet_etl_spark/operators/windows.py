@@ -2062,3 +2062,87 @@ def wn_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_value"),
         F.col("day_value").isNull().alias("is_gap"),
     )
+
+
+@query(
+    "wn_hampel_filter",
+    survey_id="WN-4/AG-7",
+    oracle="""
+        WITH base AS (
+            SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000 AS ts_us,
+                   CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL
+        ), fr AS (
+            SELECT user_id, event_id, v,
+                   list_sort(list(v) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+            FROM base
+        ), m AS (
+            SELECT user_id, event_id, v,
+                   2 * arr[4] AS med2,
+                   2 * list_sort(
+                       list_transform(arr, x -> abs(2 * x - 2 * arr[4]))
+                   )[4] AS mad4
+            FROM fr WHERE len(arr) = 7
+        )
+        SELECT user_id, event_id,
+               v    AS v_micro,
+               med2 AS med_micro_x2,
+               mad4 AS mad_micro_x4,
+               20000 * abs(2 * v - med2) > 44478 * mad4 AS is_outlier
+        FROM m
+    """,
+)
+def wn_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter per user value series: a point is anomalous
+    when it sits more than 3 scaled MADs (3 x 1.4826 = 4.4478) from the
+    rolling 7-point median — THE standard robust despiker (mean/stddev
+    z-scores let one spike inflate its own gate; median/MAD don't).
+
+    Exactness discipline: values integerize to micro-units once, then
+    median and MAD live in DOUBLED/QUADRUPLED integer units (the
+    Mann-Whitney doubled-rank trick) and the 4.4478 threshold becomes the
+    integer comparison 20000*|2v - med2| > 44478*mad4 — no float exists
+    anywhere, so both engines flag identical rows. Frame ordering is
+    total: (microsecond-truncated ts, event_id) on BOTH engines — the
+    testdata carries sub-microsecond residue, so the oracle truncates
+    epoch_ns//1000 to match Spark's µs timestamps instead of ordering by
+    raw nanos.
+
+    Scale shape: one user-keyed exchange; the frame median uses
+    collect_list over a CONSTANT 7-row frame (49 ints of state per row,
+    not a percentile sketch); edge rows with partial frames are excluded
+    by definition. At 100 TB this is the same single-window-pass class as
+    wn_rolling_median."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("v"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    fr = base.withColumn(
+        "arr", F.sort_array(F.collect_list("v").over(w7))
+    ).filter(F.size("arr") == 7)
+    med2 = 2 * F.element_at("arr", 4)
+    dev2_sorted = F.sort_array(
+        F.transform(F.col("arr"), lambda x: F.abs(2 * x - med2))
+    )
+    mad4 = 2 * F.element_at(dev2_sorted, 4)
+    return fr.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("v_micro"),
+        med2.alias("med_micro_x2"),
+        mad4.alias("mad_micro_x4"),
+        (20000 * F.abs(2 * F.col("v") - med2) > 44478 * mad4).alias(
+            "is_outlier"
+        ),
+    )

@@ -623,3 +623,35 @@ def test_file_provenance_multi_file_layout(spark, tmp_path, queries):
         path = os.path.join(tmp, "documents.parquet", r.file_name)
         assert r.file_size == os.path.getsize(path)
     assert {r.table_name for r in rows} == {"documents", "orders", "embeddings"}
+
+
+def test_hampel_filter_flags_only_the_planted_spike(spark, tmp_path, queries):
+    """Plant one 500.0 spike in a flat 10.0 series: the spike must flag
+    (its deviation dwarfs the MAD) and every neighbor must NOT (their
+    deviation from the rolling median is exactly 0 even though the spike
+    sits in their frame — the robustness property a mean/stddev z-score
+    gate fails). Edge rows with partial frames are excluded (10 values,
+    7-row frames -> 4 emitted rows)."""
+    import datetime
+    import os
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, i), 1,
+         500.0 if i == 4 else 10.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    tmp = str(tmp_path / "sf_hampel")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+
+    out = {r.event_id: r for r in queries["wn_hampel_filter"](spark, tmp).collect()}
+    assert sorted(out) == [3, 4, 5, 6]  # full 7-row frames only
+    assert out[4].is_outlier and out[4].v_micro == 500_000_000
+    for eid in (3, 5, 6):
+        assert not out[eid].is_outlier
+        assert out[eid].med_micro_x2 == 20_000_000  # median ignores the spike
