@@ -79,6 +79,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "src_file_provenance",
     # Hampel robust despiker (doubled-median integers, no float anywhere)
     "wn_hampel_filter",
+    # Allen interval-relation profile over the blocked pairing
+    "jn_interval_allen_profile",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

@@ -1736,3 +1736,125 @@ def jn_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("inner_span_us"),
         )
     )
+
+
+@query(
+    "jn_interval_allen_profile",
+    survey_id="JN-7",
+    oracle="""
+        WITH win AS (
+            SELECT user_id,
+                   (date_trunc('day', ts::TIMESTAMP))::DATE AS day,
+                   MIN(ts::TIMESTAMP) AS w_start,
+                   MAX(ts::TIMESTAMP) AS w_end
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, day
+        ), pairs AS (
+            SELECT a.day,
+                   CASE
+                     WHEN a.w_start = b.w_start AND a.w_end = b.w_end
+                       THEN 'equals'
+                     WHEN LEAST(a.w_end, b.w_end)
+                          = GREATEST(a.w_start, b.w_start) THEN 'meets'
+                     WHEN a.w_start = b.w_start THEN 'same_start'
+                     WHEN a.w_end = b.w_end THEN 'same_end'
+                     WHEN (a.w_start < b.w_start AND b.w_end < a.w_end)
+                       OR (b.w_start < a.w_start AND a.w_end < b.w_end)
+                       THEN 'contains'
+                     ELSE 'partial_overlap'
+                   END AS relation,
+                   epoch_us(LEAST(a.w_end, b.w_end))
+                     - epoch_us(GREATEST(a.w_start, b.w_start)) AS overlap_us
+            FROM win a JOIN win b
+              ON a.day = b.day AND a.user_id < b.user_id
+             AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+        )
+        SELECT day, relation,
+               CAST(COUNT(*) AS BIGINT)        AS n_pairs,
+               CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+        FROM pairs GROUP BY day, relation
+    """,
+)
+def jn_interval_allen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's-interval-algebra profile of the overlapping window pairs:
+    every co-activity pair classified into the symmetric-reduced relation
+    set (equals / meets / same_start / same_end / contains /
+    partial_overlap — Allen 1983 collapsed over the a<b orientation),
+    rolled up per day. This is the temporal-join diagnostic a reliability
+    team reads BEFORE picking a correlation window: a corpus dominated by
+    'contains' needs asymmetric blocking (jn_interval_containment's),
+    one dominated by 'meets' is event-chained, not co-active.
+
+    Shares jn_interval_overlap's (day, grain)-blocked pairing verbatim —
+    same candidate counts, same positional emit-once rule — and adds only
+    a CASE ladder of µs-integer comparisons (mutually exclusive, ordered
+    equals → meets → same_start → same_end → contains → else), so the
+    classification is exact on both engines. Output is |days| × ≤6 rows:
+    the rollup-shape discipline of jn_interval_overlap_daily (the pair
+    list never crosses py4j)."""
+    win = _error_windows(spark, sf_dir)
+    grain = _interval_grain_minutes(win, sf_dir)
+    exp = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                _time_bin("w_start", grain), _time_bin("w_end", grain)
+            )
+        ),
+    )
+    a, b = exp.alias("a"), exp.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.w_start") <= F.col("b.w_end"))
+        & (F.col("b.w_start") <= F.col("a.w_end"))
+        & (
+            F.col("a.bin")
+            == _time_bin(
+                F.greatest(F.col("a.w_start"), F.col("b.w_start")), grain
+            )
+        ),
+    )
+    relation = (
+        F.when(
+            (F.col("a.w_start") == F.col("b.w_start"))
+            & (F.col("a.w_end") == F.col("b.w_end")),
+            F.lit("equals"),
+        )
+        .when(
+            F.least("a.w_end", "b.w_end")
+            == F.greatest("a.w_start", "b.w_start"),
+            F.lit("meets"),
+        )
+        .when(F.col("a.w_start") == F.col("b.w_start"), F.lit("same_start"))
+        .when(F.col("a.w_end") == F.col("b.w_end"), F.lit("same_end"))
+        .when(
+            (
+                (F.col("a.w_start") < F.col("b.w_start"))
+                & (F.col("b.w_end") < F.col("a.w_end"))
+            )
+            | (
+                (F.col("b.w_start") < F.col("a.w_start"))
+                & (F.col("a.w_end") < F.col("b.w_end"))
+            ),
+            F.lit("contains"),
+        )
+        .otherwise(F.lit("partial_overlap"))
+    )
+    return (
+        pairs.select(
+            F.col("a.day").alias("day"),
+            relation.alias("relation"),
+            (
+                F.unix_micros(F.least("a.w_end", "b.w_end"))
+                - F.unix_micros(F.greatest("a.w_start", "b.w_start"))
+            ).alias("overlap_us"),
+        )
+        .groupBy("day", "relation")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("overlap_us").alias("total_overlap_us"),
+        )
+    )
