@@ -1398,6 +1398,10 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel_micro"), "vec_id")
         .limit(MMR_POOL)
+        # the brute top-N scan feeds THREE jobs (pool collect + both sims
+        # sides); persisting the 24-row result makes the corpus scan run
+        # once instead of three times — unpersisted before returning
+        .persist()
     )
     sims = (
         cand.select("vec_id", "embedding")
@@ -1416,6 +1420,7 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = [(r.vec_id, r.rel_micro) for r in cand.select("vec_id", "rel_micro").collect()]
     sim = {(r.va, r.vb): r.sim_micro for r in sims.collect()}
+    cand.unpersist()
 
     picked: list = []
     rows: list = []
