@@ -1890,7 +1890,13 @@ def ag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative rank walks that bounded bin table in one partition (the
     scalable-ntile caveat: if distinct metric values outgrow one
     partition, switch to the windows.py two-phase rank with identical
-    outputs), and the final statistics are a 1-row global agg."""
+    outputs), and the final statistics are a 1-row global agg.
+
+    Degenerate-input contract: if either group is empty after the
+    value-IS-NOT-NULL filter, or every surviving value is identical, the
+    variance is 0 and z_stat is NULL on BOTH engines (x/0.0 → NULL in
+    each) — the counts and U statistics still report, so a consumer can
+    see WHY the test is undefined (scipy raises here instead)."""
     events = load_table(spark, sf_dir, "events")
     vals = events.filter(
         F.col("event_type").isin("purchase", "click")

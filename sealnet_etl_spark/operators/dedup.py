@@ -1882,14 +1882,16 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: positioned k-gram integer hashes (JVM transform +
     posexplode, md5-prefix integerization so both engines order hashes
-    identically), per-doc frame MIN over [CURRENT, w-1 FOLLOWING]
-    (doc-partitioned window — one keyed exchange), then the rightmost
-    argmin per window via a bounded w-offset explode joined back on
-    (doc, pos) — w x blowup of 8-byte rows, never text. DISTINCT
-    collapses adjacent windows sharing a minimum (the density guarantee
-    doing its job). At 100 TB every stage is narrow or doc-keyed; no
-    global structure exists, so fingerprint selection parallelizes
-    perfectly per doc."""
+    identically), then ONE doc-partitioned window pass: the rightmost
+    minimum of each window is the frame MIN of struct(h, -pos) —
+    lexicographic struct ordering gives (smallest hash, then LARGEST
+    position) in the same aggregate, so no offset explode and no join
+    back exist at all (review finding: the explode+join draft evaluated
+    the expensive k-gram hash stage twice). DISTINCT collapses adjacent
+    windows sharing a minimum (the density guarantee doing its job). At
+    100 TB the whole operator is one narrow hash pass plus one doc-keyed
+    exchange; no global structure exists, so fingerprint selection
+    parallelizes perfectly per doc."""
     docs = load_table(spark, sf_dir, "documents")
     k, wlen = WINNOW_K, WINNOW_W
     words = normalized_words(F.col("text"))
@@ -1918,26 +1920,16 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.col("pos").cast("long"))
     )
     frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
+    rightmost_min = F.min(
+        F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+    ).over(frame)
     wins = (
-        sh.withColumn("win_min", F.min("h").over(frame))
+        sh.withColumn("m", rightmost_min)
         .withColumn("nf", F.count("h").over(frame))
         .filter(F.col("nf") == wlen)
-        .select("doc_id", F.col("pos").alias("i"), "win_min")
     )
-    cand = wins.select(
+    return wins.select(
         "doc_id",
-        "i",
-        "win_min",
-        F.explode(F.sequence(F.col("i"), F.col("i") + wlen - 1)).alias("j"),
-    )
-    sel = (
-        cand.join(
-            sh.select("doc_id", F.col("pos").alias("j"), "h"), ["doc_id", "j"]
-        )
-        .filter(F.col("h") == F.col("win_min"))
-        .groupBy("doc_id", "i", "win_min")
-        .agg(F.max("j").alias("fp_pos"))
-    )
-    return sel.select(
-        "doc_id", "fp_pos", F.col("win_min").alias("fp")
+        (-F.col("m.np")).alias("fp_pos"),
+        F.col("m.h").alias("fp"),
     ).distinct()

@@ -852,6 +852,38 @@ def _time_bin(col, grain_minutes: int):
     )
 
 
+def _blocked_overlap_pairs(win: DataFrame, grain) -> DataFrame:
+    """The ONE implementation of the (day, grain)-blocked overlap pairing
+    (bin explode + 6-condition join with the positional emit-once rule:
+    a pair is emitted only in the bin holding GREATEST(starts), which
+    both spans cover whenever they overlap). jn_interval_overlap and
+    jn_interval_allen_profile consume it — the dedup predicate is
+    correctness-critical and must never fork (review finding)."""
+    exp = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                _time_bin("w_start", grain), _time_bin("w_end", grain)
+            )
+        ),
+    )
+    a, b = exp.alias("a"), exp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.w_start") <= F.col("b.w_end"))
+        & (F.col("b.w_start") <= F.col("a.w_end"))
+        & (
+            F.col("a.bin")
+            == _time_bin(
+                F.greatest(F.col("a.w_start"), F.col("b.w_start")), grain
+            )
+        ),
+    )
+
+
 @query(
     "jn_interval_overlap",
     survey_id="JN-7",
@@ -915,30 +947,8 @@ def jn_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a.user < b.user orients each unordered pair once."""
     win = _error_windows(spark, sf_dir)
     grain = _interval_grain_minutes(win, sf_dir)
-    exp = win.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                _time_bin("w_start", grain), _time_bin("w_end", grain)
-            )
-        ),
-    )
-    a, b = exp.alias("a"), exp.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.day") == F.col("b.day"))
-            & (F.col("a.bin") == F.col("b.bin"))
-            & (F.col("a.user_id") < F.col("b.user_id"))
-            & (F.col("a.w_start") <= F.col("b.w_end"))
-            & (F.col("b.w_start") <= F.col("a.w_end"))
-            & (
-                F.col("a.bin")
-                == _time_bin(
-                    F.greatest(F.col("a.w_start"), F.col("b.w_start")), grain
-                )
-            ),
-        )
+        _blocked_overlap_pairs(win, grain)
         .select(
             F.col("a.day").alias("day"),
             F.col("a.user_id").alias("user_a"),
@@ -1785,8 +1795,9 @@ def jn_interval_allen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     'contains' needs asymmetric blocking (jn_interval_containment's),
     one dominated by 'meets' is event-chained, not co-active.
 
-    Shares jn_interval_overlap's (day, grain)-blocked pairing verbatim —
-    same candidate counts, same positional emit-once rule — and adds only
+    Consumes the SAME pairing as jn_interval_overlap (the shared
+    _blocked_overlap_pairs helper — one implementation of the
+    correctness-critical emit-once predicate) and adds only
     a CASE ladder of µs-integer comparisons (mutually exclusive, ordered
     equals → meets → same_start → same_end → contains → else), so the
     classification is exact on both engines. Output is |days| × ≤6 rows:
@@ -1794,29 +1805,7 @@ def jn_interval_allen_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     list never crosses py4j)."""
     win = _error_windows(spark, sf_dir)
     grain = _interval_grain_minutes(win, sf_dir)
-    exp = win.withColumn(
-        "bin",
-        F.explode(
-            F.sequence(
-                _time_bin("w_start", grain), _time_bin("w_end", grain)
-            )
-        ),
-    )
-    a, b = exp.alias("a"), exp.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.bin") == F.col("b.bin"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.w_start") <= F.col("b.w_end"))
-        & (F.col("b.w_start") <= F.col("a.w_end"))
-        & (
-            F.col("a.bin")
-            == _time_bin(
-                F.greatest(F.col("a.w_start"), F.col("b.w_start")), grain
-            )
-        ),
-    )
+    pairs = _blocked_overlap_pairs(win, grain)
     relation = (
         F.when(
             (F.col("a.w_start") == F.col("b.w_start"))

@@ -246,7 +246,9 @@ def llm_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name"),
         F.md5(F.lower(F.hex(F.col("content")))).alias("content_md5"),
         F.col("length").alias("n_bytes"),
-    )
+    ).persist()  # digests only — without this, the mirror tags and the
+    # stats side would each re-read and re-hash every blob (review
+    # finding: the "one scan" claim requires materializing the digests)
     both = base.withColumn("ingest_tag", F.lit("a")).unionByName(
         base.withColumn("ingest_tag", F.lit("b"))
     )

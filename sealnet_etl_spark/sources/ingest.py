@@ -665,33 +665,36 @@ def src_parquet_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'documents' AS table_name,
                regexp_extract(filename, '([^/]+)$', 1) AS file_name,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               (SELECT CAST(size AS BIGINT) FROM
-                read_blob('/root/testdata/sf0.01/documents.parquet'))
+               MIN((SELECT CAST(b.size AS BIGINT) FROM
+                read_blob('/root/testdata/sf0.01/documents.parquet') b
+                WHERE b.filename = t.filename))
                    AS file_size,
                CAST(MIN(doc_id) AS BIGINT) AS min_key,
                CAST(MAX(doc_id) AS BIGINT) AS max_key
         FROM read_parquet('/root/testdata/sf0.01/documents.parquet',
-                          filename=true)
+                          filename=true) t
         GROUP BY 2
         UNION ALL
         SELECT 'orders', regexp_extract(filename, '([^/]+)$', 1),
                CAST(COUNT(*) AS BIGINT),
-               (SELECT CAST(size AS BIGINT) FROM
-                read_blob('/root/testdata/sf0.01/orders.parquet')),
+               MIN((SELECT CAST(b.size AS BIGINT) FROM
+                read_blob('/root/testdata/sf0.01/orders.parquet') b
+                WHERE b.filename = t.filename)),
                CAST(MIN(o_orderkey) AS BIGINT),
                CAST(MAX(o_orderkey) AS BIGINT)
         FROM read_parquet('/root/testdata/sf0.01/orders.parquet',
-                          filename=true)
+                          filename=true) t
         GROUP BY 2
         UNION ALL
         SELECT 'embeddings', regexp_extract(filename, '([^/]+)$', 1),
                CAST(COUNT(*) AS BIGINT),
-               (SELECT CAST(size AS BIGINT) FROM
-                read_blob('/root/testdata/sf0.01/embeddings.parquet')),
+               MIN((SELECT CAST(b.size AS BIGINT) FROM
+                read_blob('/root/testdata/sf0.01/embeddings.parquet') b
+                WHERE b.filename = t.filename)),
                CAST(MIN(vec_id) AS BIGINT),
                CAST(MAX(vec_id) AS BIGINT)
         FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet',
-                          filename=true)
+                          filename=true) t
         GROUP BY 2
     """,
 )
