@@ -113,7 +113,7 @@ def headline_queries() -> list[str]:
         "llm_dsir_importance",
         # MMR re-rank: brute top-24 pool + bounded greedy (driver-side K*N)
         "llm_mmr_diversify",
-        # positional winnowing: frame-min window + w-offset explode join
+        # positional winnowing: one struct-min frame pass, doc-keyed
         "llm_winnowing_fingerprints",
         # the round-5 statistical + multimodal additions (cheap, tracked
         # so regressions in new code show as trends per VERDICT r4 #9)
