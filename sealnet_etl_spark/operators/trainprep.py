@@ -1469,7 +1469,10 @@ def llm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     db = toks.groupBy("doc_id", "source", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()  # three consumers (raw, tgt, the final join) — without
+    # this Catalyst pushes the tgt source-filter below the agg and runs
+    # the token explode twice (profiled); db rows are (ids, bucket, cnt)
+    # — ~256x smaller than the token stream it summarizes
     raw = db.groupBy("bucket").agg(F.sum("cnt").alias("raw_cnt"))
     tgt = (
         db.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
