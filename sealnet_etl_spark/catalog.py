@@ -81,6 +81,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "wn_hampel_filter",
     # Allen interval-relation profile over the blocked pairing
     "jn_interval_allen_profile",
+    # nDCG@10 eval (literal-constant discounts, unrolled identical sums)
+    "llm_ndcg_eval",
 )
 
 #: ROUND-5 PLAN (VERDICT r4 "Next round" #1): implementation breadth is

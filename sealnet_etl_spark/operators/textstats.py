@@ -1185,3 +1185,206 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# nDCG ranking-quality evaluation (TF-IDF ranking scored on BM25 gains)
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+#: 1/log2(rank+1) discounts as PYTHON FLOAT LITERALS injected verbatim
+#: into BOTH engines' SQL text — neither engine ever calls log2, so the
+#: one cross-engine float hazard of DCG (last-ulp log differences) is
+#: removed by construction. The unrolled "a + b + c" sum parses
+#: left-associative in both engines, so identical inputs give identical
+#: doubles.
+import math as _math
+
+_NDCG_DISCOUNTS = tuple(1.0 / _math.log2(j + 1) for j in range(1, NDCG_K + 1))
+
+
+def _dcg_terms(elem_fmt: str) -> str:
+    # CAST(literal AS DOUBLE): Spark parses a bare decimal literal as
+    # DECIMAL and the whole DCG would silently become decimal arithmetic
+    # (dtype mismatch vs the oracle's doubles)
+    return " + ".join(
+        f"COALESCE({elem_fmt.format(j=j)}, 0) * CAST({c!r} AS DOUBLE)"
+        for j, c in enumerate(_NDCG_DISCOUNTS, 1)
+    )
+
+
+_NDCG_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    terms AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM terms
+        WHERE term IN {BM25_QUERY!r}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT COUNT(*) AS n_docs,
+               (SELECT SUM(dl) FROM dl)::DOUBLE / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ROUND(
+                   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)),
+                   9)), 6) AS s
+        FROM tf
+        JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+        ORDER BY ROUND(SUM(ROUND(
+                   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)),
+                   9)), 6) DESC, tf.doc_id
+        LIMIT {BM25_TOPN}
+    ),
+    gains AS (
+        SELECT doc_id, CAST(ROUND(s * 1000000.0) AS BIGINT) AS gain FROM bm
+    ),
+    tscored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ROUND(
+                   tf.tf * (ln((st.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+                   9)), 6) AS tscore
+        FROM tf JOIN df USING (term) CROSS JOIN st
+        GROUP BY tf.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, tscore,
+               ROW_NUMBER() OVER (ORDER BY tscore DESC, doc_id) AS rnk
+        FROM tscored
+        ORDER BY tscore DESC, doc_id
+        LIMIT {NDCG_K}
+    ),
+    sys AS (
+        SELECT list(COALESCE(g.gain, 0) ORDER BY r.rnk) AS sg,
+               CAST(SUM(CASE WHEN COALESCE(g.gain, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+        FROM ranked r LEFT JOIN gains g USING (doc_id)
+    ),
+    ideal AS (
+        SELECT doc_id, gain FROM gains
+        ORDER BY gain DESC, doc_id LIMIT {NDCG_K}
+    ),
+    ideal_arr AS (
+        SELECT list(gain ORDER BY gain DESC, doc_id) AS ig FROM ideal
+    ),
+    dcgs AS (
+        SELECT ROUND({_dcg_terms("sg[{j}]")}, 6)  AS dcg_at10,
+               ROUND({_dcg_terms("ig[{j}]")}, 6)  AS idcg_at10,
+               n_overlap
+        FROM sys CROSS JOIN ideal_arr
+    )
+    SELECT dcg_at10, idcg_at10,
+           ROUND(dcg_at10 / idcg_at10, 6) AS ndcg_at10,
+           n_overlap
+    FROM dcgs
+"""
+
+
+@query("llm_ndcg_eval", survey_id="LLM-8/WN-2", oracle=_NDCG_ORACLE)
+def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the TF-IDF ranking scored against BM25 gains for the
+    shared fixed query — the standard ranking-quality readout
+    (Järvelin & Kekäläinen 2002) that closes the retrieval loop the repo
+    already runs (tfidf → bm25 → RRF fusion → MMR): it MEASURES how much
+    BM25's length normalization reorders the raw TF-IDF list. Gains are
+    the BM25 top-20 scores in integer micro-units (unjudged docs gain 0,
+    the trec_eval convention); IDCG re-sorts those gains descending.
+
+    Float discipline: the 1/log2(rank+1) discounts are PYTHON FLOAT
+    LITERALS injected into both engines' expression text, and each DCG
+    is one UNROLLED left-associative 10-term sum of (exact integer gain
+    x literal double) — no engine ever computes a log for the discount
+    chain, so both sides produce bit-identical doubles.
+
+    Scale shape: the heavy lifting is the two retrieval pipelines, both
+    query-term-filtered before any shuffle (the bm25 doctrine); the nDCG
+    arithmetic itself touches two K-row lists built by TakeOrdered and
+    reduces to ONE row — evaluation cost is independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm_gain = llm_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("bm25") * F.lit(1000000.0)).cast("bigint").alias("gain"),
+    )
+    w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+    tf = (
+        w.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    tscored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.round(F.col("tf") * idf, 9)), 6).alias("tscore")
+        )
+    )
+    topk = tscored.orderBy(F.desc("tscore"), "doc_id").limit(NDCG_K)
+    rnk_w = Window.orderBy(F.desc("tscore"), "doc_id")  # K rows, bounded
+    ranked = topk.withColumn("rnk", F.row_number().over(rnk_w))
+    sys = (
+        ranked.join(bm_gain, "doc_id", "left")
+        .na.fill({"gain": 0})
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "gain"))),
+                lambda s: s["gain"],
+            ).alias("sg"),
+            F.sum((F.col("gain") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+    )
+    ideal = (
+        bm_gain.orderBy(F.desc("gain"), "doc_id")
+        .limit(NDCG_K)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("gain")).alias("ng"), "doc_id", "gain")
+                    )
+                ),
+                lambda s: s["gain"],
+            ).alias("ig")
+        )
+    )
+    dcg = F.expr(_dcg_terms("element_at(sg, {j})"))
+    idcg = F.expr(_dcg_terms("element_at(ig, {j})"))
+    return (
+        sys.crossJoin(ideal)
+        .select(
+            F.round(dcg, 6).alias("dcg_at10"),
+            F.round(idcg, 6).alias("idcg_at10"),
+            "n_overlap",
+        )
+        .select(
+            "dcg_at10",
+            "idcg_at10",
+            F.round(F.col("dcg_at10") / F.col("idcg_at10"), 6).alias(
+                "ndcg_at10"
+            ),
+            "n_overlap",
+        )
+        .select("dcg_at10", "idcg_at10", "ndcg_at10", "n_overlap")
+    )

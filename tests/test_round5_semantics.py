@@ -655,3 +655,32 @@ def test_hampel_filter_flags_only_the_planted_spike(spark, tmp_path, queries):
     for eid in (3, 5, 6):
         assert not out[eid].is_outlier
         assert out[eid].med_micro_x2 == 20_000_000  # median ignores the spike
+
+
+def test_ndcg_is_one_when_rankings_agree(spark, tmp_path, queries):
+    """Plant equal-length docs whose only query term is 'data' with
+    distinct term frequencies: BM25 (fixed dl, single term) and TF-IDF
+    then rank identically, so DCG must equal IDCG and nDCG@10 must be
+    exactly 1.0 — pins the metric's perfect-agreement case and the
+    gain/discount plumbing end to end."""
+    import os
+
+    docs = [
+        (i, " ".join(["data"] * i + ["pad"] * (30 - i)), "en", "s", 0)
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    tmp = str(tmp_path / "sf_ndcg")
+    os.makedirs(tmp, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+
+    out = queries["llm_ndcg_eval"](spark, tmp).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_overlap == 10
+    assert r.dcg_at10 == r.idcg_at10
+    assert r.ndcg_at10 == 1.0
