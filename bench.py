@@ -119,6 +119,13 @@ def headline_queries() -> list[str]:
         # so regressions in new code show as trends per VERDICT r4 #9)
         "ag_mannwhitney_u",
         "llm_multimodal_exact_dedup",
+        # remaining round-5 additions: VARIANT round trip, _metadata file
+        # lineage, Hampel despiker, Allen relation profile, nDCG eval
+        "fn_variant_extract",
+        "src_file_provenance",
+        "wn_hampel_filter",
+        "jn_interval_allen_profile",
+        "llm_ndcg_eval",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
