@@ -397,6 +397,7 @@ _BNLJ_ALLOWED = {
     "llm_dsir_importance",  # 1-row (raw_tot, tgt_tot) distribution totals
     "llm_mmr_diversify",    # 1-row query-vector side on the candidate scan
     "ag_benford_audit",     # 1-row grand total under the 9-digit grid
+    "llm_ndcg_eval",        # 1-row corpus stats + 1-row sys x ideal arrays
 }
 
 
