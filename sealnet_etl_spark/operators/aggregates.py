@@ -1894,8 +1894,10 @@ def ag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Degenerate-input contract: if either group is empty after the
     value-IS-NOT-NULL filter, or every surviving value is identical, the
-    variance is 0 and z_stat is NULL on BOTH engines (x/0.0 → NULL in
-    each) — the counts and U statistics still report, so a consumer can
+    variance is 0 and z_stat is NULL on BOTH engines (DuckDB's x/0 is
+    NULL; Spark's ANSI mode would throw, so the Spark side uses
+    try_divide to produce the same NULL) — the counts and U statistics
+    still report, so a consumer can
     see WHY the test is undefined (scipy raises here instead)."""
     events = load_table(spark, sf_dir, "events")
     vals = events.filter(
@@ -1928,17 +1930,22 @@ def ag_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     u1_x2 = F.col("r1_x2") - n1 * (n1 + 1)
+    # try_divide, not /: Spark 4 ANSI mode throws DIVIDE_BY_ZERO even for
+    # double division, so the degenerate cases (one empty group, all-tied
+    # values, n1+n2<=1) must NULL explicitly to match DuckDB's x/0 -> NULL.
     var = (n1 * n2 / F.lit(12.0)) * (
         (n1 + n2 + 1)
-        - F.col("tie_term") / ((n1 + n2) * (n1 + n2 - F.lit(1.0)))
+        - F.try_divide(
+            F.col("tie_term"), (n1 + n2) * (n1 + n2 - F.lit(1.0))
+        )
     )
     return s.select(
         "n1",
         "n2",
         u1_x2.cast("bigint").alias("u1_x2"),
         (2 * n1 * n2 - u1_x2).cast("bigint").alias("u2_x2"),
-        F.round((u1_x2 - n1 * n2) / (F.lit(2.0) * F.sqrt(var)), 6).alias(
-            "z_stat"
-        ),
+        F.round(
+            F.try_divide(u1_x2 - n1 * n2, F.lit(2.0) * F.sqrt(var)), 6
+        ).alias("z_stat"),
     )
 

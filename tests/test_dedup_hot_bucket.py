@@ -95,6 +95,36 @@ def test_simhash_small_buckets_still_all_pairs(spark):
     assert n == HOT_BUCKET_CAP * (HOT_BUCKET_CAP - 1) // 2
 
 
+def test_graded_corpus_band_occupancy_below_cap(spark):
+    """ADVICE r5: str_streaming_near_dup (and the batch incremental probe)
+    TRUNCATE hot buckets at HOT_BUCKET_CAP, yet are hash-graded against an
+    exact brute-force oracle. That grading is sound only if no band key on
+    graded data ever reaches the cap — this pins that the truncation path
+    is provably DEAD at every graded sf (driver hashes at sf0.01; sf0.001
+    and sf0.1 are the smoke/bench corpora)."""
+    from sealnet_etl_spark.operators.dedup import (
+        SHINGLE_K,
+        minhash_band_keys,
+        minhash_signature_cols,
+        normalized_words,
+        shingle_base_hashes,
+        word_shingles,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        keys = (
+            docs.withColumn("__w", normalized_words(F.col("text")))
+            .filter(F.size("__w") >= SHINGLE_K)
+            .withColumn("shingles", word_shingles(F.col("__w"), SHINGLE_K))
+            .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+            .select("doc_id", *minhash_signature_cols(F.col("__base")))
+            .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+        )
+        occ = keys.groupBy("band_key").count().agg(F.max("count")).first()[0]
+        assert occ < HOT_BUCKET_CAP, (sf, occ)
+
+
 def test_connected_components_uses_reliable_checkpoint(spark, tmp_path):
     """With a checkpoint dir configured, the CC loop must switch from
     localCheckpoint to fault-tolerant checkpoint() (files land in the dir)

@@ -30,10 +30,13 @@ def empty_sf_dir(spark, tmp_path_factory):
 
 
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
+    # collect(), not count(): count() lets Catalyst prune computed columns
+    # whose evaluation can throw under ANSI mode (element_at past the end,
+    # divide-by-zero), silently weakening the no-crash invariant.
     failures = {}
     for name, fn in all_queries().items():
         try:
-            assert fn(spark, empty_sf_dir).count() >= 0
+            assert len(fn(spark, empty_sf_dir).collect()) >= 0
         except Exception as exc:  # noqa: BLE001 - collecting the sweep
             failures[name] = f"{type(exc).__name__}: {exc}"[:160]
     assert not failures, failures
@@ -78,7 +81,7 @@ def test_every_query_survives_null_payloads(spark, nulled_sf_dir):
     failures = {}
     for name, fn in all_queries().items():
         try:
-            assert fn(spark, nulled_sf_dir).count() >= 0
+            assert len(fn(spark, nulled_sf_dir).collect()) >= 0
         except Exception as exc:  # noqa: BLE001 - collecting the sweep
             failures[name] = f"{type(exc).__name__}: {exc}"[:160]
     assert not failures, failures
