@@ -126,6 +126,13 @@ def headline_queries() -> list[str]:
         "wn_hampel_filter",
         "jn_interval_allen_profile",
         "llm_ndcg_eval",
+        # round 6: perceptual blob near-dup (binaryFile scan + chunk-
+        # blocked Hamming join), JVM-side chip extraction, and the
+        # rewritten compression proxy (char-4-gram zip projection) — new
+        # or changed plans tracked from their change round
+        "llm_multimodal_near_dup",
+        "llm_multimodal_chip_extract",
+        "llm_compression_ratio",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -566,7 +566,7 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     def adc_shortlist(batches):
         bk = bc.value
         c_ids, c_codes = _load_codes(codes_path)
-        col_idx = np.arange(ESC_PQ_M)
+        gather = None
         for pdf in batches:
             if c_ids.size == 0 or not len(pdf):
                 yield pd.DataFrame({"src_id": [], "nbr_id": []}).astype(
@@ -582,8 +582,14 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
                 "rmd,mkd->rmk", q.reshape(len(q), ESC_PQ_M, d_sub), bk
             ).astype(np.float32)
             adc = np.zeros((len(q), len(c_ids)), dtype=np.float32)
+            # allocation-free gathers: np.take(..., out=) into one reused
+            # scratch instead of 16 fresh (rows × n) temporaries — the
+            # fancy-indexing form spent ~40% of the scan in the allocator
+            if gather is None or gather.shape != adc.shape:
+                gather = np.empty_like(adc)
             for m in range(ESC_PQ_M):
-                adc += lut[:, m, :][:, c_codes[:, m]]
+                np.take(lut[:, m, :], c_codes[:, m], axis=1, out=gather)
+                adc += gather
             src_ids = pdf["vec_id"].to_numpy()
             self_pos = np.searchsorted(c_ids, src_ids)
             for r in range(len(q)):
@@ -600,8 +606,15 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
                 }
             )
 
-    shortlist = emb.select("vec_id", "embedding").mapInPandas(
-        adc_shortlist, "src_id bigint, nbr_id bigint"
+    # fan the query side to the full core count before the scan: the
+    # parquet layout often yields few input splits (8 at the sf1
+    # fixture), which would leave 3/4 of the executor cores idle through
+    # the dominant ADC stage; the repartition shuffles only (id, 64
+    # floats) rows — noise next to the scan it parallelizes
+    shortlist = (
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(adc_shortlist, "src_id bigint, nbr_id bigint")
     )
     refined = _score_pairs_from_tile(shortlist, tile_path)
     w = Window.partitionBy("src_id").orderBy(

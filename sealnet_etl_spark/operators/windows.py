@@ -1283,8 +1283,14 @@ def wn_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round("value", 2).alias("value"),
-        F.element_at(
-            lst, F.floor((F.size(lst) + 1) / 2).cast("int")
+        # collect_list drops nulls, so an all-null frame leaves an EMPTY
+        # list and index (0+1)/2 = 0 — Spark throws INVALID_INDEX_OF_ZERO
+        # (even via try_element_at) where DuckDB's lst[0] is NULL; the
+        # lazy CASE produces the oracle's NULL instead (round-6 strict
+        # collect() sweep finding on the nulled-payload fixture)
+        F.when(
+            F.size(lst) > 0,
+            F.element_at(lst, F.floor((F.size(lst) + 1) / 2).cast("int")),
         ).alias("rolling_median"),
     )
 
