@@ -425,7 +425,14 @@ def llm_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte signature rows keyed by 2-byte chunk values; verification is
     an integer popcount per candidate. At 100 TB of imagery this is the
     standard pHash-bucket layout — swap the byte-gradient kernel for a
-    real DCT pHash over decoded pixels and nothing else changes."""
+    real DCT pHash over decoded pixels and nothing else changes. A
+    corpus DOMINATED by one near-identical image group makes the PAIR
+    LIST itself quadratic (by semantics, like jn_interval_overlap);
+    there the production form is exact dedup first (identical bytes
+    collapse, multimodal exact-dedup above), then the hot chunk keys
+    chain-cap exactly as the MinHash path does (HOT_BUCKET_CAP,
+    dedup.py) — traded here for the exact-oracle contract because the
+    blocking is lossless at this threshold."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     sigs = files.select("path", "content").mapInPandas(
         phash_signatures, PHASH_SCHEMA
