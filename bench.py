@@ -133,6 +133,7 @@ def headline_queries() -> list[str]:
         "llm_multimodal_near_dup",
         "llm_multimodal_chip_extract",
         "llm_compression_ratio",
+        "llm_multimodal_pair_align",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

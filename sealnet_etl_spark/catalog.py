@@ -54,18 +54,21 @@ from . import registry as _registry
 #:   parsed-filename detections, fully JVM-side
 #: - llm_compression_ratio: rows-only → hash upgrade (zlib kernel
 #:   replaced by the LZ78-dictionary proxy, r = 0.983 against zlib)
+#: - llm_multimodal_pair_align: NEW — cross-modality registration search
+#:   (the reconstructed reference's thermal/color pairing, SURVEY §0.3)
 _REGRADE_FIRST: tuple[str, ...] = (
     "llm_multimodal_near_dup",
     "llm_multimodal_chip_extract",
     "llm_compression_ratio",
+    "llm_multimodal_pair_align",
 )
 
 #: ROUND-6 PLAN (VERDICT r5 "Next round" #1, the top item two rounds
 #: running): implementation breadth is done; driver hash-evidence is the
 #: only gap. This tuple is the round-5 tail MINUS the 41 queries the r5
 #: window proved (CORRECTNESS_r05: 50/50 hash-green), same interleaved
-#: family order so a short window still samples every family. With the 3
-#: regrades above, a ~50-row window drains 47 of these 63; ≤16 remain
+#: family order so a short window still samples every family. With the 4
+#: regrades above, a ~50-row window drains 46 of these 63; ≤17 remain
 #: for round 7. Every query here is local-mirror green (full sweep).
 _NEVER_GRADED: tuple[str, ...] = (
     "etl_dynamic_partition_overwrite",

@@ -352,6 +352,27 @@ def test_multimodal_near_dup_separation(spark, queries):
     assert not cross_pairs, cross_pairs
 
 
+def test_pair_align_recovers_registration(spark, queries):
+    """The registration search must recover the planted sensor offset for
+    EVERY blob: the best shift is exactly PAIR_DROP with a unique ZERO
+    L1 distance (bytes align perfectly there by construction), and every
+    wrong shift scores strictly positive — the margin that makes the
+    argmin meaningful (measured 780-21 400 on the fixtures)."""
+    from sealnet_etl_spark.operators.multimodal import PAIR_DROP, PAIR_SHIFTS
+
+    rows = queries["llm_multimodal_pair_align"](spark, SF_DIR).collect()
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.file_name, []).append(r)
+    assert by_file, "no blobs large enough at this sf"
+    for name, rs in by_file.items():
+        assert len(rs) == len(PAIR_SHIFTS)
+        best = [r for r in rs if r.is_best]
+        assert len(best) == 1 and best[0].shift == PAIR_DROP, (name, rs)
+        assert best[0].l1_dist == 0
+        assert all(r.l1_dist > 0 for r in rs if r.shift != PAIR_DROP), name
+
+
 def test_compression_ratio_semantics(spark, queries):
     """Round 6 (VERDICT r5 #4): the ratio is now the LZ78-dictionary
     proxy (|distinct char 4-grams| + |alphabet|) / chars — hash-oracled,
