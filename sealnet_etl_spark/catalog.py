@@ -11,7 +11,7 @@ this round, (1) the 63-query never-driver-graded tail (family-interleaved
 order carried over from round 5, minus the 41 queries CORRECTNESS_r05
 proved), (2) queries registered after this file was planned — they enter
 the window ahead of long-green work (ADVICE r5: round 5 accidentally
-ranked unknowns WITH the verified tier), (3) the 231 queries already
+ranked unknowns WITH the verified tier), (3) the 230 queries already
 hash-green across CORRECTNESS_r01-r05.
 
 Changed-but-output-identical fixes (llm_ndcg_eval's try_element_at,
@@ -142,7 +142,7 @@ def _grade_rank(name: str) -> tuple:
     graded tail (explicit interleaved order), then any name in NEITHER
     tuple (queries registered after this file was planned — ADVICE r5:
     these must drain BEFORE long-green work, so they get their own tier
-    instead of landing inside the verified one), then the 231 queries
+    instead of landing inside the verified one), then the 230 queries
     with green driver evidence from r1-r5."""
     if name in _REGRADE_FIRST:
         return (0, _REGRADE_FIRST.index(name))
@@ -154,21 +154,36 @@ def _grade_rank(name: str) -> tuple:
 
 
 def _load_driver_verified() -> frozenset:
-    """Union of every query name in the repo's CORRECTNESS_r*.json files
-    (230 across r1-r5), MINUS tier-0 regrades whose oracle changed this
-    round. Read from the round files rather than hardcoded so future
-    rounds' greens fold out of the window automatically."""
+    """Names whose LATEST driver grade is green (230 across r1-r5), MINUS
+    tier-0 regrades whose oracle changed this round. Read from the round
+    files rather than hardcoded so future rounds' greens fold out of the
+    window automatically. Green means the latest entry either hash/row-
+    matched or is a rows-only check that ran without error — a RED or
+    erred latest grade must NOT count as verified (it would rank the
+    query BEHIND the tail, the opposite of 'needs evidence most'); later
+    round files override earlier verdicts name-by-name."""
     import json
     import pathlib
 
     base = pathlib.Path(__file__).resolve().parent.parent
-    seen: set[str] = set()
+    latest: dict[str, bool] = {}
     for path in sorted(base.glob("CORRECTNESS_r*.json")):
         try:
-            seen |= set(json.loads(path.read_text()))
+            data = json.loads(path.read_text())
         except Exception:  # noqa: BLE001 - a malformed round file never
             continue  # blocks registration; grading order degrades gracefully
-    return frozenset(seen - set(_REGRADE_FIRST))
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                latest[name] = True  # legacy scalar rows -> assume green
+                continue
+            green = (
+                rec.get("err") in (None, "", "no_oracle")
+                and rec.get("hash_match") is not False
+                and rec.get("rows_match") is not False
+            )
+            latest[name] = green
+    verified = {name for name, ok in latest.items() if ok}
+    return frozenset(verified - set(_REGRADE_FIRST))
 
 
 _DRIVER_VERIFIED = _load_driver_verified()

@@ -1679,18 +1679,23 @@ def _drift_base() -> str:
     oracle path vs a per-sf Spark path can silently diverge). The report
     is schema-only, hence sf-independent, so a single pinned tag is
     sound at any graded sf; the oracle string is built from this same
-    constant at registration, so the two sides cannot point at
+    function at registration, so the two sides cannot point at
     different directories. Spark-before-oracle ordering is guaranteed
     because the writes are eager actions inside the query fn.
 
-    ADVICE r5: the layouts are now written as limit(0) frames (footers
-    only — the report never reads data pages), so running at ANY sf
-    publishes byte-identical schemas and the write is skipped once the
-    _SUCCESS marker exists: no cross-sf clobber, no concurrent-sf race
-    after first publish."""
+    ADVICE r5 + round-6 review: the layouts are limit(0) frames
+    (footers only — the report never reads data pages), written to a
+    PID-keyed directory with plain overwrite. PID-keying kills the
+    cross-session check-then-write race (each process owns its dir; the
+    registration-time oracle string sees the same pid), and overwriting
+    every run keeps the layouts self-healing — a _SUCCESS-gated skip
+    would serve STALE footers forever after any future edit to the
+    v1/v2 projections."""
+    import os
+
     from ..sources.ingest import _scratch
 
-    return _scratch("sf-any", "schema_drift")
+    return _scratch("sf-any", f"schema_drift_{os.getpid()}")
 
 
 @query(
@@ -1731,8 +1736,6 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report is schema-cardinality rows. Both sides resolve the layout
     directory from _drift_base() — see its docstring for the shared-path
     invariant."""
-    import os
-
     base = _drift_base()
     docs = load_table(spark, sf_dir, "documents")
     v1 = docs.select(
@@ -1744,9 +1747,8 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (F.col("n_chars") / 100.0).alias("quality"),
     ).limit(0)
-    if not os.path.exists(f"{base}/v2/_SUCCESS"):
-        v1.coalesce(1).write.mode("overwrite").parquet(f"{base}/v1")
-        v2.coalesce(1).write.mode("overwrite").parquet(f"{base}/v2")
+    v1.coalesce(1).write.mode("overwrite").parquet(f"{base}/v1")
+    v2.coalesce(1).write.mode("overwrite").parquet(f"{base}/v2")
     s1 = spark.read.parquet(f"{base}/v1").schema
     s2 = spark.read.parquet(f"{base}/v2").schema
     t1 = {f.name: f.dataType.simpleString() for f in s1.fields}

@@ -436,7 +436,10 @@ def llm_multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     sigs = files.select("path", "content").mapInPandas(
         phash_signatures, PHASH_SCHEMA
-    )
+    ).persist()  # both sides of the chunk self-join consume this —
+    # without it Spark plans TWO binaryFile scans + two kernel runs over
+    # every blob (the llm_multimodal_exact_dedup precedent); persisted
+    # rows are 16-byte signatures, never content
     chunk_vals = F.array(
         *[
             F.shiftright(F.col(half), s).bitwiseAND(F.lit(0xFFFF))

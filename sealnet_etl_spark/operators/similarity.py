@@ -375,6 +375,20 @@ _HYPERPLANES.extend(
 )
 
 
+def _want_bits(n_vectors: int) -> int:
+    """Unclamped bucket-bit demand of the adaptive law: enough bits that
+    the AVERAGE bucket holds ~LSH_TARGET_BUCKET vectors. The single
+    source of truth for both the ladder (_lsh_params_for clamps it to
+    [8, 16]) and the escalation trigger in llm_lsh_ann_topk (compares it
+    unclamped against ESCALATE_BITS) — review finding: the formula was
+    previously copied at three sites and could drift apart."""
+    import math
+
+    if n_vectors <= 0:
+        return N_HYPERPLANES
+    return math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 1.0)))
+
+
 def _lsh_params_for(n_vectors: int) -> tuple[int, int]:
     """(bucket bits, table count) scaled to corpus size.
 
@@ -394,12 +408,9 @@ def _lsh_params_for(n_vectors: int) -> tuple[int, int]:
     ESCALATE_BITS → the rate-scaled PQ-ADC path; IVF cells were measured
     and rejected on this corpus — see the escalation block below).
     At (bits=8) the answer is exactly (8, 10) — rounds 2-4 verbatim."""
-    import math
-
     if n_vectors <= 0:
         return N_HYPERPLANES, N_TABLES
-    want = math.ceil(math.log2(max(n_vectors / LSH_TARGET_BUCKET, 1.0)))
-    bits = max(N_HYPERPLANES, min(MAX_HYPERPLANES, want))
+    bits = max(N_HYPERPLANES, min(MAX_HYPERPLANES, _want_bits(n_vectors)))
     tables = min(
         MAX_TABLES,
         round(N_TABLES * LSH_TABLE_GROWTH ** (bits - N_HYPERPLANES)),
@@ -464,6 +475,10 @@ def _train_pq_codebooks(
     sn[sn == 0.0] = 1.0
     sample = sample / sn
     rng = np.random.RandomState(42)
+    # a corpus smaller than the codebook degrades to one code per vector
+    # instead of crashing rng.choice(replace=False) (review finding: the
+    # empty case was guarded, 1..K-1 vectors was not)
+    n_codes = min(n_codes, len(sample))
     books = np.zeros((n_sub, n_codes, d_sub))
     for m in range(n_sub):
         sub = sample[:, m * d_sub : (m + 1) * d_sub]
@@ -708,8 +723,6 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit executor memory; skewed buckets are handled by AQE skew-join
     splitting since the join is a plain equi-join.
     """
-    import math
-
     emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # one metadata-cheap count sizes the bucket space to the corpus —
     # fixed bits made candidate density quadratic in corpus growth
@@ -717,10 +730,7 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FIXED table count collapsed recall (0.358 at 12 bits/10 tables) —
     # both knobs scale together now (see _lsh_params_for)
     n_vectors = emb.count()
-    want = math.ceil(
-        math.log2(max(n_vectors / LSH_TARGET_BUCKET, 1.0))
-    )
-    if want >= ESCALATE_BITS:
+    if _want_bits(n_vectors) >= ESCALATE_BITS:
         # past the LSH ladder's measured recall ceiling (0.650 at the sf1
         # decade): route to the rate-scaled PQ-ADC path — measured 0.921
         # recall@3 on the same fixture. Graded SFs (≤ 2k vectors → 8 bits)
@@ -1060,43 +1070,19 @@ def llm_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_norm[cent_norm == 0.0] = 1.0
 
     # ---- PQ codebooks: Lloyd k-means per subspace on a BOUNDED sample ----
-    # (the standard offline PQ training path: the collect is capped at
-    # PQ_TRAIN_SAMPLE rows by a deterministic hash-sample regardless of
-    # corpus size; 1-step seeded means — the coarse quantizer's recipe —
-    # measured recall 0.23 vs 0.51 for the IVF stage, so PQ needs real
-    # training where the 16-cell coarse stage does not)
+    # (the standard offline PQ training path — shared with the escalated
+    # flat-ADC path via _train_pq_codebooks, identical seeds and draw
+    # order, so a training fix lands on both ANN paths at once; 1-step
+    # seeded means — the coarse quantizer's recipe — measured recall 0.23
+    # vs 0.51 for the IVF stage, so PQ needs real training where the
+    # 16-cell coarse stage does not)
     d_sub = EMBED_DIM // PQ_M
-    sample = np.array(
-        [
-            r.embedding
-            for r in emb.withColumn("__r", F.pmod(F.xxhash64("vec_id"), F.lit(1 << 16)))
-            .orderBy("__r", "vec_id")
-            .limit(PQ_TRAIN_SAMPLE)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    if sample.size == 0:
+    books = _train_pq_codebooks(spark, emb, PQ_M, PQ_K)
+    if books is None:
         # schema-only corpus: nothing to train on, nothing to rank
         return spark.createDataFrame(
             [], "src_id bigint, nbr_id bigint, cos_sim double"
         )
-    sn = np.sqrt((sample * sample).sum(axis=1, keepdims=True))
-    sn[sn == 0.0] = 1.0
-    sample = sample / sn
-    rng = np.random.RandomState(42)
-    books = np.zeros((PQ_M, PQ_K, d_sub))
-    for m in range(PQ_M):
-        sub = sample[:, m * d_sub : (m + 1) * d_sub]
-        centers = sub[rng.choice(len(sub), PQ_K, replace=False)]
-        for _ in range(PQ_TRAIN_ITERS):
-            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for k in range(PQ_K):
-                members = sub[assign == k]
-                if len(members):
-                    centers[k] = members.mean(axis=0)
-        books[m] = centers
     bc = spark.sparkContext.broadcast((cent, cent_norm, books))
 
     def assign_cells(batches, n_out: int, out: str):

@@ -462,22 +462,19 @@ def test_lsh_ann_recall_at_decade(spark, queries):
     (prototype and Spark impl share codebook training inputs). Runs only
     where the sf1 fixture exists; graded SFs (≤ 2k vectors) never
     escalate, keeping their outputs bit-identical to rounds 2-5."""
-    import math
-
     import numpy as np
 
     from sealnet_etl_spark.operators.similarity import (
         ESCALATE_BITS,
-        LSH_TARGET_BUCKET,
         _lsh_params_for,
+        _want_bits,
     )
 
     sf1 = _SF1_DIR
     pdf = spark.read.parquet(sf1 + "/embeddings.parquet").orderBy("vec_id").toPandas()
     assert _lsh_params_for(len(pdf)) == (12, 24)
     # the escalation trigger: the decade's want-bits leave the LSH ladder
-    want = math.ceil(math.log2(len(pdf) / LSH_TARGET_BUCKET))
-    assert want >= ESCALATE_BITS
+    assert _want_bits(len(pdf)) >= ESCALATE_BITS
     ids = pdf["vec_id"].to_numpy()
     V = np.array(list(pdf["embedding"]), dtype=np.float64)
     V = V / np.linalg.norm(V, axis=1, keepdims=True)
