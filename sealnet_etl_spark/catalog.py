@@ -153,7 +153,7 @@ def _grade_rank(name: str) -> tuple:
     return (3, 0)
 
 
-def _load_driver_verified() -> frozenset:
+def _load_driver_verified(base=None) -> frozenset:
     """Names whose LATEST driver grade is green (230 across r1-r5), MINUS
     tier-0 regrades whose oracle changed this round. Read from the round
     files rather than hardcoded so future rounds' greens fold out of the
@@ -165,7 +165,9 @@ def _load_driver_verified() -> frozenset:
     import json
     import pathlib
 
-    base = pathlib.Path(__file__).resolve().parent.parent
+    if base is None:
+        base = pathlib.Path(__file__).resolve().parent.parent
+    base = pathlib.Path(base)
     latest: dict[str, bool] = {}
     for path in sorted(base.glob("CORRECTNESS_r*.json")):
         try:

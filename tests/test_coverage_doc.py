@@ -12,3 +12,30 @@ def test_coverage_doc_is_fresh():
     assert on_disk.read_text() == coverage_markdown(), (
         "COVERAGE.md is stale — run tools/gen_coverage.py"
     )
+
+
+def test_driver_verified_red_grades_requeue(tmp_path):
+    """Round-6 review finding: a RED or erred latest driver grade must NOT
+    count as verified (it would rank the query BEHIND the never-graded
+    tail). Later round files override earlier verdicts name-by-name, so a
+    red that later re-grades green counts again."""
+    import json
+
+    from sealnet_etl_spark.catalog import _REGRADE_FIRST, _load_driver_verified
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    err = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}
+    ro = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_green": g, "q_red_then_green": red, "q_went_red": g, "q_rows_only": ro})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_red_then_green": g, "q_went_red": err})
+    )
+    verified = _load_driver_verified(tmp_path)
+    assert "q_green" in verified
+    assert "q_red_then_green" in verified  # latest verdict wins
+    assert "q_went_red" not in verified  # erred latest grade re-queues
+    assert "q_rows_only" in verified  # rows-only without error is green
+    assert not (verified & set(_REGRADE_FIRST))
