@@ -470,3 +470,62 @@ def test_pointer_doubling_depth_matches_sequential_walk(spark, draws):
     got = {r.id: r.dist for r in state.collect()}
     got[1] = 0
     assert got == expect, (parent, got, expect)
+
+
+# --- perceptual gradient hash (round 6) --------------------------------------
+
+phash_inputs = st.tuples(
+    st.binary(min_size=130, max_size=4096),  # blob (>= PHASH_BLOCKS + edit room)
+    st.integers(0, 3800),  # edit offset
+    st.integers(1, 64),  # edit length
+    st.binary(min_size=1, max_size=64),  # replacement bytes
+)
+
+
+@given(phash_inputs)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_phash_bits_locality_bound(case):
+    """The whole near-dup margin rests on LOCALITY: a contiguous byte edit
+    may only flip gradient bits whose adjacent-block comparison touches an
+    edited block — at most (blocks spanned by the edit) + 1 bits, plus
+    nothing anywhere else. Pure-Python property (no Spark job), so it runs
+    at full hypothesis depth. Also pins determinism and the 32-bit range
+    of each signature half."""
+    from sealnet_etl_spark.operators.multimodal import (
+        PHASH_BLOCKS,
+        PHASH_SAMP,
+        _phash_bits,
+    )
+
+    data, off, ln, repl = case
+    off = min(off, len(data) - 1)
+    repl = (repl * ((ln // len(repl)) + 1))[:ln]
+    edited = data[:off] + repl + data[off + ln :]
+    if len(edited) != len(data):  # keep sizes equal so blocks align
+        edited = (edited + data[len(edited) :])[: len(data)]
+
+    lo_a, hi_a = _phash_bits(data)
+    assert (lo_a, hi_a) == _phash_bits(data)  # deterministic
+    assert 0 <= lo_a < (1 << 32) and 0 <= hi_a < (1 << 32)
+
+    lo_b, hi_b = _phash_bits(edited)
+    diff = (lo_a ^ lo_b) | ((hi_a ^ hi_b) << 32)
+
+    stride = len(data) // PHASH_BLOCKS
+    # blocks whose SAMPLED region [j*stride, j*stride + PHASH_SAMP) meets
+    # the edited byte range [off, off + len(repl))
+    touched = {
+        j
+        for j in range(PHASH_BLOCKS)
+        if j * stride < off + len(repl)
+        and off < j * stride + min(PHASH_SAMP, len(data) - j * stride)
+    }
+    # bit j compares blocks j and j+1
+    allowed = 0
+    for j in range(PHASH_BLOCKS - 1):
+        if j in touched or (j + 1) in touched:
+            allowed |= 1 << j
+    assert diff & ~allowed == 0, (
+        f"edit at [{off},{off+len(repl)}) flipped non-adjacent bits: "
+        f"{bin(diff & ~allowed)}"
+    )
