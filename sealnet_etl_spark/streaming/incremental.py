@@ -336,13 +336,21 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_prior", "doc_new", F.round(jac, 6).alias("jaccard")
                 )
             )
-            verified.write.mode("overwrite").parquet(
+            # coalesce(2): a micro-batch's pair/index/shingle frames are
+            # tiny relative to the default 32 shuffle partitions — without
+            # this every batch writes 3 × 32 near-empty files and pays the
+            # task+commit overhead (the small-files problem, self-inflicted
+            # per batch); 2 keeps a sliver of write parallelism while a
+            # real deployment would size this to batch volume
+            verified.coalesce(2).write.mode("overwrite").parquet(
                 f"{results_store}/chunk={batch_id}"
             )
-        keys.write.mode("overwrite").parquet(f"{index_store}/chunk={batch_id}")
-        shingled.select("doc_id", "shingles").write.mode("overwrite").parquet(
-            f"{shingle_store}/chunk={batch_id}"
+        keys.coalesce(2).write.mode("overwrite").parquet(
+            f"{index_store}/chunk={batch_id}"
         )
+        shingled.select("doc_id", "shingles").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{shingle_store}/chunk={batch_id}")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
