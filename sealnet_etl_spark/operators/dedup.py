@@ -635,6 +635,10 @@ def simhash_candidate_pairs(sigs: DataFrame) -> DataFrame:
         .groupBy("chunk_key")
         .agg(F.sort_array(F.collect_list("d")).alias("ds"))
         .filter(F.size("ds") > 1)
+        .persist()  # the small/hot branches below both consume this —
+        # unpersisted, Catalyst re-ran the signature stage + bucket agg
+        # per branch (round-6 A/B: 1.59 s → 1.04 s at sf0.1; the same
+        # persist-multi-consumer rule as DSIR/bm25)
     )
     small = buckets.filter(F.size("ds") <= HOT_BUCKET_CAP)
     hot = buckets.filter(F.size("ds") > HOT_BUCKET_CAP)
