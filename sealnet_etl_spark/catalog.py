@@ -6,19 +6,14 @@ Add one import line per module as operators land (SURVEY.md §7.3 order).
 Grading order: the driver grades roughly the first 50 registry entries
 each round (in registration order), so the registry is re-ordered after
 import to put the queries that need evidence most inside that window.
-Round 6's tiers: (0) queries whose cross-engine output is NEW or CHANGED
-this round, (1) the 63-query never-driver-graded tail (family-interleaved
-order carried over from round 5, minus the 41 queries CORRECTNESS_r05
-proved), (2) queries registered after this file was planned — they enter
-the window ahead of long-green work (ADVICE r5: round 5 accidentally
-ranked unknowns WITH the verified tier), (3) the 230 queries already
-hash-green across CORRECTNESS_r01-r05.
-
-Changed-but-output-identical fixes (llm_ndcg_eval's try_element_at,
-ag_mannwhitney_u's try_divide, etl_schema_drift_report's sf-neutral
-layout dir) deliberately do NOT take window slots: their graded-SF
-results are bit-identical to their r5 hash-green rows, and the local
-mirror re-proves them every session.
+Round 7's tiers: (0) queries whose cross-engine output CHANGED in round
+6 but missed that round's window (llm_simhash_near_dup), (1) the final
+17-query never-driver-graded tail (order carried over from round 6,
+minus the 46 queries CORRECTNESS_r06 proved), (2) queries registered
+after this file was planned — they enter the window ahead of long-green
+work (ADVICE r5: round 5 accidentally ranked unknowns WITH the verified
+tier), (3) the 280 queries already hash-green across
+CORRECTNESS_r01-r06.
 
 Correctness of every tier is still enforced locally each round by the
 strict mirror (tests/test_oracle_mirror.py runs ALL queries); the ordering
@@ -46,78 +41,23 @@ from .plans import flagship  # noqa: F401
 
 from . import registry as _registry
 
-#: Queries whose cross-engine OUTPUT is new or changed in round 6, graded
-#: first so the driver proves them immediately:
-#: - llm_multimodal_near_dup: NEW — perceptual (gradient-hash) near-dup
-#:   over binary blobs, Hamming-chunk-blocked, lossless vs brute oracle
-#: - llm_multimodal_chip_extract: NEW — bounded binary crops keyed by
-#:   parsed-filename detections, fully JVM-side
-#: - llm_compression_ratio: rows-only → hash upgrade (zlib kernel
-#:   replaced by the LZ78-dictionary proxy, r = 0.983 against zlib)
-#: - llm_multimodal_pair_align: NEW — cross-modality registration search
-#:   (the reconstructed reference's thermal/color pairing, SURVEY §0.3)
+#: Queries whose cross-engine OUTPUT changed in round 6 but missed that
+#: round's window, graded first so the driver proves them immediately:
+#: - llm_simhash_near_dup: the r6 memoized Arrow signature kernel replaced
+#:   the JVM md5 path (bit-identical on the local mirror; VERDICT r6 #5
+#:   asks for driver re-certification). llm_compression_ratio, the other
+#:   r6 rewrite, was already re-certified green inside the r6 window.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_multimodal_near_dup",
-    "llm_multimodal_chip_extract",
-    "llm_compression_ratio",
-    "llm_multimodal_pair_align",
+    "llm_simhash_near_dup",
 )
 
-#: ROUND-6 PLAN (VERDICT r5 "Next round" #1, the top item two rounds
-#: running): implementation breadth is done; driver hash-evidence is the
-#: only gap. This tuple is the round-5 tail MINUS the 41 queries the r5
-#: window proved (CORRECTNESS_r05: 50/50 hash-green), same interleaved
-#: family order so a short window still samples every family. With the 4
-#: regrades above, a ~50-row window drains 46 of these 63; ≤17 remain
-#: for round 7. Every query here is local-mirror green (full sweep).
+#: ROUND-7 PLAN (VERDICT r6 "Next round" #1, the top item three rounds
+#: running): the round-6 tail MINUS the 46 queries CORRECTNESS_r06 proved
+#: (50/50 hash-green). These 17 are the LAST never-driver-graded queries
+#: in the registry — one window drains them all with ~30 slots to spare
+#: for tier-2 (queries added this round) and the verified tier behind.
+#: Every query here is local-mirror green (full sweep).
 _NEVER_GRADED: tuple[str, ...] = (
-    "etl_dynamic_partition_overwrite",
-    "jn_spatial_grid",
-    "src_orc_roundtrip",
-    "llm_boilerplate_ngrams",
-    "wn_session_conversion",
-    "etl_contiguous_ids",
-    "jn_bloom_prefilter",
-    "src_jsonl_roundtrip",
-    "llm_sentiment_lexicon",
-    "wn_ranking_semantics",
-    "etl_checksum_table_diff",
-    "jn_fuzzy_match_blocked",
-    "llm_quality_percentile_filter",
-    "wn_transition_matrix",
-    "etl_user_erasure",
-    "jn_asof_tolerance",
-    "wn_attribution_last_touch",
-    "etl_skew_report",
-    "llm_dataset_card",
-    "wn_gap_fill_locf",
-    "etl_anomaly_zscore",
-    "llm_bpe_merge_candidates",
-    "wn_pareto_share",
-    "etl_fk_integrity_audit",
-    "llm_tokenizer_apply",
-    "wn_event_paths",
-    "etl_cdc_apply_tombstones",
-    "llm_sequence_pack",
-    "wn_seasonal_residual_anomaly",
-    "etl_winsorize",
-    "llm_mixture_sample",
-    "wn_alert_debounce",
-    "etl_late_arriving_dim",
-    "llm_keep_best_duplicate",
-    "wn_rolling_median",
-    "etl_incremental_mv_refresh",
-    "llm_incremental_dedup",
-    "wn_ema_smoothing",
-    "etl_join_cardinality",
-    "llm_unigram_logprob",
-    "wn_max_drawdown",
-    "etl_medallion_pipeline",
-    "llm_doc_chunking",
-    "wn_change_point",
-    "etl_subject_access_report",
-    "llm_balanced_sample",
-    "wn_skyline_pareto",
     "etl_backfill_plan",
     "llm_negative_sampling",
     "wn_time_weighted_average",
@@ -134,19 +74,23 @@ _NEVER_GRADED: tuple[str, ...] = (
     "llm_embedding_qa",
     "llm_knn_classifier",
     "llm_pca_power_iteration",
+    "wn_skyline_pareto",
 )
 
 
 def _grade_rank(name: str) -> tuple:
-    """Four tiers: round-6 new/changed queries, then the never-driver-
-    graded tail (explicit interleaved order), then any name in NEITHER
-    tuple (queries registered after this file was planned — ADVICE r5:
-    these must drain BEFORE long-green work, so they get their own tier
-    instead of landing inside the verified one), then the 230 queries
-    with green driver evidence from r1-r5."""
+    """Four tiers: round-7 regrades, then the never-driver-graded tail
+    (explicit interleaved order), then any name in NEITHER tuple (queries
+    registered after this file was planned — ADVICE r5: these must drain
+    BEFORE long-green work, so they get their own tier instead of landing
+    inside the verified one), then the 280 queries with green driver
+    evidence from r1-r6. ADVICE r6: a tail entry already proven green by
+    a later round file folds out to the verified tier automatically —
+    membership in _NEVER_GRADED must not pin a window slot once the
+    driver has the evidence."""
     if name in _REGRADE_FIRST:
         return (0, _REGRADE_FIRST.index(name))
-    if name in _NEVER_GRADED:
+    if name in _NEVER_GRADED and name not in _DRIVER_VERIFIED:
         return (1, _NEVER_GRADED.index(name))
     if name not in _DRIVER_VERIFIED:
         return (2, 0)

@@ -39,3 +39,21 @@ def test_driver_verified_red_grades_requeue(tmp_path):
     assert "q_went_red" not in verified  # erred latest grade re-queues
     assert "q_rows_only" in verified  # rows-only without error is green
     assert not (verified & set(_REGRADE_FIRST))
+
+
+def test_tail_entry_with_driver_evidence_folds_out():
+    """ADVICE r6: a _NEVER_GRADED entry already proven green in a round
+    file must rank in the verified tier, not keep a tier-1 window slot
+    until the tuple is hand-edited."""
+    from sealnet_etl_spark import catalog
+
+    if not catalog._NEVER_GRADED:
+        return  # nothing to check once the tail fully drains
+    tail_name = catalog._NEVER_GRADED[0]
+    orig = catalog._DRIVER_VERIFIED
+    try:
+        catalog._DRIVER_VERIFIED = orig | {tail_name}
+        assert catalog._grade_rank(tail_name)[0] == 3
+    finally:
+        catalog._DRIVER_VERIFIED = orig
+    assert catalog._grade_rank(tail_name)[0] == 1  # no evidence -> window
