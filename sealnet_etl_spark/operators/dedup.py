@@ -426,7 +426,11 @@ SIMHASH_MAX_HAMMING = 4
 #: worker-lifetime memo of token -> 64 vote bits (md5-derived); Zipfian
 #: reuse makes this the signature stage's whole win — capped so a 100 TB
 #: vocabulary can't grow it unboundedly (clear-and-refill beats LRU
-#: bookkeeping at this entry size)
+#: bookkeeping at this entry size). Entries are uint8[64] (ADVICE r6: the
+#: int64[64] form cost ~620 B/token, ~0.6 GB/worker at the cap; uint8
+#: is ~176 B with ndarray overhead, ~0.2 GB worst-case per worker —
+#: votes upcast to int64 at accumulate time, so signatures are
+#: unchanged bit-for-bit).
 _SIMHASH_TOKEN_CACHE: dict = {}
 _SIMHASH_CACHE_CAP = 1_000_000
 # k+1 = 5 blocks for k = 4 (the published block-permutation guarantee,
@@ -733,7 +737,16 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes the explode AND the signature shuffle outright — a doc's
     votes never leave its scan task; only (doc_id, two int64) rows exit.
     Tokenization is re.split(r'\\s+', lower) under re.ASCII, the exact
-    Java/DuckDB \\s set, so the oracle is untouched."""
+    Java/DuckDB \\s set, so the oracle is untouched.
+
+    ASCII assumption (ADVICE r6): lowercasing here is Python str.lower()
+    while the oracle uses DuckDB lower(); both are full-Unicode but
+    their case-mapping tables can diverge on edge cases (dotted-I,
+    version-dependent additions). The cross-engine bit-identity claim is
+    therefore verified for ASCII text (the fixtures, and the re.ASCII
+    tokenizer already treats only ASCII whitespace as separators); a
+    non-ASCII corpus should pin one normalization (e.g. NFC +
+    ASCII-fold) on BOTH engines before trusting hash equality."""
     import numpy as np
     import pandas as pd
 
@@ -763,10 +776,14 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         v = int(h[:8], 16) | (int(h[8:16], 16) << 32)
                         bits = np.array(
                             [(v >> i) & 1 for i in range(SIMHASH_BITS)],
-                            dtype=np.int64,
+                            dtype=np.uint8,
                         )
                         cache[w] = bits
-                    votes += c * bits
+                    # uint8 cache entry, int64 accumulate: c <= doc token
+                    # count (~1e3) so c * bit fits int64 trivially; the
+                    # dtype kwarg upcasts BEFORE the multiply, keeping the
+                    # vote sums identical to the old int64[64] cache.
+                    votes += np.multiply(bits, c, dtype=np.int64)
                     n += c
                 sig = votes * 2 > n
                 out_id.append(did)

@@ -1690,12 +1690,49 @@ def _drift_base() -> str:
     registration-time oracle string sees the same pid), and overwriting
     every run keeps the layouts self-healing — a _SUCCESS-gated skip
     would serve STALE footers forever after any future edit to the
-    v1/v2 projections."""
+    v1/v2 projections.
+
+    ADVICE r6: (a) the oracle string is interpolated at module import and
+    the query fn runs in the SAME driver process (the registry holds a
+    plain function; Spark's Python workers never execute it), so the
+    same-pid assumption is an invariant of the grading architecture, not
+    a hope — asserted cheaply in the query fn; (b) dirs of DEAD pids are
+    reaped there, so repeated grading/test processes no longer
+    accumulate schema_drift_<pid> litter in the shared scratch tree."""
     import os
 
     from ..sources.ingest import _scratch
 
     return _scratch("sf-any", f"schema_drift_{os.getpid()}")
+
+
+def _reap_dead_drift_dirs(base: str) -> None:
+    """Remove sibling schema_drift_<pid> layouts whose owner process is
+    gone (os.kill(pid, 0) probe). Live concurrent sessions keep their
+    dirs — pid-keying exists exactly so they never collide."""
+    import os
+    import shutil
+
+    parent = os.path.dirname(base)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("schema_drift_"):
+            continue
+        try:
+            pid = int(name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid -> leave its dir alone
 
 
 @query(
@@ -1737,6 +1774,11 @@ def etl_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory from _drift_base() — see its docstring for the shared-path
     invariant."""
     base = _drift_base()
+    # registration built the oracle path in this same process (see
+    # _drift_base docstring); a mismatch here would mean the registry was
+    # imported in a different process than the one executing the query
+    assert base.endswith(f"_{__import__('os').getpid()}")
+    _reap_dead_drift_dirs(base)
     docs = load_table(spark, sf_dir, "documents")
     v1 = docs.select(
         F.col("doc_id").cast("int").alias("doc_id"), "text", "lang", "n_chars"

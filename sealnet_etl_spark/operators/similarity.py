@@ -532,7 +532,10 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     so there is no shuffle proportional to candidates. Only the
     (src, nbr) shortlist ids leave the scan; the exact re-rank reuses
     _score_pairs_from_tile. Deterministic end-to-end: pinned training
-    seeds + ties broken toward lower nbr_id via stable ordering."""
+    seeds, shortlist boundary ties resolved toward lower nbr_id by an
+    explicit fixup (r7 — argpartition alone left boundary ties to the
+    partition algorithm's internal order), and final-rank ties broken
+    toward lower nbr_id via stable ordering."""
     import numpy as np
     import pandas as pd
 
@@ -614,6 +617,23 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             if sl <= 0:
                 continue
             short = np.argpartition(-adc, sl - 1, axis=1)[:, :sl]
+            # ADVICE r6: argpartition breaks score TIES at the shortlist
+            # boundary by its internal element order (numpy/BLAS-build
+            # dependent), and ADC scores tie readily (identical PQ codes
+            # => identical LUT sums). Make the boundary deterministic:
+            # keep every column strictly above the row's sl-th score and
+            # fill the remainder with the tied columns of lowest position
+            # (c_ids is sorted ascending, so position order = nbr_id
+            # order). Rows whose ties all fit inside the shortlist are
+            # already a uniquely-determined set and skip the fixup.
+            rows = np.arange(len(q))
+            thr = adc[rows[:, None], short].min(axis=1)
+            n_gt = (adc > thr[:, None]).sum(axis=1)
+            n_eq = (adc == thr[:, None]).sum(axis=1)
+            for r in np.nonzero(n_gt + n_eq != sl)[0]:
+                keep = np.nonzero(adc[r] > thr[r])[0]
+                tied = np.nonzero(adc[r] == thr[r])[0][: sl - n_gt[r]]
+                short[r] = np.concatenate([keep, tied])
             yield pd.DataFrame(
                 {
                     "src_id": src_ids.repeat(sl),
@@ -891,12 +911,19 @@ def llm_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a true neighbor quantizes into the 12 unprobed cells.
 
     Compared with multi-probe LSH (llm_lsh_ann_topk): IVF needs this
-    cheap training pass but gives data-adaptive cells — on clustered real
-    embeddings its recall/candidate curve dominates LSH; on this
-    near-random corpus they are comparable (recall floor asserted in
-    tests/test_llm_semantics.py). At 100 TB: centroids come from k-means
-    on a sample, the cell assignment is one narrow shuffle-free pass, and
-    per-cell candidate lists are the bucketed layout ANN serving reads.
+    cheap training pass but gives data-adaptive cells — a win only when
+    the corpus actually clusters. **Measured and REJECTED as this
+    engine's scale escalation (SCALE.md, round-6 IVF table): on this
+    near-isotropic corpus trained cells carry no neighbor signal and
+    recall ≈ candidate fraction at every (cells, nprobe) tried, so the
+    adaptive path escalates to flat PQ-ADC instead (recall 0.921 at the
+    sf1 decade).** The operator stays as a band-tested demonstration of
+    the IVF serving stack (recall floor asserted in
+    tests/test_llm_semantics.py), not a recommendation; re-try it only
+    on a corpus whose silhouette says the cells are real. At 100 TB:
+    centroids come from k-means on a sample, the cell assignment is one
+    narrow shuffle-free pass, and per-cell candidate lists are the
+    bucketed layout ANN serving reads.
     """
     import numpy as np
     import pandas as pd

@@ -174,3 +174,25 @@ def test_compaction_controls_file_count(spark, tmp_path):
         spark.read.parquet(out_comp).count()
         == spark.read.parquet(out_frag).count()
     )
+
+
+def test_dead_pid_drift_dirs_reaped(tmp_path):
+    """ADVICE r6: schema_drift_<pid> scratch dirs of DEAD processes must
+    be reaped by the next run; the live process's own dir and dirs of
+    live pids must survive."""
+    import os
+
+    from sealnet_etl_spark.operators.etl import _reap_dead_drift_dirs
+
+    own = tmp_path / f"schema_drift_{os.getpid()}"
+    dead = tmp_path / "schema_drift_999999999"  # beyond pid_max
+    junk = tmp_path / "schema_drift_notapid"
+    other = tmp_path / "unrelated_dir"
+    for d in (own, dead, junk, other):
+        d.mkdir()
+        (d / "marker").write_text("x")
+    _reap_dead_drift_dirs(str(own))
+    assert own.is_dir()
+    assert junk.is_dir()  # unparseable suffix: leave alone
+    assert other.is_dir()
+    assert not dead.exists()
