@@ -298,19 +298,40 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = shingled.select(
             "doc_id", *minhash_signature_cols(F.col("__base"))
         ).select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+        # Write the chunk's band keys BEFORE probing and read them back for
+        # the probe side (r7 itemization): `keys` used to feed both the
+        # candidate join and the index write, and each consumer recomputed
+        # the 128-hash signature stage from the checkpointed base — the
+        # persist-multi-consumer rule, paid once per batch. The probe
+        # filters chunk < batch_id, so the just-written own partition is
+        # invisible to it and write-ahead idempotency is unchanged (a
+        # crash-replayed batch rewrites the same partition either way).
+        keys.coalesce(2).write.mode("overwrite").parquet(
+            f"{index_store}/chunk={batch_id}"
+        )
 
         if batch_id > 0 and _os.path.isdir(index_store):
+            index = spark.read.parquet(index_store)
+            new_keys = index.filter(F.col("chunk") == batch_id).select(
+                F.col("doc_id").alias("doc_new"), "band_key"
+            )
+            # Prune the accumulated index to band keys the batch actually
+            # probes BEFORE the hot-bucket cap window (r7): the cap picks
+            # the HOT_BUCKET_CAP lowest prior ids PER BAND KEY, so dropping
+            # band keys absent from the batch removes no row of any probed
+            # key — output-identical — while the window now shuffles
+            # O(batch-matched) keys instead of re-windowing the ENTIRE
+            # index every trigger (the O(corpus)-per-batch shape that
+            # would dominate at 100 TB; batch band keys broadcast).
+            batch_band_keys = new_keys.select("band_key").distinct()
             prior_keys = (
-                spark.read.parquet(index_store)
-                .filter(F.col("chunk") < batch_id)
+                index.filter(F.col("chunk") < batch_id)
+                .join(F.broadcast(batch_band_keys), "band_key", "left_semi")
                 .withColumnRenamed("doc_id", "doc_prior")
             )
             cand = (
                 _cap(prior_keys, "doc_prior")
-                .join(
-                    _cap(keys.withColumnRenamed("doc_id", "doc_new"), "doc_new"),
-                    "band_key",
-                )
+                .join(_cap(new_keys, "doc_new"), "band_key")
                 .select("doc_prior", "doc_new")
                 .distinct()
             )
@@ -345,9 +366,6 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             verified.coalesce(2).write.mode("overwrite").parquet(
                 f"{results_store}/chunk={batch_id}"
             )
-        keys.coalesce(2).write.mode("overwrite").parquet(
-            f"{index_store}/chunk={batch_id}"
-        )
         shingled.select("doc_id", "shingles").coalesce(2).write.mode(
             "overwrite"
         ).parquet(f"{shingle_store}/chunk={batch_id}")
