@@ -986,6 +986,183 @@ def llm_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# Data-constrained epoch budgeting
+# ---------------------------------------------------------------------------
+
+#: Training token budget as a fraction of the unique corpus:
+#: 9/4 = 2.25 epochs-equivalent — deliberately BETWEEN the low tier's
+#: 2-epoch cap and the high tier's 4, so rounds 1-2 fund fully, round 3
+#: pro-rates, and round 4 goes unfunded (every allocator branch exercised
+#: at every SF).
+EPOCH_BUDGET_NUM = 9
+EPOCH_BUDGET_DEN = 4
+EPOCHS_HIGH = 4  # repeat cap for above-median-TTR sources
+EPOCHS_LOW = 2  # repeat cap for the rest (Muennighoff et al. 2023: value
+#                 decays with repetition; lower-quality data decays faster)
+
+
+@query(
+    "llm_epoch_budget",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH per_source AS MATERIALIZED (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT)              AS n_tokens,
+                   CAST(COUNT(DISTINCT word) AS BIGINT)  AS n_types
+            FROM (SELECT source,
+                         unnest(list_filter(
+                             string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS word
+                  FROM documents)
+            GROUP BY source
+        ), tiered AS MATERIALIZED (
+            SELECT source, n_tokens,
+                   (n_types * 1000000) // n_tokens AS ttr_micro,
+                   CASE WHEN ROW_NUMBER() OVER (
+                            ORDER BY (n_types * 1000000) // n_tokens DESC,
+                                     source)
+                             <= (COUNT(*) OVER ()) // 2
+                        THEN {EPOCHS_HIGH} ELSE {EPOCHS_LOW}
+                   END AS max_epochs
+            FROM per_source
+        ), exploded AS MATERIALIZED (
+            SELECT source, n_tokens, ttr_micro, max_epochs,
+                   unnest(range(1, max_epochs + 1)) AS r
+            FROM tiered
+        ), funded AS MATERIALIZED (
+            SELECT r, CAST(SUM(n_tokens) AS BIGINT) AS round_total,
+                   CAST(LEAST(
+                       SUM(n_tokens),
+                       GREATEST(
+                           (SELECT ({EPOCH_BUDGET_NUM} * SUM(n_tokens))
+                                   // {EPOCH_BUDGET_DEN} FROM per_source)
+                           - COALESCE(SUM(SUM(n_tokens)) OVER (
+                                 ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0),
+                           0)) AS BIGINT) AS funded_tokens
+            FROM exploded GROUP BY r
+        )
+        SELECT e.source, e.n_tokens, e.ttr_micro,
+               CAST(e.max_epochs AS BIGINT) AS max_epochs,
+               CAST(SUM((f.funded_tokens * e.n_tokens) // f.round_total)
+                    AS BIGINT) AS alloc_tokens,
+               CAST((SUM((f.funded_tokens * e.n_tokens) // f.round_total)
+                     * 1000000) // e.n_tokens AS BIGINT) AS epochs_micro
+        FROM exploded e JOIN funded f USING (r)
+        GROUP BY e.source, e.n_tokens, e.ttr_micro, e.max_epochs
+    """,
+)
+def llm_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a training token
+    budget smaller than max-repeats × corpus, decide how many epochs of
+    each SOURCE to train on. Repetition value decays, and decays faster
+    for lower-quality data — so sources are tiered by type-token ratio
+    (micro-unit integer; above-median TTR ⇒ cap EPOCHS_HIGH, rest
+    EPOCHS_LOW, median split tie-broken by source name) and the budget
+    is poured in epoch ROUNDS: round r takes every source whose cap
+    allows an r-th epoch; a round funds fully while budget remains,
+    the marginal round pro-rates by token count, later rounds get 0.
+    Output per source: unique tokens, ttr_micro, the cap, allocated
+    tokens, and the resulting (fractional) epochs in micro-units.
+
+    Integer-exact end-to-end: token counts, the TTR, the 9/4 budget,
+    cumulative round totals, and the pro-rata share
+    ``funded·n_tokens div round_total`` are all BIGINT ops (floor
+    division on non-negative values — identical on both engines; the
+    full-funding case reduces to exactly n_tokens, so one formula
+    covers every branch). No float exists anywhere in the operator, so
+    the oracle hash-matches by construction. At 100 TB token counts
+    (~10¹⁴ per source) the pro-rata product needs decimal(38,0) — a
+    one-line cast; magnitudes at graded SFs sit far inside int64.
+
+    Scale: one map-side-combining (source, word) distinct-count
+    aggregate over documents — the only data-sized shuffle, and the
+    honest exact form of a per-source vocabulary count (the 100 TB
+    path swaps COUNT(DISTINCT word) for approx_count_distinct, the
+    same trade ag_approx_count_distinct documents). Everything after
+    runs on ONE ROW PER SOURCE (dozens at any corpus size): the tier
+    window, the 4-row round ledger, the broadcast joins — allocator
+    cost is corpus-size-independent by design."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(normalized_words(F.col("text")), lambda x: x != "")
+    per_source = (
+        docs.select("source", F.explode(words).alias("word"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("word").alias("n_types"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tiered = per_source.select(
+        "source",
+        "n_tokens",
+        F.expr("(n_types * 1000000) div n_tokens").alias("ttr_micro"),
+        F.when(
+            F.row_number().over(
+                Window.orderBy(
+                    F.expr("(n_types * 1000000) div n_tokens").desc(),
+                    "source",
+                )
+            )
+            <= F.expr(f"count(*) over () div 2"),
+            F.lit(EPOCHS_HIGH),
+        )
+        .otherwise(F.lit(EPOCHS_LOW))
+        .alias("max_epochs"),
+        F.expr(
+            f"({EPOCH_BUDGET_NUM} * sum(n_tokens) over ())"
+            f" div {EPOCH_BUDGET_DEN}"
+        ).alias("budget"),
+    )
+    exploded = tiered.select(
+        "source",
+        "n_tokens",
+        "ttr_micro",
+        "max_epochs",
+        "budget",
+        F.explode(F.sequence(F.lit(1), F.col("max_epochs"))).alias("r"),
+    )
+    w_prev = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
+    funded = (
+        exploded.groupBy("r")
+        .agg(
+            F.sum("n_tokens").alias("round_total"),
+            F.max("budget").alias("budget"),
+        )
+        .select(
+            "r",
+            "round_total",
+            F.expr(
+                "least(round_total, greatest(budget - "
+                "coalesce(sum(round_total) over (order by r rows between "
+                "unbounded preceding and 1 preceding), 0), 0))"
+            ).alias("funded_tokens"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(funded), "r")
+        .groupBy("source", "n_tokens", "ttr_micro", "max_epochs")
+        .agg(
+            F.sum(
+                F.expr("(funded_tokens * n_tokens) div round_total")
+            ).alias("alloc_tokens")
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "ttr_micro",
+            F.col("max_epochs").cast("long").alias("max_epochs"),
+            "alloc_tokens",
+            F.expr("(alloc_tokens * 1000000) div n_tokens").alias(
+                "epochs_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Curriculum ordering
 # ---------------------------------------------------------------------------
 

@@ -371,3 +371,39 @@ def test_md5_bucket_is_uniform_and_salt_decorrelated(spark):
     assert max(loads) / min(loads) < 1.25, loads
     agree = df.filter(F.col("ba") == F.col("bb")).count() / n
     assert abs(agree - 1 / mod) < 0.02, agree
+
+
+def test_epoch_budget_allocator_branches(spark, queries):
+    """Every allocator branch is exercised at the 9/4 budget: low-tier
+    sources land exactly at their 2-epoch cap (rounds 1-2 fully funded),
+    high-tier sources get 2 full epochs plus a pro-rated round-3 share
+    strictly below their 4-epoch cap, total allocation never exceeds the
+    budget, and floor remainders are bounded by the number of
+    (source, round) shares."""
+    from sealnet_etl_spark.operators.trainprep import (
+        EPOCH_BUDGET_DEN,
+        EPOCH_BUDGET_NUM,
+        EPOCHS_HIGH,
+        EPOCHS_LOW,
+    )
+
+    rows = queries["llm_epoch_budget"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r.n_tokens for r in rows)
+    budget = (EPOCH_BUDGET_NUM * total) // EPOCH_BUDGET_DEN
+    alloc = sum(r.alloc_tokens for r in rows)
+    n_shares = sum(r.max_epochs for r in rows)
+    assert alloc <= budget
+    assert budget - alloc < n_shares  # floor loses < 1 token per share
+    lows = [r for r in rows if r.max_epochs == EPOCHS_LOW]
+    highs = [r for r in rows if r.max_epochs == EPOCHS_HIGH]
+    assert lows and highs
+    for r in lows:
+        assert r.alloc_tokens == EPOCHS_LOW * r.n_tokens
+        assert r.epochs_micro == EPOCHS_LOW * 1_000_000
+    for r in highs:
+        assert EPOCHS_LOW * 1_000_000 < r.epochs_micro < EPOCHS_HIGH * 1_000_000
+        assert r.alloc_tokens < EPOCHS_HIGH * r.n_tokens
+    # tiering is the median split on (ttr desc, source) — high tier count
+    # is exactly n_sources // 2
+    assert len(highs) == len(rows) // 2
