@@ -134,6 +134,11 @@ def headline_queries() -> list[str]:
         "llm_multimodal_chip_extract",
         "llm_compression_ratio",
         "llm_multimodal_pair_align",
+        # round 7: the fixed-point PCA (8 Arrow chunk-partial passes —
+        # tracked so a lost persist re-scans parquet 8×) and the epoch
+        # allocator's (source, word) distinct-count aggregate
+        "llm_pca_power_iteration",
+        "llm_epoch_budget",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

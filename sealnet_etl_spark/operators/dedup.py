@@ -752,53 +752,64 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    def sig_batches(batches):
-        import collections
-        import hashlib
-        import re
-
-        ws = re.compile(r"\s+", re.ASCII)
-        cache = _SIMHASH_TOKEN_CACHE
-        for pdf in batches:
-            out_id, out_lo, out_hi = [], [], []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [w for w in ws.split((text or "").lower()) if w != ""]
-                if not toks:
-                    continue  # JVM twin: no post-filter rows -> no group
-                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
-                n = 0
-                for w, c in collections.Counter(toks).items():
-                    bits = cache.get(w)
-                    if bits is None:
-                        if len(cache) >= _SIMHASH_CACHE_CAP:
-                            cache.clear()  # bound worker memory; refill is cheap
-                        h = hashlib.md5(b"sh|" + w.encode()).hexdigest()
-                        v = int(h[:8], 16) | (int(h[8:16], 16) << 32)
-                        bits = np.array(
-                            [(v >> i) & 1 for i in range(SIMHASH_BITS)],
-                            dtype=np.uint8,
-                        )
-                        cache[w] = bits
-                    # uint8 cache entry, int64 accumulate: c <= doc token
-                    # count (~1e3) so c * bit fits int64 trivially; the
-                    # dtype kwarg upcasts BEFORE the multiply, keeping the
-                    # vote sums identical to the old int64[64] cache.
-                    votes += np.multiply(bits, c, dtype=np.int64)
-                    n += c
-                sig = votes * 2 > n
-                out_id.append(did)
-                out_lo.append(int(sum(int(sig[i]) << i for i in range(32))))
-                out_hi.append(
-                    int(sum(int(sig[32 + i]) << i for i in range(32)))
-                )
-            yield pd.DataFrame(
-                {"doc_id": out_id, "sim_lo": out_lo, "sim_hi": out_hi}
-            )
-
     sigs = docs.select("doc_id", "text").mapInPandas(
-        sig_batches, "doc_id bigint, sim_lo bigint, sim_hi bigint"
+        _simhash_sig_batches, "doc_id bigint, sim_lo bigint, sim_hi bigint"
     )
     return simhash_candidate_pairs(sigs)
+
+
+def _simhash_sig_batches(batches, cap: int | None = None):
+    """The memoized SimHash signature kernel (module-level so the
+    clear-and-refill cap path is unit-testable with a tiny ``cap`` —
+    tests/test_dedup_hot_bucket.py proves capped and uncapped runs emit
+    bit-identical signatures). ``cap=None`` resolves the module cap at
+    CALL time, i.e. inside the Python worker."""
+    import collections
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    if cap is None:
+        cap = _SIMHASH_CACHE_CAP
+    ws = re.compile(r"\s+", re.ASCII)
+    cache = _SIMHASH_TOKEN_CACHE
+    for pdf in batches:
+        out_id, out_lo, out_hi = [], [], []
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = [w for w in ws.split((text or "").lower()) if w != ""]
+            if not toks:
+                continue  # JVM twin: no post-filter rows -> no group
+            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            n = 0
+            for w, c in collections.Counter(toks).items():
+                bits = cache.get(w)
+                if bits is None:
+                    if len(cache) >= cap:
+                        cache.clear()  # bound worker memory; refill is cheap
+                    h = hashlib.md5(b"sh|" + w.encode()).hexdigest()
+                    v = int(h[:8], 16) | (int(h[8:16], 16) << 32)
+                    bits = np.array(
+                        [(v >> i) & 1 for i in range(SIMHASH_BITS)],
+                        dtype=np.uint8,
+                    )
+                    cache[w] = bits
+                # uint8 cache entry, int64 accumulate: c <= doc token
+                # count (~1e3) so c * bit fits int64 trivially; the
+                # dtype kwarg upcasts BEFORE the multiply, keeping the
+                # vote sums identical to the old int64[64] cache.
+                votes += np.multiply(bits, c, dtype=np.int64)
+                n += c
+            sig = votes * 2 > n
+            out_id.append(did)
+            out_lo.append(int(sum(int(sig[i]) << i for i in range(32))))
+            out_hi.append(
+                int(sum(int(sig[32 + i]) << i for i in range(32)))
+            )
+        yield pd.DataFrame(
+            {"doc_id": out_id, "sim_lo": out_lo, "sim_hi": out_hi}
+        )
 
 
 @query(

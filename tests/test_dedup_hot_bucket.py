@@ -148,3 +148,52 @@ def test_connected_components_uses_reliable_checkpoint(spark, tmp_path):
         assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True)
     finally:
         spark.sparkContext.setCheckpointDir(None)
+
+
+def test_simhash_cache_cap_clear_and_refill_is_output_invariant():
+    """The token-memo cap (clear-and-refill) must never change emitted
+    signatures — a cap of 2 forces constant eviction over a vocabulary of
+    dozens, and the output must still be bit-identical to the uncapped
+    run. Also pins the invariant len(cache) <= cap after any run. This is
+    the unit coverage for the cap path that no fixture can reach (the
+    synthetic corpus vocabulary measured 31-3100 distinct tokens across
+    three decades vs the 1M cap — SCALE.md round-7 note)."""
+    import pandas as pd
+
+    from sealnet_etl_spark.operators import dedup as d
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "beta gamma delta epsilon zeta eta",
+                "theta iota kappa lambda mu nu xi omicron",
+                "alpha alpha alpha beta beta gamma",
+                "pi rho sigma tau upsilon phi chi psi omega",
+                "",
+                None,
+                "alpha beta gamma delta epsilon zeta",
+            ],
+        }
+    )
+
+    def run(cap):
+        d._SIMHASH_TOKEN_CACHE.clear()
+        out = pd.concat(
+            list(d._simhash_sig_batches([docs], cap=cap)), ignore_index=True
+        )
+        assert len(d._SIMHASH_TOKEN_CACHE) <= cap
+        return out
+
+    try:
+        uncapped = run(10**6)
+        capped = run(2)
+        pd.testing.assert_frame_equal(uncapped, capped)
+        # identical duplicate docs produce identical signatures across
+        # a cache-cleared boundary
+        sig = {r.doc_id: (r.sim_lo, r.sim_hi) for r in uncapped.itertuples()}
+        assert sig[0] == sig[7]
+        assert 5 not in sig and 6 not in sig  # empty/null rows drop
+    finally:
+        d._SIMHASH_TOKEN_CACHE.clear()
