@@ -135,10 +135,12 @@ def headline_queries() -> list[str]:
         "llm_compression_ratio",
         "llm_multimodal_pair_align",
         # round 7: the fixed-point PCA (8 Arrow chunk-partial passes —
-        # tracked so a lost persist re-scans parquet 8×) and the epoch
-        # allocator's (source, word) distinct-count aggregate
+        # tracked so a lost persist re-scans parquet 8×), the epoch
+        # allocator's (source, word) distinct-count aggregate, and the
+        # margin miner's tile-kernel + shortlist-join pipeline
         "llm_pca_power_iteration",
         "llm_epoch_budget",
+        "llm_margin_mining",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

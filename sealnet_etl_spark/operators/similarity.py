@@ -1844,3 +1844,192 @@ def llm_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "sel_rank int, vec_id bigint, rel_micro bigint, mmr_score_micro bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Margin-based nearest-neighbor pair mining (bitext-mining primitive)
+# ---------------------------------------------------------------------------
+
+MINE_LABEL_SRC = 0  # "source language" stand-in side
+MINE_LABEL_TGT = 1  # "target language" stand-in side
+MINE_K = 4  # shortlist depth AND the k of the k-NN average denominator
+#: ratio > 1.0 — the mined pair must beat its neighborhoods' average
+#: affinity (production bitext miners use ~1.04-1.06; 1.0 keeps the
+#: synthetic fixture's planted structure visible at every SF)
+MINE_MARGIN_MICRO_MIN = 1_000_000
+
+
+def _margin_oracle_sql() -> str:
+    k, thr = MINE_K, MINE_MARGIN_MICRO_MIN
+    la, lb = MINE_LABEL_SRC, MINE_LABEL_TGT
+    return rf"""
+        WITH pairs AS MATERIALIZED (
+            SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+                   {_micro_cos_sql('a.embedding', 'b.embedding')} AS cos_micro
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE label = {la} AND embedding IS NOT NULL) a,
+                 (SELECT vec_id, embedding FROM embeddings
+                  WHERE label = {lb} AND embedding IS NOT NULL) b
+        ), fwd_short AS MATERIALIZED (
+            SELECT src_id, tgt_id, cos_micro FROM pairs
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id
+                ORDER BY cos_micro DESC, tgt_id) <= {k}
+        ), bwd_short AS MATERIALIZED (
+            SELECT src_id, tgt_id, cos_micro FROM pairs
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY tgt_id
+                ORDER BY cos_micro DESC, src_id) <= {k}
+        ), src_sums AS MATERIALIZED (
+            SELECT src_id, CAST(SUM(cos_micro) AS BIGINT) AS sumk_src
+            FROM fwd_short GROUP BY src_id
+        ), tgt_sums AS MATERIALIZED (
+            SELECT tgt_id, CAST(SUM(cos_micro) AS BIGINT) AS sumk_tgt
+            FROM bwd_short GROUP BY tgt_id
+        ), fwd_best AS MATERIALIZED (
+            SELECT f.src_id, f.tgt_id, f.cos_micro,
+                   (f.cos_micro * {2 * k} * 1000000)
+                       // (s.sumk_src + t.sumk_tgt) AS margin_micro
+            FROM fwd_short f
+            JOIN src_sums s USING (src_id) JOIN tgt_sums t USING (tgt_id)
+            WHERE f.cos_micro > 0 AND s.sumk_src + t.sumk_tgt > 0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY f.src_id ORDER BY
+                (f.cos_micro * {2 * k} * 1000000)
+                    // (s.sumk_src + t.sumk_tgt) DESC, f.tgt_id) = 1
+        ), bwd_best AS MATERIALIZED (
+            SELECT f.src_id, f.tgt_id,
+                   (f.cos_micro * {2 * k} * 1000000)
+                       // (s.sumk_src + t.sumk_tgt) AS margin_micro
+            FROM bwd_short f
+            JOIN src_sums s USING (src_id) JOIN tgt_sums t USING (tgt_id)
+            WHERE f.cos_micro > 0 AND s.sumk_src + t.sumk_tgt > 0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY f.tgt_id ORDER BY
+                (f.cos_micro * {2 * k} * 1000000)
+                    // (s.sumk_src + t.sumk_tgt) DESC, f.src_id) = 1
+        )
+        SELECT f.src_id, f.tgt_id, f.cos_micro, f.margin_micro
+        FROM fwd_best f
+        JOIN bwd_best b ON f.src_id = b.src_id AND f.tgt_id = b.tgt_id
+        WHERE f.margin_micro >= {thr}
+    """
+
+
+@query("llm_margin_mining", survey_id="LLM-4/LLM-11", oracle=_margin_oracle_sql())
+def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based nearest-neighbor pair mining (Artetxe & Schwenk 2019
+    — the LASER / CCMatrix bitext-mining criterion): find (src, tgt)
+    vector pairs across two sides (labels stand in for languages) whose
+    cosine BEATS the average affinity of each side's own k-NN
+    neighborhood — margin(x,y) = cos(x,y) / ((avgk(x)+avgk(y))/2) —
+    keeping only MUTUAL best-margin pairs above the threshold. Raw
+    cosine thresholds over-mine dense regions and under-mine sparse
+    ones; the margin normalizes by local density, which is why
+    production parallel-corpus mining uses it. As in LASER, the margin
+    is evaluated on each side's top-k cosine shortlist.
+
+    Integer discipline: cosines round once into micro-units (the shared
+    _micro_cos_sql / half-away convention of llm_mmr_diversify), k-NN
+    sums are exact integer sums of those, and the margin ratio is the
+    integer floor (cos·2k·10⁶) div (sumk_src + sumk_tgt) — positive
+    numerator and denominator enforced by filter, so floor semantics
+    agree engine-to-engine. Forward and backward margins are the same
+    integers by symmetry; selection ties break toward the lower id.
+
+    Scale shape: reuses llm_knn_classifier's labeled corpus tile (same
+    path, same content — the per-app tile cache makes it one write+load
+    per session). Each side's rows stream through an Arrow kernel that
+    scores a whole batch against the OTHER side's tile slice with one
+    BLAS matmul, emitting only the k-row shortlist + neighborhood sum —
+    |A|·k and |B|·k rows total; every join after that is on shortlist-
+    sized frames (broadcast), windows partition by src/tgt id. At 100 TB
+    the tile splits (llm_tiled_topk_cosine) or an ANN prefilter
+    (llm_lsh_ann_topk) bounds the candidate generation; the margin/
+    mutual logic is unchanged — it never sees more than k rows per
+    vector."""
+    import numpy as np
+    import pandas as pd
+
+    k = MINE_K
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
+    base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
+    tile = f"{base}/tile=0"
+
+    def side_kernel(other_label: int, out_src_first: bool):
+        """Score each incoming row against the tile rows of other_label;
+        emit its top-k shortlist with the exact neighborhood sum."""
+
+        def kernel(batches):
+            ids, mat, norms, labels = _load_tile(tile, with_labels=True)
+            labels = np.asarray(labels, dtype=np.int64)
+            mask = labels == other_label
+            o_ids, o_mat, o_norms = ids[mask], mat[mask], norms[mask]
+            empty = pd.DataFrame(
+                {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
+            ).astype(
+                {"src_id": "int64", "tgt_id": "int64",
+                 "cos_micro": "int64", "sumk": "int64"}
+            )
+            for pdf in batches:
+                if not len(pdf) or o_ids.size == 0:
+                    yield empty
+                    continue
+                q = np.array(list(pdf["embedding"]), dtype=np.float64)
+                qn = np.sqrt((q * q).sum(axis=1))
+                cos = q @ o_mat.T / (qn[:, None] * o_norms[None, :])
+                # micro-round half-away-from-zero: the F.round / DuckDB
+                # ROUND convention (llm_mmr_diversify precedent)
+                cm = (
+                    np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+                ).astype(np.int64)
+                my_ids = pdf["vec_id"].to_numpy()
+                out = {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
+                for r in range(len(my_ids)):
+                    order = np.lexsort((o_ids, -cm[r]))[:k]
+                    sumk = int(cm[r][order].sum())
+                    for j in order:
+                        a, b = int(my_ids[r]), int(o_ids[j])
+                        out["src_id"].append(a if out_src_first else b)
+                        out["tgt_id"].append(b if out_src_first else a)
+                        out["cos_micro"].append(int(cm[r][j]))
+                        out["sumk"].append(sumk)
+                yield pd.DataFrame(out).astype("int64")
+
+        return kernel
+
+    schema = "src_id bigint, tgt_id bigint, cos_micro bigint, sumk bigint"
+    side_a = emb.filter(F.col("label") == MINE_LABEL_SRC)
+    side_b = emb.filter(F.col("label") == MINE_LABEL_TGT)
+    fwd_short = (
+        side_a.mapInPandas(side_kernel(MINE_LABEL_TGT, True), schema)
+        .withColumnRenamed("sumk", "sumk_src")
+        .persist()
+    )
+    bwd_short = (
+        side_b.mapInPandas(side_kernel(MINE_LABEL_SRC, False), schema)
+        .withColumnRenamed("sumk", "sumk_tgt")
+        .persist()
+    )
+    src_sums = fwd_short.select("src_id", "sumk_src").distinct()
+    tgt_sums = bwd_short.select("tgt_id", "sumk_tgt").distinct()
+    margin = F.expr(f"(cos_micro * {2 * k} * 1000000) div (sumk_src + sumk_tgt)")
+
+    def best(short: DataFrame, own_sums: str, part: str, tie: str) -> DataFrame:
+        sums = tgt_sums if own_sums == "tgt" else src_sums
+        scored = (
+            short.join(F.broadcast(sums), "tgt_id" if own_sums == "tgt" else "src_id")
+            .filter((F.col("cos_micro") > 0) & (F.col("sumk_src") + F.col("sumk_tgt") > 0))
+            .withColumn("margin_micro", margin)
+        )
+        w = Window.partitionBy(part).orderBy(F.desc("margin_micro"), tie)
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    fwd_best = best(fwd_short, "tgt", "src_id", "tgt_id")
+    bwd_best = best(bwd_short, "src", "tgt_id", "src_id").select("src_id", "tgt_id")
+    out = (
+        fwd_best.join(bwd_best, ["src_id", "tgt_id"])
+        .filter(F.col("margin_micro") >= MINE_MARGIN_MICRO_MIN)
+        .select("src_id", "tgt_id", "cos_micro", "margin_micro")
+    )
+    return out

@@ -499,3 +499,29 @@ def test_lsh_ann_recall_at_decade(spark, queries):
     }
     recall = len(exact & ann) / len(exact)
     assert 0.85 <= recall <= 1.0, f"decade recall left its band: {recall:.3f}"
+
+
+def test_margin_mining_is_a_partial_matching(spark, queries):
+    """Mutual-best margin mining yields a partial matching: no src and no
+    tgt appears twice, every margin clears the threshold, and every
+    mined pair is genuinely cross-side (src from label 0, tgt from
+    label 1)."""
+    from sealnet_etl_spark.operators.similarity import (
+        MINE_LABEL_SRC,
+        MINE_LABEL_TGT,
+        MINE_MARGIN_MICRO_MIN,
+    )
+
+    rows = queries["llm_margin_mining"](spark, SF_DIR).collect()
+    assert rows
+    srcs = [r.src_id for r in rows]
+    tgts = [r.tgt_id for r in rows]
+    assert len(srcs) == len(set(srcs))
+    assert len(tgts) == len(set(tgts))
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in rows:
+        assert r.margin_micro >= MINE_MARGIN_MICRO_MIN
+        assert r.cos_micro > 0
+        assert labels[r.src_id] == MINE_LABEL_SRC
+        assert labels[r.tgt_id] == MINE_LABEL_TGT
