@@ -599,15 +599,48 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             lut = np.einsum(
                 "rmd,mkd->rmk", q.reshape(len(q), ESC_PQ_M, d_sub), bk
             ).astype(np.float32)
-            adc = np.zeros((len(q), len(c_ids)), dtype=np.float32)
-            # allocation-free gathers: np.take(..., out=) into one reused
-            # scratch instead of 16 fresh (rows × n) temporaries — the
-            # fancy-indexing form spent ~40% of the scan in the allocator
-            if gather is None or gather.shape != adc.shape:
-                gather = np.empty_like(adc)
-            for m in range(ESC_PQ_M):
-                np.take(lut[:, m, :], c_codes[:, m], axis=1, out=gather)
-                adc += gather
+            n_c = len(c_ids)
+            # threshold below the sf1 decade's 20 k codes ON PURPOSE, so
+            # the skipif-gated decade recall test exercises the blocked
+            # branch end-to-end (at 20 k it costs ~7% of a scan that is
+            # itself a fraction of the query; the 2× win begins at 100 k+)
+            if n_c <= 16384:
+                # flat: one gather per subspace across all columns —
+                # allocation-free via np.take(out=) into one reused
+                # scratch (the fancy-indexing form spent ~40% of the
+                # scan in the allocator)
+                adc = np.zeros((len(q), n_c), dtype=np.float32)
+                if gather is None or gather.shape != adc.shape:
+                    gather = np.empty_like(adc)
+                for m in range(ESC_PQ_M):
+                    np.take(lut[:, m, :], c_codes[:, m], axis=1, out=gather)
+                    adc += gather
+            else:
+                # column-blocked accumulate (r7, third decade): past L3
+                # the 16 full-width gather passes stream the whole
+                # (rows × n) matrix from DRAM each time — per-query scan
+                # measured 617 µs → 13.5 ms for 20 k → 200 k codes (28×
+                # for 10×). Blocking keeps each 8 k-column slab resident
+                # across all 16 accumulates: 6.8 ms/q at 200 k (2×),
+                # restoring near-linear per-query cost. Bit-identical by
+                # construction — every element still accumulates its 16
+                # LUT terms in subspace order (A/B-asserted).
+                adc = np.empty((len(q), n_c), dtype=np.float32)
+                B = 8192
+                if gather is None or gather.shape != (len(q), B):
+                    gather = np.empty((len(q), B), dtype=np.float32)
+                for lo in range(0, n_c, B):
+                    hi = min(lo + B, n_c)
+                    blk = adc[:, lo:hi]
+                    gb = gather[:, : hi - lo]
+                    np.take(
+                        lut[:, 0, :], c_codes[lo:hi, 0], axis=1, out=blk
+                    )
+                    for m in range(1, ESC_PQ_M):
+                        np.take(
+                            lut[:, m, :], c_codes[lo:hi, m], axis=1, out=gb
+                        )
+                        blk += gb
             src_ids = pdf["vec_id"].to_numpy()
             self_pos = np.searchsorted(c_ids, src_ids)
             for r in range(len(q)):
