@@ -1094,7 +1094,6 @@ def llm_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").alias("n_types"),
         )
     )
-    w_all = Window.partitionBy()
     tiered = per_source.select(
         "source",
         "n_tokens",
