@@ -1548,6 +1548,109 @@ def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_pack_bins",
+    survey_id="LLM-11/UDF-3",
+    oracle=rf"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   {_md5_bucket_sql("doc_id::VARCHAR", "pack:", PACK_SHARDS)}
+                       AS shard,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        ), rows_n AS (
+            SELECT doc_id, shard,
+                   CAST(LEAST(n_tokens, {SEQ_LEN}) AS BIGINT) AS eff,
+                   CASE WHEN n_tokens > {SEQ_LEN} THEN 1 ELSE 0 END
+                       AS truncated,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+                       AS rn
+            FROM toks WHERE n_tokens > 0
+        ), rec AS (
+            SELECT doc_id, shard, eff, truncated, rn,
+                   CAST(0 AS BIGINT) AS bin_idx, eff AS fill
+            FROM rows_n WHERE rn = 1
+            UNION ALL
+            SELECT r.doc_id, r.shard, r.eff, r.truncated, r.rn,
+                   CASE WHEN p.fill + r.eff <= {SEQ_LEN}
+                        THEN p.bin_idx ELSE p.bin_idx + 1 END,
+                   CASE WHEN p.fill + r.eff <= {SEQ_LEN}
+                        THEN p.fill + r.eff ELSE r.eff END
+            FROM rows_n r JOIN rec p
+              ON r.shard = p.shard AND r.rn = p.rn + 1
+        )
+        SELECT doc_id, shard, bin_idx,
+               fill - eff                  AS offset_in_bin,
+               eff                         AS n_tokens_packed,
+               CAST(truncated AS INT)      AS truncated
+        FROM rec
+    """,
+)
+def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting sequence packing (pad-and-pack): NEXT-FIT bin
+    packing of whole documents into SEQ_LEN-token training bins — no
+    document ever crosses a bin boundary (the layout used when samples
+    must not mix attention across documents and the writer pads each
+    bin's tail instead of splitting; llm_sequence_pack is the
+    concat-and-cut alternative). Docs longer than SEQ_LEN are truncated
+    to one full bin and flagged. Output per doc: its bin, offset, packed
+    token count, and the truncation flag — per-bin padding is
+    SEQ_LEN − MAX(offset+packed) by construction.
+
+    Packing is ORDER-DEPENDENT state (bin fill carries across rows), so
+    no window expresses it: within each md5 shard the docs stream
+    through ``applyInPandas`` in doc_id order and a 10-line sequential
+    loop assigns bins — the honest shape, because next-fit is
+    inherently sequential PER STREAM and embarrassingly parallel ACROSS
+    streams. The oracle is the same recursion as a recursive CTE
+    (depth = max docs/shard). Scale: one hash shuffle on the shard key;
+    shards are the parallel unit (raise PACK_SHARDS to O(cores) at
+    100 TB, exactly the llm_sequence_pack doctrine) and a shard's
+    (doc_id, count) pairs — not its text — are what the worker holds.
+    All-integer state, so the oracle matches exactly."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        out_bin, out_off, out_eff, out_trunc = [], [], [], []
+        bin_idx, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            eff = min(int(n), SEQ_LEN)
+            if fill + eff > SEQ_LEN and fill > 0:
+                bin_idx, fill = bin_idx + 1, 0
+            out_bin.append(bin_idx)
+            out_off.append(fill)
+            out_eff.append(eff)
+            out_trunc.append(1 if int(n) > SEQ_LEN else 0)
+            fill += eff
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "shard": pdf["shard"],
+                "bin_idx": out_bin,
+                "offset_in_bin": out_off,
+                "n_tokens_packed": out_eff,
+                "truncated": out_trunc,
+            }
+        )
+
+    return toks.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id bigint, shard bigint, bin_idx bigint, "
+        "offset_in_bin bigint, n_tokens_packed bigint, truncated int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weighting (data selection for language models)
 # ---------------------------------------------------------------------------

@@ -407,3 +407,40 @@ def test_epoch_budget_allocator_branches(spark, queries):
     # tiering is the median split on (ttr desc, source) — high tier count
     # is exactly n_sources // 2
     assert len(highs) == len(rows) // 2
+
+
+def test_pack_bins_nextfit_reference(spark, queries):
+    """Pure-python next-fit reference check: recompute the packing per
+    shard from the doc token counts and compare every (bin, offset,
+    packed, truncated) assignment; also pin the capacity invariant."""
+    import re
+
+    from sealnet_etl_spark.operators.textstats import TOKEN_PATTERN
+    from sealnet_etl_spark.operators.trainprep import SEQ_LEN
+    from sealnet_etl_spark.sources import load_table
+
+    rows = {r.doc_id: r for r in queries["llm_pack_bins"](spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    pat = re.compile(TOKEN_PATTERN)
+    by_shard = {}
+    for r in rows.values():
+        by_shard.setdefault(r.shard, []).append(r.doc_id)
+    counts = {
+        d.doc_id: len(pat.findall((d.text or "").lower())) for d in docs
+    }
+    packed_docs = {d for d, n in counts.items() if n > 0}
+    assert set(rows) == packed_docs
+    for shard, ids in by_shard.items():
+        ids.sort()
+        bin_idx, fill = 0, 0
+        for did in ids:
+            eff = min(counts[did], SEQ_LEN)
+            if fill + eff > SEQ_LEN and fill > 0:
+                bin_idx, fill = bin_idx + 1, 0
+            r = rows[did]
+            assert (r.bin_idx, r.offset_in_bin, r.n_tokens_packed) == (
+                bin_idx, fill, eff
+            ), did
+            assert r.truncated == (1 if counts[did] > SEQ_LEN else 0)
+            fill += eff
+            assert r.offset_in_bin + r.n_tokens_packed <= SEQ_LEN
