@@ -1462,3 +1462,118 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dcg_at10", "idcg_at10", "ndcg_at10", "n_overlap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement between declared metadata and the detector
+# ---------------------------------------------------------------------------
+
+_KAPPA_GUESS_CTE = r"""
+        scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(w, x -> x IN ('the','and','of','a')))   AS c_en,
+                   len(list_filter(w, x -> x IN ('der','die','und','das'))) AS c_de,
+                   len(list_filter(w, x -> x IN ('el','la','de','y')))     AS c_es,
+                   len(list_filter(w, x -> x IN ('le','la','et','les')))   AS c_fr,
+                   len(list_filter(w, x -> x IN ('de','le','shi','he')))   AS c_zh
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+        ), guesses AS (
+            SELECT labeled_lang,
+                   CASE WHEN c_en >= GREATEST(c_de, c_es, c_fr, c_zh) THEN 'en'
+                        WHEN c_de >= GREATEST(c_es, c_fr, c_zh)       THEN 'de'
+                        WHEN c_es >= GREATEST(c_fr, c_zh)             THEN 'es'
+                        WHEN c_fr >= c_zh                             THEN 'fr'
+                        ELSE 'zh' END AS guessed_lang
+            FROM scored
+        )
+"""
+
+
+@query(
+    "ag_cohens_kappa",
+    survey_id="AG-7/LLM-7",
+    oracle=rf"""
+        WITH {_KAPPA_GUESS_CTE},
+        cnt AS (
+            SELECT labeled_lang AS a, guessed_lang AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM guesses GROUP BY labeled_lang, guessed_lang
+        ), tot AS (
+            SELECT CAST(SUM(c) AS BIGINT)                        AS n,
+                   CAST(COALESCE(SUM(c) FILTER (WHERE a = b), 0)
+                        AS BIGINT)                               AS n_agree
+            FROM cnt
+        ), pe AS (
+            SELECT CAST(COALESCE(SUM(r.r * q.q), 0) AS BIGINT) AS pe_num
+            FROM (SELECT a AS k, SUM(c) AS r FROM cnt GROUP BY a) r
+            JOIN (SELECT b AS k, SUM(c) AS q FROM cnt GROUP BY b) q
+              USING (k)
+        )
+        SELECT t.n, t.n_agree, p.pe_num,
+               CASE WHEN t.n * t.n = p.pe_num THEN CAST(0 AS BIGINT)
+                    ELSE ((1000000 * (t.n * t.n_agree - p.pe_num))
+                          - (((1000000 * (t.n * t.n_agree - p.pe_num))
+                              % (t.n * t.n - p.pe_num)
+                              + (t.n * t.n - p.pe_num))
+                             % (t.n * t.n - p.pe_num)))
+                         // (t.n * t.n - p.pe_num)
+               END AS kappa_micro
+        FROM tot t, pe p
+    """,
+)
+def ag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the DECLARED language metadata and the
+    stopword language detector (llm_lang_id's exact scoring, consumed as
+    a frame so the two can never desynchronize) — the label-QA readout
+    a pipeline runs to decide whether upstream metadata can be trusted:
+    raw agreement over-credits skewed class distributions, kappa
+    discounts chance agreement. One summary row: n, agreeing docs, the
+    chance term Σ row_k·col_k, and kappa in micro-units.
+
+    All-integer: kappa = (n·agree − pe) / (n² − pe) is a ratio of exact
+    BIGINTs, floored into micro-units with the pmod trick (the numerator
+    is NEGATIVE when agreement is below chance, and floor semantics for
+    negative integers differ between engines unless forced); the
+    degenerate n² = pe case (single class on both sides) reports 0 by
+    convention. At 100 TB n² needs decimal(38,0) — a one-line cast.
+
+    Scale: the detector pass is the only data-sized stage; everything
+    after runs on the ≤ |langs|² contingency grid (25 cells), the same
+    bounded shape as ag_chi_square_contingency."""
+    guesses = llm_lang_id(spark, sf_dir)
+    cnt = (
+        guesses.groupBy("labeled_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # three bounded consumers: totals, row + col marginals
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("guessed_lang"), F.col("c")
+                )
+            ),
+            F.lit(0),
+        ).alias("n_agree"),
+    )
+    rowm = cnt.groupBy(F.col("labeled_lang").alias("k")).agg(
+        F.sum("c").alias("r")
+    )
+    colm = cnt.groupBy(F.col("guessed_lang").alias("k")).agg(
+        F.sum("c").alias("q")
+    )
+    pe = (
+        rowm.join(colm, "k")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("q")), F.lit(0)).alias("pe_num"))
+    )
+    num = F.lit(1000000) * (F.col("n") * F.col("n_agree") - F.col("pe_num"))
+    den = F.col("n") * F.col("n") - F.col("pe_num")
+    kappa = F.when(den == 0, F.lit(0).cast("bigint")).otherwise(
+        ((num - ((F.pmod(num, den) + den) % den)) / den).cast("bigint")
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n", "n_agree", "pe_num", kappa.alias("kappa_micro")
+    )

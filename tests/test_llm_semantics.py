@@ -525,3 +525,31 @@ def test_margin_mining_is_a_partial_matching(spark, queries):
         assert r.cos_micro > 0
         assert labels[r.src_id] == MINE_LABEL_SRC
         assert labels[r.tgt_id] == MINE_LABEL_TGT
+
+
+def test_cohens_kappa_discounts_chance_agreement(spark, queries):
+    """On the synthetic corpus the detector answers 'en' for every doc
+    (English-salad text under every label), so RAW agreement is the
+    labeled-en fraction (~40%+) while kappa is EXACTLY 0 — the
+    over-credit kappa exists to remove. Cross-checked against a pure
+    python kappa recomputed from llm_lang_id's own output."""
+    row = queries["ag_cohens_kappa"](spark, SF_DIR).collect()[0]
+    pairs = [
+        (r.labeled_lang, r.guessed_lang)
+        for r in queries["llm_lang_id"](spark, SF_DIR).collect()
+    ]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    rowm: dict = {}
+    colm: dict = {}
+    for a, b in pairs:
+        rowm[a] = rowm.get(a, 0) + 1
+        colm[b] = colm.get(b, 0) + 1
+    pe_num = sum(r * colm.get(k, 0) for k, r in rowm.items())
+    assert (row.n, row.n_agree, row.pe_num) == (n, agree, pe_num)
+    den = n * n - pe_num
+    expect = 0 if den == 0 else (1_000_000 * (n * agree - pe_num)) // den
+    assert row.kappa_micro == expect
+    # the discount story: meaningful raw agreement, zero kappa
+    assert agree / n > 0.3
+    assert row.kappa_micro == 0
