@@ -398,6 +398,8 @@ _BNLJ_ALLOWED = {
     "llm_mmr_diversify",    # 1-row query-vector side on the candidate scan
     "ag_benford_audit",     # 1-row grand total under the 9-digit grid
     "llm_ndcg_eval",        # 1-row corpus stats + 1-row sys x ideal arrays
+    # round 7
+    "ag_cohens_kappa",      # two 1-row sides: totals x chance term
 }
 
 
