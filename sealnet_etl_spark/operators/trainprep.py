@@ -1001,11 +1001,12 @@ EPOCHS_LOW = 2  # repeat cap for the rest (Muennighoff et al. 2023: value
 #                 decays with repetition; lower-quality data decays faster)
 
 
-@query(
-    "llm_epoch_budget",
-    survey_id="LLM-11",
-    oracle=rf"""
-        WITH per_source AS MATERIALIZED (
+#: Shared oracle CTE block for the epoch allocator — the plan query and
+#: its apply twin build on exactly this, so their oracles cannot drift
+#: (the _SUBSTR_CTES precedent). Ends with an ``alloc`` CTE equal to
+#: llm_epoch_budget's output.
+_EPOCH_BUDGET_CTES = rf"""
+        per_source AS MATERIALIZED (
             SELECT source,
                    CAST(COUNT(*) AS BIGINT)              AS n_tokens,
                    CAST(COUNT(DISTINCT word) AS BIGINT)  AS n_types
@@ -1041,15 +1042,27 @@ EPOCHS_LOW = 2  # repeat cap for the rest (Muennighoff et al. 2023: value
                                  AND 1 PRECEDING), 0),
                            0)) AS BIGINT) AS funded_tokens
             FROM exploded GROUP BY r
+        ), alloc AS MATERIALIZED (
+            SELECT e.source, e.n_tokens, e.ttr_micro,
+                   CAST(e.max_epochs AS BIGINT) AS max_epochs,
+                   CAST(SUM((f.funded_tokens * e.n_tokens) // f.round_total)
+                        AS BIGINT) AS alloc_tokens,
+                   CAST((SUM((f.funded_tokens * e.n_tokens) // f.round_total)
+                         * 1000000) // e.n_tokens AS BIGINT) AS epochs_micro
+            FROM exploded e JOIN funded f USING (r)
+            GROUP BY e.source, e.n_tokens, e.ttr_micro, e.max_epochs
         )
-        SELECT e.source, e.n_tokens, e.ttr_micro,
-               CAST(e.max_epochs AS BIGINT) AS max_epochs,
-               CAST(SUM((f.funded_tokens * e.n_tokens) // f.round_total)
-                    AS BIGINT) AS alloc_tokens,
-               CAST((SUM((f.funded_tokens * e.n_tokens) // f.round_total)
-                     * 1000000) // e.n_tokens AS BIGINT) AS epochs_micro
-        FROM exploded e JOIN funded f USING (r)
-        GROUP BY e.source, e.n_tokens, e.ttr_micro, e.max_epochs
+"""
+
+
+@query(
+    "llm_epoch_budget",
+    survey_id="LLM-11",
+    oracle=f"""
+        WITH {_EPOCH_BUDGET_CTES}
+        SELECT source, n_tokens, ttr_micro, max_epochs, alloc_tokens,
+               epochs_micro
+        FROM alloc
     """,
 )
 def llm_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,6 +1171,80 @@ def llm_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "epochs_micro"
             ),
         )
+    )
+
+
+@query(
+    "llm_epoch_budget_apply",
+    survey_id="LLM-11",
+    oracle=rf"""
+        WITH {_EPOCH_BUDGET_CTES},
+        reps AS MATERIALIZED (
+            SELECT d.doc_id, d.source,
+                   a.epochs_micro // 1000000
+                   + CASE WHEN {_md5_bucket_sql(
+                       "d.doc_id::VARCHAR", "epoch:", 1_000_000)}
+                          < a.epochs_micro % 1000000
+                     THEN 1 ELSE 0 END AS n_repeats
+            FROM documents d JOIN alloc a USING (source)
+        )
+        SELECT doc_id, source,
+               CAST(q.i AS BIGINT)         AS repeat_idx,
+               CAST(n_repeats AS BIGINT)   AS n_repeats
+        FROM reps, unnest(range(n_repeats)) AS q(i)
+    """,
+)
+def llm_epoch_budget_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the epoch allocation — the apply twin of
+    llm_epoch_budget (the plan→apply pattern of llm_substring_dedup_*):
+    emit one row per (document, repeat) the training run will actually
+    see. Whole epochs replicate every doc of the source
+    (floor(epochs_micro/10⁶) copies); the FRACTIONAL epoch is realized
+    as a deterministic per-doc Bernoulli at exactly the fractional
+    rate — include one extra copy iff md5('epoch:'||doc_id) mod 10⁶ <
+    epochs_micro mod 10⁶ (the md5-integerization discipline: no RNG,
+    re-runs and the oracle agree row-for-row, and the realized rate is
+    exact in expectation with hash-uniform deviation). Consumes
+    llm_epoch_budget as a frame and shares its oracle CTE block, so
+    plan and apply can never disagree about the allocation.
+
+    Scale: the allocation is dozens of rows — a broadcast join onto the
+    doc stream; the explode emits exactly the output (Σ repeats ≈
+    budget/avg-doc-tokens rows), never more. Replicating doc IDS (not
+    text) is the point: the downstream writer joins text back per
+    shard, so the multiplied stream is 16 B/row wide."""
+    alloc = llm_epoch_budget(spark, sf_dir).select("source", "epochs_micro")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    reps = (
+        docs.join(F.broadcast(alloc), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr("epochs_micro div 1000000")
+                + F.when(
+                    md5_bucket(
+                        F.col("doc_id").cast("string"), "epoch:", 1_000_000
+                    )
+                    < F.col("epochs_micro") % 1_000_000,
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_repeats"),
+        )
+        .filter(F.col("n_repeats") > 0)
+    )
+    return reps.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_repeats") - 1)
+        ).alias("repeat_idx"),
+        F.col("n_repeats").cast("long").alias("n_repeats"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("repeat_idx").cast("long").alias("repeat_idx"),
+        "n_repeats",
     )
 
 

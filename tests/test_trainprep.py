@@ -444,3 +444,33 @@ def test_pack_bins_nextfit_reference(spark, queries):
             assert r.truncated == (1 if counts[did] > SEQ_LEN else 0)
             fill += eff
             assert r.offset_in_bin + r.n_tokens_packed <= SEQ_LEN
+
+
+def test_epoch_budget_apply_materializes_the_plan(spark, queries):
+    """The apply twin realizes exactly the plan: every doc of a source
+    appears floor(epochs) or ceil(epochs) times, low-tier sources
+    (exactly 2.0 epochs) replicate exactly twice, repeat indices are
+    dense 0..n-1, and the realized fractional rate tracks the planned
+    fraction within hash-uniform tolerance."""
+    from collections import Counter
+
+    plan = {
+        r.source: r for r in queries["llm_epoch_budget"](spark, SF_DIR).collect()
+    }
+    rows = queries["llm_epoch_budget_apply"](spark, SF_DIR).collect()
+    per_doc = Counter((r.source, r.doc_id) for r in rows)
+    for r in rows:
+        full, frac = divmod(plan[r.source].epochs_micro, 1_000_000)
+        assert r.n_repeats in (full, full + 1)
+        assert 0 <= r.repeat_idx < r.n_repeats
+        assert per_doc[(r.source, r.doc_id)] == r.n_repeats
+    for source, p in plan.items():
+        full, frac = divmod(p.epochs_micro, 1_000_000)
+        docs = {d for (s, d) in per_doc if s == source}
+        extra = sum(1 for (s, d), c in per_doc.items() if s == source and c == full + 1)
+        if frac == 0:
+            assert extra == 0
+        else:
+            # hash-uniform Bernoulli at rate frac/1e6 over |docs| draws
+            exp = len(docs) * frac / 1_000_000
+            assert abs(extra - exp) <= 4 * (exp ** 0.5) + 3, (source, extra, exp)
