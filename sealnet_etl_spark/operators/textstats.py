@@ -1577,3 +1577,161 @@ def ag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(F.broadcast(pe)).select(
         "n", "n_agree", "pe_num", kappa.alias("kappa_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the two retrieval rankings
+# ---------------------------------------------------------------------------
+
+RBO_P = 0.9  # persistence: top-weightedness of the overlap average
+RBO_K = 10
+
+#: Truncated RBO@K = (1-p) * sum_d p^(d-1) * overlap_d / d. A common doc
+#: with max(rank_sys, rank_bm) = m contributes the SUFFIX weight
+#: W_m = sum_{d=m..K} (1-p) p^(d-1)/d — precomputed here as NANO-UNIT
+#: INTEGER literals, so the per-doc contributions sum EXACTLY in any
+#: order on both engines (the one float hazard of RBO — an unordered
+#: float SUM — is removed by construction; only the final /1e9 is float,
+#: on an identical integer).
+_RBO_W_NANO = tuple(
+    int(
+        round(
+            sum(
+                (1.0 - RBO_P) * RBO_P ** (d - 1) / d
+                for d in range(m, RBO_K + 1)
+            )
+            * 1_000_000_000
+        )
+    )
+    for m in range(1, RBO_K + 1)
+)
+
+_RBO_CASE = (
+    "CASE m "
+    + " ".join(f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W_NANO, 1))
+    + " END"
+)
+
+_RBO_ORACLE = rf"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM w),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM w)
+        WHERE term IN {BM25_QUERY!r}
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    st AS (
+        SELECT COUNT(*) AS n_docs,
+               (SELECT SUM(dl) FROM dl)::DOUBLE / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ROUND(
+                   ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1.0)
+                   / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)),
+                   9)), 6) AS s
+        FROM tf
+        JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY tf.doc_id
+    ),
+    b10 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r2
+        FROM bm ORDER BY s DESC, doc_id LIMIT {RBO_K}
+    ),
+    tscored AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ROUND(
+                   tf.tf * (ln((st.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+                   9)), 6) AS tscore
+        FROM tf JOIN df USING (term) CROSS JOIN st
+        GROUP BY tf.doc_id
+    ),
+    t10 AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tscore DESC, doc_id) AS r1
+        FROM tscored ORDER BY tscore DESC, doc_id LIMIT {RBO_K}
+    ),
+    common AS (
+        SELECT GREATEST(t.r1, b.r2) AS m
+        FROM t10 t JOIN b10 b USING (doc_id)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_common,
+           ROUND(CAST(COALESCE(SUM({_RBO_CASE}), 0) AS BIGINT)
+                 / 1000000000.0, 6)                          AS rbo_at10
+    FROM common
+"""
+
+
+@query("llm_rbo_eval", survey_id="LLM-8/WN-2", oracle=_RBO_ORACLE)
+def llm_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10 (Webber, Moffat & Zobel 2010) between the
+    TF-IDF and BM25 rankings for the shared fixed query — the
+    top-weighted, set-based complement of llm_ndcg_eval (nDCG needs
+    graded gains; RBO compares two RANKINGS directly, weighting
+    agreement at rank 1 most). Truncated form at depth K; with p = 0.9
+    the top rank carries ~29% of the attainable mass.
+
+    Float discipline (one step beyond the nDCG literal injection): a
+    common doc at max-rank m contributes the suffix weight
+    W_m = Σ_{{d≥m}} (1−p)p^{{d−1}}/d, precomputed as NANO-UNIT INTEGER
+    literals — the per-doc contributions SUM EXACTLY in any order on
+    both engines, so there is no unrolled float chain at all; the only
+    float op is the final /10⁹ of an identical integer.
+
+    Scale shape: both rankings are query-term-filtered before any
+    shuffle (the bm25 doctrine) and truncate to K rows by TakeOrdered;
+    the RBO arithmetic joins two 10-row lists — evaluation cost is
+    corpus-size-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    b10 = (
+        llm_bm25_topk(spark, sf_dir)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(RBO_K)
+        .withColumn(
+            "r2", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .select("doc_id", "r2")
+    )
+    w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
+    tf = (
+        w.select("doc_id", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    t10 = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.round(F.col("tf") * idf, 9)), 6).alias("tscore"))
+        .orderBy(F.desc("tscore"), "doc_id")
+        .limit(RBO_K)
+        .withColumn(
+            "r1",
+            F.row_number().over(Window.orderBy(F.desc("tscore"), "doc_id")),
+        )
+        .select("doc_id", "r1")
+    )
+    m = F.greatest("r1", "r2").cast("int")
+    w_arr = F.array(*[F.lit(x).cast("bigint") for x in _RBO_W_NANO])
+    common = t10.join(b10, "doc_id").select(
+        F.element_at(w_arr, m).alias("w_nano")
+    )
+    return common.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.round(
+            F.coalesce(F.sum("w_nano"), F.lit(0)).cast("bigint")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("rbo_at10"),
+    )

@@ -553,3 +553,24 @@ def test_cohens_kappa_discounts_chance_agreement(spark, queries):
     # the discount story: meaningful raw agreement, zero kappa
     assert agree / n > 0.3
     assert row.kappa_micro == 0
+
+
+def test_rbo_bounds_and_determinism(spark, queries):
+    """Truncated RBO@10 invariants: n_common <= K; every common doc
+    contributes between the deepest and shallowest suffix weight, so
+    W_K*n <= rbo <= W_1*n (and rbo <= 1 - p^K, the truncated maximum);
+    two runs agree exactly (no RNG, integer contributions)."""
+    from sealnet_etl_spark.operators.textstats import (
+        RBO_K,
+        RBO_P,
+        _RBO_W_NANO,
+    )
+
+    a = queries["llm_rbo_eval"](spark, SF_DIR).collect()[0]
+    b = queries["llm_rbo_eval"](spark, SF_DIR).collect()[0]
+    assert (a.n_common, a.rbo_at10) == (b.n_common, b.rbo_at10)
+    assert 0 <= a.n_common <= RBO_K
+    lo = _RBO_W_NANO[-1] * a.n_common / 1e9
+    hi = _RBO_W_NANO[0] * a.n_common / 1e9
+    assert lo - 1e-6 <= a.rbo_at10 <= hi + 1e-6
+    assert a.rbo_at10 <= 1 - RBO_P ** RBO_K + 1e-6
