@@ -400,6 +400,7 @@ _BNLJ_ALLOWED = {
     "llm_ndcg_eval",        # 1-row corpus stats + 1-row sys x ideal arrays
     # round 7
     "ag_cohens_kappa",      # two 1-row sides: totals x chance term
+    "llm_rbo_eval",         # 1-row corpus doc-count (the ndcg/tfidf shape)
 }
 
 
