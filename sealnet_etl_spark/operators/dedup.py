@@ -747,9 +747,6 @@ def llm_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer already treats only ASCII whitespace as separators); a
     non-ASCII corpus should pin one normalization (e.g. NFC +
     ASCII-fold) on BOTH engines before trusting hash equality."""
-    import numpy as np
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents")
 
     sigs = docs.select("doc_id", "text").mapInPandas(

@@ -1733,6 +1733,11 @@ def _reap_dead_drift_dirs(base: str) -> None:
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
         except PermissionError:
             pass  # pid alive under another uid -> leave its dir alone
+        except OverflowError:
+            # a suffix that parses as int but exceeds the C pid range is
+            # not a live process — reap it (review finding: os.kill raises
+            # OverflowError, not ValueError, and it used to crash the query)
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 @query(

@@ -661,8 +661,17 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             # already a uniquely-determined set and skip the fixup.
             rows = np.arange(len(q))
             thr = adc[rows[:, None], short].min(axis=1)
-            n_gt = (adc > thr[:, None]).sum(axis=1)
-            n_eq = (adc == thr[:, None]).sum(axis=1)
+            # count boundary ties BLOCKWISE (review finding, r7): the
+            # whole-matrix comparisons materialized two (rows × n)
+            # boolean temporaries right after the blocked accumulate
+            # removed exactly that traffic pattern; per-block temps stay
+            # cache-sized and the counts are identical
+            n_gt = np.zeros(len(q), dtype=np.int64)
+            n_eq = np.zeros(len(q), dtype=np.int64)
+            for lo in range(0, n_c, 16384):
+                blk = adc[:, lo : lo + 16384]
+                n_gt += (blk > thr[:, None]).sum(axis=1)
+                n_eq += (blk == thr[:, None]).sum(axis=1)
             for r in np.nonzero(n_gt + n_eq != sl)[0]:
                 keep = np.nonzero(adc[r] > thr[r])[0]
                 tied = np.nonzero(adc[r] == thr[r])[0][: sl - n_gt[r]]
@@ -1570,9 +1579,13 @@ def _pca_oracle_sql() -> str:
         )"""
         )
     rows = " UNION ALL ".join(
+        # the WHERE mirrors the operator's n == 0 early return: aggregates
+        # without GROUP BY emit one (NULL) row even over an empty corpus,
+        # which would otherwise make the oracle 8 rows where the operator
+        # returns none (review finding, round 7)
         f"SELECT {t} AS iteration, "
         f"CAST(ray_micro AS DOUBLE) / {S}.0 AS rayleigh_quotient "
-        f"FROM agg{t}"
+        f"FROM agg{t} WHERE (SELECT n FROM nn) > 0"
         for t in range(1, PCA_ITERS + 1)
     )
     return "".join(parts) + f" {rows}"
@@ -2015,7 +2028,20 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                 my_ids = pdf["vec_id"].to_numpy()
                 out = {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
                 for r in range(len(my_ids)):
-                    order = np.lexsort((o_ids, -cm[r]))[:k]
+                    # exact top-k by (-cos, id) WITHOUT sorting the whole
+                    # side (review finding: the full per-row lexsort is
+                    # O(n log n) per query and dominates past the decade):
+                    # argpartition finds the k-th VALUE, candidates =
+                    # everything >= it (strictly-above plus all ties — a
+                    # superset of the answer by construction), and only
+                    # that small set is lexsorted for the deterministic
+                    # id tiebreak.
+                    if len(o_ids) <= k:
+                        cand = np.arange(len(o_ids))
+                    else:
+                        v = cm[r][np.argpartition(-cm[r], k - 1)[:k]].min()
+                        cand = np.nonzero(cm[r] >= v)[0]
+                    order = cand[np.lexsort((o_ids[cand], -cm[r][cand]))][:k]
                     sumk = int(cm[r][order].sum())
                     for j in order:
                         a, b = int(my_ids[r]), int(o_ids[j])

@@ -225,28 +225,50 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _lang_score_cols_sql() -> str:
+    """Per-language marker-count columns, GENERATED from LANG_MARKERS so
+    every oracle that scores languages (llm_lang_id, ag_cohens_kappa)
+    derives from the single marker definition (review finding, round 7:
+    a verbatim copy could silently desynchronize from the detector)."""
+    return ",\n                   ".join(
+        f"len(list_filter(w, x -> x IN "
+        f"({', '.join(repr(m) for m in markers)}))) AS c_{lang}"
+        for lang, markers in LANG_MARKERS.items()
+    )
+
+
+def _lang_argmax_case_sql() -> str:
+    """The fixed-preference-order argmax as a CASE chain, generated from
+    LANG_MARKERS' key order."""
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(f"c_{x}" for x in langs[i + 1 :])
+        cmp = f"GREATEST({rest})" if "," in rest else rest
+        whens.append(f"WHEN c_{lang} >= {cmp} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+_LANG_SCORED_CTE = rf"""
+        scored AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   {_lang_score_cols_sql()}
+            FROM (SELECT doc_id, lang,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+        )
+"""
+
+
 @query(
     "llm_lang_id",
     survey_id="LLM-7",
-    oracle="""
-        WITH scored AS (
-            SELECT doc_id, lang AS labeled_lang,
-                   len(list_filter(w, x -> x IN ('the','and','of','a')))   AS c_en,
-                   len(list_filter(w, x -> x IN ('der','die','und','das'))) AS c_de,
-                   len(list_filter(w, x -> x IN ('el','la','de','y')))     AS c_es,
-                   len(list_filter(w, x -> x IN ('le','la','et','les')))   AS c_fr,
-                   len(list_filter(w, x -> x IN ('de','le','shi','he')))   AS c_zh
-            FROM (SELECT doc_id, lang,
-                         string_split_regex(lower(text), '\\s+') AS w
-                  FROM documents)
-        )
+    oracle=f"""
+        WITH {_LANG_SCORED_CTE}
         SELECT doc_id, labeled_lang,
-               CASE WHEN c_en >= GREATEST(c_de, c_es, c_fr, c_zh) THEN 'en'
-                    WHEN c_de >= GREATEST(c_es, c_fr, c_zh)       THEN 'de'
-                    WHEN c_es >= GREATEST(c_fr, c_zh)             THEN 'es'
-                    WHEN c_fr >= c_zh                             THEN 'fr'
-                    ELSE 'zh' END AS guessed_lang,
-               c_en + c_de + c_es + c_fr + c_zh AS n_marker_hits
+               {_lang_argmax_case_sql()} AS guessed_lang,
+               {' + '.join(f'c_{lang}' for lang in LANG_MARKERS)}
+                   AS n_marker_hits
         FROM scored
     """,
 )
@@ -1468,24 +1490,12 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inter-rater agreement between declared metadata and the detector
 # ---------------------------------------------------------------------------
 
-_KAPPA_GUESS_CTE = r"""
-        scored AS (
-            SELECT doc_id, lang AS labeled_lang,
-                   len(list_filter(w, x -> x IN ('the','and','of','a')))   AS c_en,
-                   len(list_filter(w, x -> x IN ('der','die','und','das'))) AS c_de,
-                   len(list_filter(w, x -> x IN ('el','la','de','y')))     AS c_es,
-                   len(list_filter(w, x -> x IN ('le','la','et','les')))   AS c_fr,
-                   len(list_filter(w, x -> x IN ('de','le','shi','he')))   AS c_zh
-            FROM (SELECT doc_id, lang,
-                         string_split_regex(lower(text), '\s+') AS w
-                  FROM documents)
-        ), guesses AS (
+#: Shares the GENERATED scoring CTE with llm_lang_id's oracle, so the
+#: kappa oracle can never desynchronize from the detector's definition.
+_KAPPA_GUESS_CTE = f"""
+        {_LANG_SCORED_CTE}, guesses AS (
             SELECT labeled_lang,
-                   CASE WHEN c_en >= GREATEST(c_de, c_es, c_fr, c_zh) THEN 'en'
-                        WHEN c_de >= GREATEST(c_es, c_fr, c_zh)       THEN 'de'
-                        WHEN c_es >= GREATEST(c_fr, c_zh)             THEN 'es'
-                        WHEN c_fr >= c_zh                             THEN 'fr'
-                        ELSE 'zh' END AS guessed_lang
+                   {_lang_argmax_case_sql()} AS guessed_lang
             FROM scored
         )
 """
@@ -1569,10 +1579,15 @@ def ag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         rowm.join(colm, "k")
         .agg(F.coalesce(F.sum(F.col("r") * F.col("q")), F.lit(0)).alias("pe_num"))
     )
-    num = F.lit(1000000) * (F.col("n") * F.col("n_agree") - F.col("pe_num"))
-    den = F.col("n") * F.col("n") - F.col("pe_num")
-    kappa = F.when(den == 0, F.lit(0).cast("bigint")).otherwise(
-        ((num - ((F.pmod(num, den) + den) % den)) / den).cast("bigint")
+    # integer `div`, not `/`: the double-typed divide rounds the numerator
+    # at 2^53 (~1e5 docs) before dividing, silently breaking the
+    # integer-exact contract; pmod makes the floor explicit for the
+    # below-chance (negative-numerator) case
+    kappa = F.expr(
+        "CASE WHEN n * n = pe_num THEN CAST(0 AS BIGINT) ELSE "
+        "(1000000 * (n * n_agree - pe_num)"
+        " - pmod(1000000 * (n * n_agree - pe_num), n * n - pe_num))"
+        " div (n * n - pe_num) END"
     )
     return tot.crossJoin(F.broadcast(pe)).select(
         "n", "n_agree", "pe_num", kappa.alias("kappa_micro")

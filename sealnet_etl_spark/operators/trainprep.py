@@ -1136,7 +1136,6 @@ def llm_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "budget",
         F.explode(F.sequence(F.lit(1), F.col("max_epochs"))).alias("r"),
     )
-    w_prev = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)
     funded = (
         exploded.groupBy("r")
         .agg(

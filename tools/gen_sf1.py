@@ -77,6 +77,12 @@ def main() -> None:
     )
     args = ap.parse_args()
     n_copies, src, out = args.copies, args.src, args.out
+    if args.suffix_all and n_copies > 10:
+        # the per-copy embedding sign-flip mask is d % 10 == k, which is a
+        # no-op for k >= 10, and rotations >= 64 break F.slice — beyond 10
+        # chained copies the decorrelation guarantees silently vanish
+        ap.error("--suffix-all supports at most --copies 10 (chain decades "
+                 "instead: sf1 -> sf10 -> sf100)")
 
     from pyspark.sql import functions as F
 
