@@ -141,6 +141,13 @@ def headline_queries() -> list[str]:
         "llm_pca_power_iteration",
         "llm_epoch_budget",
         "llm_margin_mining",
+        # round 7, second batch: the epoch materializer (broadcast join +
+        # exact-output explode), the sequential-per-shard next-fit pack,
+        # the kappa contingency pass, and the RBO retrieval twin
+        "llm_epoch_budget_apply",
+        "llm_pack_bins",
+        "ag_cohens_kappa",
+        "llm_rbo_eval",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
