@@ -6,14 +6,13 @@ Add one import line per module as operators land (SURVEY.md §7.3 order).
 Grading order: the driver grades roughly the first 50 registry entries
 each round (in registration order), so the registry is re-ordered after
 import to put the queries that need evidence most inside that window.
-Round 7's tiers: (0) queries whose cross-engine output CHANGED in round
-6 but missed that round's window (llm_simhash_near_dup), (1) the final
-17-query never-driver-graded tail (order carried over from round 6,
-minus the 46 queries CORRECTNESS_r06 proved), (2) queries registered
-after this file was planned — they enter the window ahead of long-green
-work (ADVICE r5: round 5 accidentally ranked unknowns WITH the verified
-tier), (3) the 280 queries already hash-green across
-CORRECTNESS_r01-r06.
+Round 8's tiers: (0) plan-rewritten re-certifications
+(str_streaming_near_dup — VERDICT r7 #2), (1) the never-driver-graded
+tail (EMPTY as of r7: all 303 queries have been graded at least once),
+(2) queries registered after this file was planned — they enter the
+window ahead of long-green work (ADVICE r5: round 5 accidentally ranked
+unknowns WITH the verified tier), (3) the queries already green across
+CORRECTNESS_r01-r07.
 
 Correctness of every tier is still enforced locally each round by the
 strict mirror (tests/test_oracle_mirror.py runs ALL queries); the ordering
@@ -41,41 +40,24 @@ from .plans import flagship  # noqa: F401
 
 from . import registry as _registry
 
-#: Queries whose cross-engine OUTPUT changed in round 6 but missed that
-#: round's window, graded first so the driver proves them immediately:
-#: - llm_simhash_near_dup: the r6 memoized Arrow signature kernel replaced
-#:   the JVM md5 path (bit-identical on the local mirror; VERDICT r6 #5
-#:   asks for driver re-certification). llm_compression_ratio, the other
-#:   r6 rewrite, was already re-certified green inside the r6 window.
+#: Queries whose physical plan was rewritten since their last driver
+#: grade, re-certified first (the r6 simhash precedent — VERDICT r7 #2):
+#: - str_streaming_near_dup: streaming/incremental.py plan rewritten twice
+#:   since its last driver grade (r6 write-coalescing; r7 write-ahead band
+#:   keys + broadcast-semi index prune). Outputs argued identical by
+#:   construction and the local oracle mirror + restart tests are green,
+#:   but a rewritten already-green query gets a driver regrade slot.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_simhash_near_dup",
+    "str_streaming_near_dup",
 )
 
-#: ROUND-7 PLAN (VERDICT r6 "Next round" #1, the top item three rounds
-#: running): the round-6 tail MINUS the 46 queries CORRECTNESS_r06 proved
-#: (50/50 hash-green). These 17 are the LAST never-driver-graded queries
-#: in the registry — one window drains them all with ~30 slots to spare
-#: for tier-2 (queries added this round) and the verified tier behind.
-#: Every query here is local-mirror green (full sweep).
-_NEVER_GRADED: tuple[str, ...] = (
-    "etl_backfill_plan",
-    "llm_negative_sampling",
-    "wn_time_weighted_average",
-    "llm_pipeline_e2e",
-    "wn_bollinger_bands",
-    "llm_vocab_induction",
-    "wn_cusum_drift",
-    "llm_bigram_pmi",
-    "llm_weighted_sample",
-    "llm_leakage_free_split",
-    "llm_embedding_quantize",
-    "llm_ivfpq_ann_topk",
-    "llm_hard_negatives",
-    "llm_embedding_qa",
-    "llm_knn_classifier",
-    "llm_pca_power_iteration",
-    "wn_skyline_pareto",
-)
+#: ROUND-8 STATE: the never-driver-graded tail is EMPTY — CORRECTNESS_r07
+#: drained the final 17 (all hash-green), completing 303/303 queries
+#: driver-graded at least once. Queries registered in round 8+ enter the
+#: window automatically via tier 2 (name absent from every round file);
+#: this tuple stays the mechanism for any future query that needs an
+#: explicit interleaved order inside one window.
+_NEVER_GRADED: tuple[str, ...] = ()
 
 
 def _grade_rank(name: str) -> tuple:

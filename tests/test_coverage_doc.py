@@ -44,16 +44,28 @@ def test_driver_verified_red_grades_requeue(tmp_path):
 def test_tail_entry_with_driver_evidence_folds_out():
     """ADVICE r6: a _NEVER_GRADED entry already proven green in a round
     file must rank in the verified tier, not keep a tier-1 window slot
-    until the tuple is hand-edited."""
+    until the tuple is hand-edited. ADVICE r7: patch BOTH branches of
+    _DRIVER_VERIFIED explicitly — the tree may legitimately carry driver
+    evidence for the tail entry (the fold-out working as designed), so the
+    no-evidence branch must subtract it rather than assume its absence.
+    When the tail is empty, exercise the same invariant on a synthetic
+    name (never in any round file)."""
     from sealnet_etl_spark import catalog
 
-    if not catalog._NEVER_GRADED:
-        return  # nothing to check once the tail fully drains
-    tail_name = catalog._NEVER_GRADED[0]
-    orig = catalog._DRIVER_VERIFIED
+    tail_name = (
+        catalog._NEVER_GRADED[0]
+        if catalog._NEVER_GRADED
+        else "zz_synthetic_tail_entry"
+    )
+    tail_tuple = catalog._NEVER_GRADED or (tail_name,)
+    orig_verified = catalog._DRIVER_VERIFIED
+    orig_tail = catalog._NEVER_GRADED
     try:
-        catalog._DRIVER_VERIFIED = orig | {tail_name}
-        assert catalog._grade_rank(tail_name)[0] == 3
+        catalog._NEVER_GRADED = tail_tuple
+        catalog._DRIVER_VERIFIED = orig_verified | {tail_name}
+        assert catalog._grade_rank(tail_name)[0] == 3  # evidence -> folds out
+        catalog._DRIVER_VERIFIED = orig_verified - {tail_name}
+        assert catalog._grade_rank(tail_name)[0] == 1  # no evidence -> window
     finally:
-        catalog._DRIVER_VERIFIED = orig
-    assert catalog._grade_rank(tail_name)[0] == 1  # no evidence -> window
+        catalog._DRIVER_VERIFIED = orig_verified
+        catalog._NEVER_GRADED = orig_tail
