@@ -1553,10 +1553,19 @@ def ag_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     after runs on the ≤ |langs|² contingency grid (25 cells), the same
     bounded shape as ag_chi_square_contingency."""
     guesses = llm_lang_id(spark, sf_dir)
-    cnt = (
+    # The contingency grid is ≤ |langs|² = 25 cells, so materialize it
+    # eagerly into a local frame instead of persisting (ADVICE r7: the
+    # persisted frame had no unpersist site — the consuming action is the
+    # caller's collect — and accumulated executor storage across a
+    # full-registry sweep). The detector pass runs exactly once; the three
+    # consumers below all read the 25-row local relation.
+    grid_rows = (
         guesses.groupBy("labeled_lang", "guessed_lang")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()  # three bounded consumers: totals, row + col marginals
+        .collect()
+    )
+    cnt = spark.createDataFrame(
+        grid_rows, "labeled_lang string, guessed_lang string, c bigint"
     )
     tot = cnt.agg(
         F.sum("c").alias("n"),
