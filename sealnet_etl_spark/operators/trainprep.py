@@ -1695,12 +1695,22 @@ def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, exactly the llm_sequence_pack doctrine) and a shard's
     (doc_id, count) pairs — not its text — are what the worker holds.
     All-integer state, so the oracle matches exactly."""
+    return _pack_bins(spark, sf_dir, shards=PACK_SHARDS)
+
+
+def _pack_bins(spark: SparkSession, sf_dir: str, shards: int) -> DataFrame:
+    """llm_pack_bins' plan with the shard count exposed: PACK_SHARDS is
+    the parallelism lever (shards = O(cores) at scale), and changing it
+    must only RE-BUCKET — every doc keeps its packed length and
+    truncation flag, every bin stays ≤ SEQ_LEN — which the knob test
+    pins (VERDICT r7 #5). Threaded as an argument, not a patched module
+    global, because executors re-import the module."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
+        md5_bucket(F.col("doc_id").cast("string"), "pack:", shards).alias(
             "shard"
         ),
         F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),

@@ -446,6 +446,40 @@ def test_pack_bins_nextfit_reference(spark, queries):
             assert r.offset_in_bin + r.n_tokens_packed <= SEQ_LEN
 
 
+def test_pack_bins_shard_count_only_rebuckets(spark):
+    """VERDICT r7 #5: PACK_SHARDS is the parallelism lever, so raising it
+    must only RE-BUCKET the streams — the same docs get packed (none
+    lost, none duplicated), every doc keeps its packed length and
+    truncation flag (those depend only on the doc), and every bin in the
+    new sharding still respects capacity and next-fit within its own
+    stream. bin_idx/offset_in_bin legitimately change (different streams
+    ⇒ different fills) — they are NOT part of the invariant."""
+    from sealnet_etl_spark.operators.trainprep import SEQ_LEN, _pack_bins
+
+    base = {r.doc_id: r for r in _pack_bins(spark, SF_DIR, shards=8).collect()}
+    wide = {r.doc_id: r for r in _pack_bins(spark, SF_DIR, shards=32).collect()}
+    assert set(base) == set(wide)
+    n_shards = len({r.shard for r in wide.values()})
+    assert n_shards > len({r.shard for r in base.values()})
+    by_shard: dict = {}
+    for r in wide.values():
+        assert r.n_tokens_packed == base[r.doc_id].n_tokens_packed
+        assert r.truncated == base[r.doc_id].truncated
+        assert 0 <= r.offset_in_bin
+        assert r.offset_in_bin + r.n_tokens_packed <= SEQ_LEN
+        by_shard.setdefault(r.shard, []).append(r)
+    # next-fit validity inside each NEW stream: docs in doc_id order
+    # fill bins monotonically and only roll over when the doc won't fit
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        bin_idx, fill = 0, 0
+        for r in rows:
+            if fill + r.n_tokens_packed > SEQ_LEN and fill > 0:
+                bin_idx, fill = bin_idx + 1, 0
+            assert (r.bin_idx, r.offset_in_bin) == (bin_idx, fill), r.doc_id
+            fill += r.n_tokens_packed
+
+
 def test_epoch_budget_apply_materializes_the_plan(spark, queries):
     """The apply twin realizes exactly the plan: every doc of a source
     appears floor(epochs) or ceil(epochs) times, low-tier sources
