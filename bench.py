@@ -148,6 +148,14 @@ def headline_queries() -> list[str]:
         "llm_pack_bins",
         "ag_cohens_kappa",
         "llm_rbo_eval",
+        # round 8: the packing-waste report (consumes the pack), the
+        # banded cross-batch dedup-rate trend (the round's heaviest new
+        # plan — minhash + posting-list pairing + verify), and the two
+        # narrow report passes — tracked from their change round
+        "llm_pack_efficiency",
+        "llm_dedup_rate_trend",
+        "llm_shard_skew_report",
+        "llm_context_length_histogram",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

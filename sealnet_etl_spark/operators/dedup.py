@@ -1212,6 +1212,158 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_dedup_rate_trend",
+    survey_id="LLM-2/ETL-6",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                       AS batch_no,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id, source,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        ), dup AS (
+            SELECT DISTINCT n.doc_id, n.source
+            FROM toks n JOIN toks p ON n.batch_no > p.batch_no
+            WHERE len(list_intersect(n.sh, p.sh))::DOUBLE
+                  / (len(n.sh) + len(p.sh) - len(list_intersect(n.sh, p.sh)))
+                  >= {JACCARD_TAU}
+        ), totals AS (
+            SELECT source, MIN(batch_no) AS batch_no, COUNT(*) AS n_docs
+            FROM toks GROUP BY source
+        )
+        SELECT t.source, t.batch_no, t.n_docs,
+               CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+               CAST(COALESCE(d.n_dup, 0) * 1000000 // t.n_docs AS BIGINT)
+                   AS dup_rate_micro
+        FROM totals t LEFT JOIN (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dup
+            FROM dup GROUP BY source
+        ) d USING (source)
+    """,
+)
+def llm_dedup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup-rate TREND over arriving batches — the monitoring
+    twin of llm_incremental_near_dup (VERDICT r7 #7): treating each
+    source's numeric suffix as its arrival order, a doc counts as a
+    duplicate if some EARLIER batch already contains a near-dup of it
+    (Jaccard ≥ τ on word 8-shingles, the shared banding family). One row
+    per source: batch number, shingleable docs, dup count, dup rate in
+    micro-units. A rising curve is the signal every crawl pipeline
+    watches — each new batch re-collects more of what the corpus already
+    has, and the marginal novel-token yield decides when to stop
+    crawling a source.
+
+    Plan: shingle + MinHash ONCE over the whole corpus (not one run per
+    batch — the trend over B batches is a single banded self-pairing
+    with an order predicate), band keys bucket candidates, per-band
+    posting lists sort by (batch_no, doc_id) with the HOT_BUCKET_CAP
+    guard, and pairs keep only cross-batch (earlier, later) orientation.
+    Exact-Jaccard verification touches candidates only; the per-source
+    agg is map-side-combinable counts. Denominators count docs with ≥ K
+    words (the dedupable population — un-shingleable stubs can never be
+    flagged, so including them would understate the rate). Scale: band
+    keys and doc ids shuffle, text never does; the cap bounds any
+    boilerplate bucket's pair emission at CAP² with the same accepted
+    recall trade as the batch path."""
+    docs_src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shingled = (
+        _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+        .join(docs_src, "doc_id")
+        .withColumn(
+            "batch_no",
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint"),
+        )
+        .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+        .cache()  # consumed by band keys, both verify joins, and totals
+    )
+    keys = (
+        shingled.select(
+            "doc_id", "batch_no", *minhash_signature_cols(F.col("__base"))
+        )
+        .select(
+            "doc_id",
+            "batch_no",
+            F.explode(minhash_band_keys()).alias("band_key"),
+        )
+    )
+    # per-band posting list in (batch_no, doc_id) order, capped — one
+    # groupBy instead of a self-join, the containment-op pairing shape
+    capped = (
+        keys.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("band_key").orderBy("batch_no", "doc_id")
+            ),
+        )
+        .filter(F.col("__rn") <= HOT_BUCKET_CAP)
+        .drop("__rn")
+    )
+    buckets = (
+        capped.groupBy("band_key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("batch_no", "doc_id"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    candidates = (
+        buckets.select(F.posexplode("ds").alias("i", "dp"), "ds")
+        .select(
+            F.col("dp.doc_id").alias("doc_prior"),
+            F.col("dp.batch_no").alias("b_prior"),
+            F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("dn"),
+        )
+        .filter(F.col("dn.batch_no") > F.col("b_prior"))  # cross-batch only
+        .select("doc_prior", F.col("dn.doc_id").alias("doc_new"))
+        .distinct()
+    )
+    sh = shingled.select("doc_id", "shingles")
+    dup_docs = (
+        candidates.join(
+            sh.withColumnRenamed("doc_id", "doc_new").withColumnRenamed(
+                "shingles", "sh_n"
+            ),
+            "doc_new",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_prior").withColumnRenamed(
+                "shingles", "sh_p"
+            ),
+            "doc_prior",
+        )
+        .filter(jaccard(F.col("sh_n"), F.col("sh_p")) >= JACCARD_TAU)
+        .select("doc_new")
+        .distinct()
+    )
+    totals = shingled.groupBy("source").agg(
+        F.min("batch_no").alias("batch_no"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dups = (
+        shingled.select("doc_id", "source")
+        .join(dup_docs.withColumnRenamed("doc_new", "doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        totals.join(dups, "source", "left")
+        .withColumn("n_dup", F.coalesce("n_dup", F.lit(0)).cast("bigint"))
+        .select(
+            "source",
+            "batch_no",
+            "n_docs",
+            "n_dup",
+            F.expr("n_dup * 1000000 div n_docs").alias("dup_rate_micro"),
+        )
+    )
+
+
+@query(
     "llm_dedup_degree_report",
     survey_id="LLM-2/ETL-6",
     oracle=rf"""

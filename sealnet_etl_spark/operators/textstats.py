@@ -341,6 +341,57 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_context_length_histogram",
+    survey_id="LLM-7/LLM-11",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+               COUNT(*)                               AS n_docs,
+               CAST(MIN(n_tokens) AS BIGINT)          AS min_tokens,
+               CAST(MAX(n_tokens) AS BIGINT)          AS max_tokens,
+               CAST(SUM(n_tokens) AS BIGINT)          AS total_tokens
+        FROM toks WHERE n_tokens > 0
+        GROUP BY 1
+    """,
+)
+def llm_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document token-length distribution in power-of-two buckets — the
+    panel a pretraining team reads before choosing SEQ_LEN: the mass
+    above the context length is truncation loss, the mass far below it
+    is padding/packing pressure (cross-check llm_pack_efficiency). One
+    row per occupied log2 bucket with doc count and min/max/total
+    tokens.
+
+    Integer discipline: the bucket is floor(log2(n)) computed as
+    length(bin(n)) − 1 — bit-length arithmetic, not float log2, because
+    a last-ulp log2 difference at an exact power of two would move a doc
+    one bucket across engines. Scale: one narrow token-count pass, one
+    map-side-combinable agg to ≤ 64 rows. No join, no window, no text
+    past the count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        toks.withColumn(
+            "log2_bucket",
+            (F.length(F.bin(F.col("n_tokens"))) - 1).cast("int"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 FINGERPRINT_K = 4
 FINGERPRINT_SKETCH = 5
 

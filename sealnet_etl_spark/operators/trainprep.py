@@ -1634,10 +1634,9 @@ def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "llm_pack_bins",
-    survey_id="LLM-11/UDF-3",
-    oracle=rf"""
+#: Shared by llm_pack_bins and llm_pack_efficiency (which aggregates the
+#: identical packing): the next-fit recursion as a recursive CTE.
+_PACK_BINS_ORACLE = rf"""
         WITH RECURSIVE toks AS (
             SELECT doc_id,
                    {_md5_bucket_sql("doc_id::VARCHAR", "pack:", PACK_SHARDS)}
@@ -1671,8 +1670,10 @@ def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
                eff                         AS n_tokens_packed,
                CAST(truncated AS INT)      AS truncated
         FROM rec
-    """,
-)
+"""
+
+
+@query("llm_pack_bins", survey_id="LLM-11/UDF-3", oracle=_PACK_BINS_ORACLE)
 def llm_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting sequence packing (pad-and-pack): NEXT-FIT bin
     packing of whole documents into SEQ_LEN-token training bins — no
@@ -1744,6 +1745,125 @@ def _pack_bins(spark: SparkSession, sf_dir: str, shards: int) -> DataFrame:
         pack,
         "doc_id bigint, shard bigint, bin_idx bigint, "
         "offset_in_bin bigint, n_tokens_packed bigint, truncated int",
+    )
+
+
+@query(
+    "llm_pack_efficiency",
+    survey_id="LLM-11/ETL-6",
+    oracle=rf"""
+        WITH packed AS ({_PACK_BINS_ORACLE})
+        SELECT shard,
+               COUNT(*)                                  AS n_docs,
+               MAX(bin_idx) + 1                          AS n_bins,
+               CAST(SUM(n_tokens_packed) AS BIGINT)      AS tokens_packed,
+               CAST((MAX(bin_idx) + 1) * {SEQ_LEN}
+                    - SUM(n_tokens_packed) AS BIGINT)    AS padding_tokens,
+               CAST(((MAX(bin_idx) + 1) * {SEQ_LEN} - SUM(n_tokens_packed))
+                    * 1000000
+                    // ((MAX(bin_idx) + 1) * {SEQ_LEN}) AS BIGINT)
+                                                         AS padding_rate_micro,
+               CAST(SUM(truncated) AS BIGINT)            AS n_truncated
+        FROM packed
+        GROUP BY shard
+    """,
+)
+def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency / padding-waste report over llm_pack_bins — the
+    first number a pretraining-infra user asks of a pad-and-pack layout:
+    how much of the token budget is PADDING. Per shard: docs packed, bins
+    consumed, tokens packed, padding tokens (bins·SEQ_LEN − packed), the
+    padding rate in micro-units, and how many docs were truncated. The
+    writer's wasted compute is padding_rate × bins; a rising rate is the
+    signal to re-sort by length or switch to the concat-and-cut layout
+    (llm_sequence_pack).
+
+    All-integer: counts, sums, and the rate as an exact integer floor —
+    (padding · 10⁶) div capacity with both terms non-negative, so Spark's
+    div and DuckDB's // agree. Scale: the report consumes the packing's
+    (shard, bin, count) rows — never text — and aggregates to PACK_SHARDS
+    output rows; one hash shuffle on the shard key that the packing
+    already paid, then a map-side-combinable agg."""
+    packed = llm_pack_bins(spark, sf_dir)
+    agged = packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("bin_idx") + F.lit(1)).alias("n_bins"),
+        F.sum("n_tokens_packed").alias("tokens_packed"),
+        F.sum("truncated").cast("bigint").alias("n_truncated"),
+    )
+    capacity = F.col("n_bins") * SEQ_LEN
+    return agged.select(
+        "shard",
+        "n_docs",
+        "n_bins",
+        "tokens_packed",
+        (capacity - F.col("tokens_packed")).alias("padding_tokens"),
+        F.expr(
+            f"(n_bins * {SEQ_LEN} - tokens_packed) * 1000000"
+            f" div (n_bins * {SEQ_LEN})"
+        ).alias("padding_rate_micro"),
+        "n_truncated",
+    )
+
+
+@query(
+    "llm_shard_skew_report",
+    survey_id="ETL-6/LLM-11",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT {_md5_bucket_sql("doc_id::VARCHAR", "pack:", PACK_SHARDS)}
+                       AS shard,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        ), per AS (
+            SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+            FROM toks WHERE n_tokens > 0 GROUP BY shard
+        )
+        SELECT COUNT(*)                    AS n_shards,
+               CAST(MIN(tokens) AS BIGINT) AS min_tokens,
+               CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+               CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(tokens) * COUNT(*) * 1000000
+                    // SUM(tokens) AS BIGINT) AS skew_micro
+        FROM per
+    """,
+)
+def llm_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-launch shard-balance check for the packing sharding: per-shard
+    token totals reduced to one row — shard count, min/max/total tokens,
+    and the skew factor max/avg in micro-units (avg = total/n_shards, so
+    skew_micro = max·n·10⁶ div total, an exact integer). The number to
+    read BEFORE raising PACK_SHARDS to O(cores) on a real cluster: the
+    packing stage's wall-clock is its slowest stream, so a skew of 1.5×
+    means a third of the fleet idles. md5 bucketing should hold this
+    near 1.0 at any corpus size — a drift upward means skewed document
+    LENGTHS (a few giant docs), which re-bucketing cannot fix and
+    length-aware assignment can.
+
+    Scale: one narrow token-count pass, one map-side-combinable agg to
+    PACK_SHARDS rows, one single-row reduce. No join, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    per = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tokens"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("tokens").alias("min_tokens"),
+        F.max("tokens").alias("max_tokens"),
+        F.sum("tokens").alias("total_tokens"),
+    ).select(
+        "n_shards",
+        "min_tokens",
+        "max_tokens",
+        "total_tokens",
+        F.expr(
+            "max_tokens * n_shards * 1000000 div total_tokens"
+        ).alias("skew_micro"),
     )
 
 

@@ -598,7 +598,8 @@ def test_margin_ann_recall_at_decade(spark):
     the exact gemm's: the LASER criterion is a mutual-best filter, so a
     single missed shortlist entry kills a pair on both sides — the
     measured band is therefore the operative recall pin. Measured at
-    the pinned seeds: 0.97 (sf1); ≥ 0.90 is the band floor."""
+    the pinned seeds: 0.9991 (sf1, 1157/1158 exact pairs retained);
+    ≥ 0.90 is the band floor."""
     from sealnet_etl_spark.operators.similarity import _margin_mine
 
     exact = {
@@ -640,6 +641,48 @@ def test_cohens_kappa_discounts_chance_agreement(spark, queries):
     # the discount story: meaningful raw agreement, zero kappa
     assert agree / n > 0.3
     assert row.kappa_micro == 0
+
+
+def test_dedup_rate_trend_semantics(spark, queries):
+    """The trend is causal and bounded: the EARLIEST batch can never be
+    flagged (nothing arrived before it), every source with shingleable
+    docs reports exactly once, rates live in [0, 1e6] and equal the
+    integer floor of n_dup/n_docs, and at least one later batch flags a
+    duplicate on this fixture (planted near-dup pairs span sources)."""
+    rows = queries["llm_dedup_rate_trend"](spark, SF_DIR).collect()
+    assert rows
+    by_batch = sorted(rows, key=lambda r: r.batch_no)
+    first = by_batch[0]
+    assert first.n_dup == 0 and first.dup_rate_micro == 0
+    assert len({r.source for r in rows}) == len(rows)
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_docs
+        assert r.dup_rate_micro == r.n_dup * 1_000_000 // r.n_docs
+    assert any(r.n_dup > 0 for r in rows), "no cross-batch near-dups found"
+
+
+def test_context_length_histogram_partitions_the_corpus(spark, queries):
+    """Buckets are disjoint powers of two (2^b ≤ min ≤ max < 2^(b+1)),
+    totals reconcile per bucket, and the doc count sums to the number of
+    docs with at least one token."""
+    import re
+
+    from sealnet_etl_spark.operators.textstats import TOKEN_PATTERN
+    from sealnet_etl_spark.sources import load_table
+
+    rows = queries["llm_context_length_histogram"](spark, SF_DIR).collect()
+    assert rows
+    pat = re.compile(TOKEN_PATTERN)
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    counts = [len(pat.findall((d.text or "").lower())) for d in docs]
+    n_tokenized = sum(1 for c in counts if c > 0)
+    assert sum(r.n_docs for r in rows) == n_tokenized
+    assert sum(r.total_tokens for r in rows) == sum(counts)
+    for r in rows:
+        assert 2**r.log2_bucket <= r.min_tokens <= r.max_tokens < 2 ** (
+            r.log2_bucket + 1
+        )
+        assert r.n_docs * r.min_tokens <= r.total_tokens <= r.n_docs * r.max_tokens
 
 
 def test_rbo_bounds_and_determinism(spark, queries):

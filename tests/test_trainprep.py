@@ -480,6 +480,45 @@ def test_pack_bins_shard_count_only_rebuckets(spark):
             fill += r.n_tokens_packed
 
 
+def test_pack_efficiency_reconciles_with_the_packing(spark, queries):
+    """The efficiency report must be EXACTLY the aggregate of the packing
+    it consumes: recompute per-shard docs/bins/tokens/truncations from
+    llm_pack_bins rows and compare field-for-field; padding is
+    non-negative and the micro rate is the exact integer floor."""
+    from sealnet_etl_spark.operators.trainprep import SEQ_LEN
+
+    packed = queries["llm_pack_bins"](spark, SF_DIR).collect()
+    report = {r.shard: r for r in queries["llm_pack_efficiency"](spark, SF_DIR).collect()}
+    agg: dict = {}
+    for r in packed:
+        a = agg.setdefault(r.shard, {"docs": 0, "bins": 0, "tok": 0, "tr": 0})
+        a["docs"] += 1
+        a["bins"] = max(a["bins"], r.bin_idx + 1)
+        a["tok"] += r.n_tokens_packed
+        a["tr"] += r.truncated
+    assert set(report) == set(agg)
+    for shard, a in agg.items():
+        rep = report[shard]
+        cap = a["bins"] * SEQ_LEN
+        assert (rep.n_docs, rep.n_bins, rep.tokens_packed, rep.n_truncated) == (
+            a["docs"], a["bins"], a["tok"], a["tr"]
+        )
+        assert rep.padding_tokens == cap - a["tok"] >= 0
+        assert rep.padding_rate_micro == (cap - a["tok"]) * 1_000_000 // cap
+
+
+def test_shard_skew_report_brackets_the_mean(spark, queries):
+    """min ≤ total/n ≤ max, the skew factor is ≥ 1 by construction, and
+    md5 bucketing keeps this fixture's skew under 2× (the level at which
+    the report is supposed to raise eyebrows)."""
+    row = queries["llm_shard_skew_report"](spark, SF_DIR).collect()[0]
+    assert row.n_shards >= 1
+    assert row.min_tokens * row.n_shards <= row.total_tokens
+    assert row.max_tokens * row.n_shards >= row.total_tokens
+    assert row.skew_micro == row.max_tokens * row.n_shards * 1_000_000 // row.total_tokens
+    assert 1_000_000 <= row.skew_micro < 2_000_000
+
+
 def test_epoch_budget_apply_materializes_the_plan(spark, queries):
     """The apply twin realizes exactly the plan: every doc of a source
     appears floor(epochs) or ceil(epochs) times, low-tier sources
