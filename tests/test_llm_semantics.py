@@ -615,6 +615,55 @@ def test_margin_ann_recall_at_decade(spark):
     assert 0.90 <= recall <= 1.0, f"decade pair recall left its band: {recall:.3f}"
 
 
+def test_hard_negatives_forced_adc_path_matches_exact(spark):
+    """Same proof shape as the margin miner's: force the ADC escalation
+    on the graded fixture with the shortlist covering the whole corpus —
+    the shortlist is then exhaustive, the label/self mask and rounded-cos
+    tie discipline are shared code, so rows must match the exact path
+    exactly (cos_sim included: both paths round the SAME float64 cosine
+    to 6 places; a q@mat.T gemm and a mat[keep]@q[row] gemv agree after
+    rounding on this fixture or the assert catches it)."""
+    from sealnet_etl_spark.operators.similarity import _hard_negatives
+
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    forced = {
+        (r.src_id, r.nbr_id): r.cos_sim
+        for r in _hard_negatives(spark, SF_DIR, escalate_n=1, shortlist=n).collect()
+    }
+    exact = {
+        (r.src_id, r.nbr_id): r.cos_sim
+        for r in _hard_negatives(spark, SF_DIR, escalate_n=None).collect()
+    }
+    assert forced == exact
+    assert forced  # non-degenerate
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF1_DIR),
+    reason="sf1 decade fixture not generated (tools/gen_sf1.py)",
+)
+def test_hard_negatives_ann_recall_at_decade(spark):
+    """At sf1 (20 k vectors ≥ HN_ESCALATE_N) llm_hard_negatives escalates
+    NATURALLY; pin its per-pair recall against the forced-exact path.
+    Measured at the pinned seeds: 0.9746 (sf1, 60 000 pairs per side);
+    ≥ 0.85 is the band floor (k=3 hard negatives from a 64-deep masked
+    shortlist — deeper than the margin miner's because same-label
+    entries are discarded)."""
+    from sealnet_etl_spark.operators.similarity import _hard_negatives
+
+    exact = {
+        (r.src_id, r.nbr_id)
+        for r in _hard_negatives(spark, _SF1_DIR, escalate_n=None).collect()
+    }
+    ann = {
+        (r.src_id, r.nbr_id)
+        for r in _hard_negatives(spark, _SF1_DIR).collect()
+    }
+    assert exact
+    recall = len(exact & ann) / len(exact)
+    assert 0.85 <= recall <= 1.0, f"decade recall left its band: {recall:.3f}"
+
+
 def test_cohens_kappa_discounts_chance_agreement(spark, queries):
     """On the synthetic corpus the detector answers 'en' for every doc
     (English-salad text under every label), so RAW agreement is the

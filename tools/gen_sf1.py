@@ -164,6 +164,27 @@ def main() -> None:
             else:
                 label = args.suffix_start + k - (0 if args.suffix_all else 1)
                 text = F.regexp_replace(F.col("text"), word_pat, rf"$1~{label}")
+            # Per-copy term-frequency boost (round 8): APPEND one extra
+            # occurrence of preserved term i when bit i of the copy index
+            # is set. Without this, every copy of a doc carries IDENTICAL
+            # query tf/dl, the retrieval rankings' top-10 collapses to 10
+            # tied clones of ONE best ancestor (tie-break = doc_id), and
+            # the tf-idf / bm25 top-10s are DISJOINT at every decade (rbo
+            # n_common = 0, measured). The bit pattern gives 2^|terms|
+            # distinct score classes per ancestor; both rankings rank
+            # boosted clones of shared ancestors first, so ranking
+            # overlap measures real arithmetic (n_common = 3 at sf1 AND
+        # sf10, measured). APPEND — not occurrence-doubling — because
+            # doubling composes across chained decades into ≥8-token
+            # plain runs wherever the source has adjacent query terms,
+            # which aliased substring 8-gram anchors ACROSS copies
+            # (spans 27× instead of 10×, measured and reverted). The
+            # appended run is ≤3 plain tokens per decade, ≤6 composed —
+            # under SUBSTR_K=8; a third chained decade would reach 9 and
+            # must rotate the append order (documented trap).
+            boost = " ".join(t for i, t in enumerate(preserve) if (k >> i) & 1)
+            if boost:
+                text = F.concat(text, F.lit(" " + boost))
             copies.append(
                 docs.select(
                     (F.col("doc_id") + F.lit(k * max_did)).alias("doc_id"),
