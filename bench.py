@@ -156,6 +156,8 @@ def headline_queries() -> list[str]:
         "llm_dedup_rate_trend",
         "llm_shard_skew_report",
         "llm_context_length_histogram",
+        "llm_quality_trend",
+        "llm_dedup_cluster_size_histogram",
     ]
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.

@@ -1007,6 +1007,54 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_dedup_cluster_size_histogram",
+    survey_id="LLM-3/ETL-6",
+    oracle=f"""
+        WITH RECURSIVE {_CLUSTER_CTES}, labeled AS (
+            {_CLUSTER_LABEL_SELECT}
+        ), sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM labeled GROUP BY cluster_id
+        )
+        SELECT CAST(length(bin(sz)) - 1 AS INT) AS log2_bucket,
+               COUNT(*)                         AS n_clusters,
+               CAST(SUM(sz) AS BIGINT)          AS n_docs,
+               CAST(MAX(sz) AS BIGINT)          AS max_size
+        FROM sizes GROUP BY 1
+    """,
+)
+def llm_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution in power-of-two buckets — the
+    dedup monitoring panel's headline shape: a healthy crawl shows almost
+    all mass at size 2-4 (genuine re-posts); a fat tail or a giant
+    component means boilerplate is stitching unrelated docs together and
+    the downstream keep-one-per-cluster step is about to delete real
+    data. Buckets cover docs that HAVE a near-dup (components come from
+    the J ≥ 0.8 pair list, so singletons don't appear — their count is
+    total docs minus n_docs here). Bit-length bucketing, not float log2
+    (the llm_context_length_histogram discipline).
+
+    Scale: consumes llm_dedup_clusters' (doc, cluster) labels — one
+    map-side-combinable count per cluster, then an agg to ≤ 64 rows;
+    adds nothing to the clustering's own cost."""
+    sizes = (
+        llm_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        sizes.withColumn(
+            "log2_bucket", (F.length(F.bin(F.col("sz"))) - 1).cast("int")
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").cast("bigint").alias("max_size"),
+        )
+    )
+
+
 CONTAINMENT_TAU = 0.9
 CONTAINMENT_K = 8
 #: Shingles appearing in more docs than this are DROPPED from the

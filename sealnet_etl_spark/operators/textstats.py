@@ -131,10 +131,9 @@ MAX_REPETITION = 0.2
 MIN_AVG_WLEN, MAX_AVG_WLEN = 3.0, 12.0
 
 
-@query(
-    "llm_quality_filter",
-    survey_id="LLM-9",
-    oracle=rf"""
+#: Shared by llm_quality_filter and llm_quality_trend (which aggregates
+#: the identical gate decisions per source).
+_QUALITY_FILTER_ORACLE = rf"""
         WITH feats AS (
             SELECT doc_id, lang,
                    len(w) AS n_words,
@@ -161,8 +160,10 @@ MIN_AVG_WLEN, MAX_AVG_WLEN = 3.0, 12.0
                  AND rep3 <= {MAX_REPETITION}
                  AND awl BETWEEN {MIN_AVG_WLEN} AND {MAX_AVG_WLEN}    AS keep
         FROM feats
-    """,
-)
+"""
+
+
+@query("llm_quality_filter", survey_id="LLM-9", oracle=_QUALITY_FILTER_ORACLE)
 def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality gates: length bounds, language allowlist, repeated
     3-gram ratio, mean word length — each gate reported separately plus the
@@ -211,6 +212,69 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep_ok.alias("repetition_ok"),
         wlen_ok.alias("word_len_ok"),
         (len_ok & lang_ok & rep_ok & wlen_ok).alias("keep"),
+    )
+
+
+@query(
+    "llm_quality_trend",
+    survey_id="LLM-9/ETL-6",
+    oracle=rf"""
+        WITH q AS ({_QUALITY_FILTER_ORACLE}),
+        src AS (SELECT doc_id, source FROM documents)
+        SELECT s.source,
+               COUNT(*)                                              AS n_docs,
+               CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END)
+                    AS BIGINT)                                       AS n_pass,
+               CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT)                           AS pass_rate_micro,
+               CAST(SUM(CASE WHEN NOT q.len_ok THEN 1 ELSE 0 END)
+                    AS BIGINT)                                       AS n_len_fail,
+               CAST(SUM(CASE WHEN NOT q.lang_ok THEN 1 ELSE 0 END)
+                    AS BIGINT)                                       AS n_lang_fail,
+               CAST(SUM(CASE WHEN NOT q.repetition_ok THEN 1 ELSE 0 END)
+                    AS BIGINT)                                       AS n_rep_fail,
+               CAST(SUM(CASE WHEN NOT q.word_len_ok THEN 1 ELSE 0 END)
+                    AS BIGINT)                                       AS n_wlen_fail
+        FROM q JOIN src s USING (doc_id)
+        GROUP BY s.source
+    """,
+)
+def llm_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate pass rates — the incoming-batch monitoring
+    twin of llm_dedup_rate_trend: a source whose pass rate drifts down is
+    degrading upstream (template change, scraper rot, spam influx), and
+    the per-gate fail counts say WHICH gate moved before anyone reads a
+    sample. One row per source: gated docs, passes, the pass rate in
+    micro-units, and each gate's fail count. Denominators count docs the
+    gates could evaluate (≥ 3 words — the same population
+    llm_quality_filter reports).
+
+    All-integer: counts and an exact floor rate, so the oracle matches
+    bit-for-bit. Scale: reuses llm_quality_filter's one narrow feature
+    pass, joins the (doc_id, source) projection, and aggregates to
+    |sources| rows — one hash shuffle on doc_id for the join (broadcast
+    at graded scale), one map-side-combinable agg."""
+    qf = llm_quality_filter(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = qf.join(src, "doc_id")
+    fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agged = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        fail("len_ok").alias("n_len_fail"),
+        fail("lang_ok").alias("n_lang_fail"),
+        fail("repetition_ok").alias("n_rep_fail"),
+        fail("word_len_ok").alias("n_wlen_fail"),
+    )
+    return agged.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").alias("pass_rate_micro"),
+        "n_len_fail",
+        "n_lang_fail",
+        "n_rep_fail",
+        "n_wlen_fail",
     )
 
 

@@ -734,6 +734,61 @@ def test_context_length_histogram_partitions_the_corpus(spark, queries):
         assert r.n_docs * r.min_tokens <= r.total_tokens <= r.n_docs * r.max_tokens
 
 
+def test_quality_trend_reconciles_with_the_filter(spark, queries):
+    """The trend is EXACTLY the per-source aggregate of the gate frame:
+    recompute pass/fail counts from llm_quality_filter joined to source
+    and compare field-for-field; rates are exact integer floors."""
+    from sealnet_etl_spark.sources import load_table
+
+    gates = {r.doc_id: r for r in queries["llm_quality_filter"](spark, SF_DIR).collect()}
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    }
+    rows = queries["llm_quality_trend"](spark, SF_DIR).collect()
+    agg: dict = {}
+    for did, g in gates.items():
+        a = agg.setdefault(src[did], {"n": 0, "p": 0, "len": 0, "lang": 0, "rep": 0, "wlen": 0})
+        a["n"] += 1
+        a["p"] += int(g.keep)
+        a["len"] += int(not g.len_ok)
+        a["lang"] += int(not g.lang_ok)
+        a["rep"] += int(not g.repetition_ok)
+        a["wlen"] += int(not g.word_len_ok)
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        a = agg[r.source]
+        assert (r.n_docs, r.n_pass, r.n_len_fail, r.n_lang_fail,
+                r.n_rep_fail, r.n_wlen_fail) == (
+            a["n"], a["p"], a["len"], a["lang"], a["rep"], a["wlen"]
+        )
+        assert r.pass_rate_micro == a["p"] * 1_000_000 // a["n"]
+
+
+def test_cluster_size_histogram_reconciles_with_clusters(spark, queries):
+    """Bucket counts recompute exactly from the cluster labels; every
+    cluster has size ≥ 2 (components come from the pair list), and the
+    bucket bounds hold (2^b ≤ max_size < 2^(b+1) for the max's bucket)."""
+    from collections import Counter
+
+    labels = queries["llm_dedup_clusters"](spark, SF_DIR).collect()
+    sizes = Counter(r.cluster_id for r in labels)
+    assert sizes and min(sizes.values()) >= 2
+    expect: dict = {}
+    for sz in sizes.values():
+        b = sz.bit_length() - 1
+        e = expect.setdefault(b, {"n": 0, "docs": 0, "mx": 0})
+        e["n"] += 1
+        e["docs"] += sz
+        e["mx"] = max(e["mx"], sz)
+    rows = queries["llm_dedup_cluster_size_histogram"](spark, SF_DIR).collect()
+    assert {r.log2_bucket for r in rows} == set(expect)
+    for r in rows:
+        e = expect[r.log2_bucket]
+        assert (r.n_clusters, r.n_docs, r.max_size) == (e["n"], e["docs"], e["mx"])
+        assert 2**r.log2_bucket <= r.max_size < 2 ** (r.log2_bucket + 1)
+
+
 def test_rbo_bounds_and_determinism(spark, queries):
     """Truncated RBO@10 invariants: n_common <= K; every common doc
     contributes between the deepest and shallowest suffix weight, so
