@@ -173,16 +173,22 @@ def main() -> None:
             # n_common = 0, measured). The bit pattern gives 2^|terms|
             # distinct score classes per ancestor; both rankings rank
             # boosted clones of shared ancestors first, so ranking
-            # overlap measures real arithmetic (n_common = 3 at sf1 AND
-        # sf10, measured). APPEND — not occurrence-doubling — because
+            # overlap measures real arithmetic (sf1 n_common 0 → 4,
+            # measured). APPEND — not occurrence-doubling — because
             # doubling composes across chained decades into ≥8-token
             # plain runs wherever the source has adjacent query terms,
             # which aliased substring 8-gram anchors ACROSS copies
             # (spans 27× instead of 10×, measured and reverted). The
-            # appended run is ≤3 plain tokens per decade, ≤6 composed —
-            # under SUBSTR_K=8; a third chained decade would reach 9 and
-            # must rotate the append order (documented trap).
-            boost = " ".join(t for i, t in enumerate(preserve) if (k >> i) & 1)
+            # tail uses only the FIRST TWO terms (≤2 plain tokens per
+            # decade, ≤4 composed): a 3-term tail composed to 6 needed
+            # only 2 matching suffixed predecessor words to complete a
+            # shared 8-gram, and on this 31-word vocabulary that alone
+            # inflated sf10 spans to 11.9× of sf1 (measured); at ≤4 the
+            # completion needs 4 matching predecessors (~31⁻⁴ of
+            # same-class pairs — negligible, spans back to ~10×).
+            boost = " ".join(
+                t for i, t in enumerate(preserve[:2]) if (k >> i) & 1
+            )
             if boost:
                 text = F.concat(text, F.lit(" " + boost))
             copies.append(
