@@ -162,6 +162,11 @@ def _load_tile(path: str, with_labels: bool = False):
     return out
 
 
+#: driver-side write-once memo for _write_corpus_tiles (paths are
+#: app-scoped, so entries die with the session).
+_TILES_WRITTEN: set = set()
+
+
 def _write_corpus_tiles(
     spark: SparkSession,
     corpus_df: DataFrame,
@@ -192,13 +197,21 @@ def _write_corpus_tiles(
     base = os.path.join(
         warehouse, "_sim_tiles", app_id, f"{tag}_t{n_tiles}{suffix}"
     )
-    (
-        corpus_df.select("vec_id", "embedding", *extra_cols)
-        .withColumn("tile", F.pmod(F.col("vec_id"), F.lit(n_tiles)))
-        .write.mode("overwrite")
-        .partitionBy("tile")
-        .parquet(base)
-    )
+    # write-once per session (r8): the path fully determines the content
+    # within one app (same sf_dir parquet + params → same rows), but the
+    # overwrite itself is NOT free — at the sf10 decade it re-materializes
+    # 200 k vectors (~tens of seconds) on EVERY call of every tile
+    # consumer. Memoizing the write makes "one write + load per session"
+    # true in code, not just in the docstring.
+    if base not in _TILES_WRITTEN:
+        (
+            corpus_df.select("vec_id", "embedding", *extra_cols)
+            .withColumn("tile", F.pmod(F.col("vec_id"), F.lit(n_tiles)))
+            .write.mode("overwrite")
+            .partitionBy("tile")
+            .parquet(base)
+        )
+        _TILES_WRITTEN.add(base)
     return base
 
 
@@ -516,7 +529,12 @@ def _load_codes(path: str):
         codes = codes.reshape(0, ESC_PQ_M)
     order = np.argsort(ids, kind="stable")
     out = (ids[order], codes[order])
-    _CODES_CACHE.clear()
+    # bounded multi-entry cache (r8): a margin run keeps TWO code tables
+    # live (fwd probes side B's codes, bwd side A's) — the previous
+    # single-slot clear() made interleaved tasks reload per switch. Four
+    # slots × 16 B/vector stays MBs at any measured scale.
+    if len(_CODES_CACHE) >= 4:
+        _CODES_CACHE.pop(next(iter(_CODES_CACHE)))
     _CODES_CACHE[path] = out
     return out
 
@@ -623,6 +641,49 @@ def _encode_mat(mat_hat, books):
     return codes
 
 
+#: driver-side write-once memo for _write_pq_codes (app-scoped paths).
+_CODES_WRITTEN: set = set()
+
+
+def _write_pq_codes(spark: SparkSession, df: DataFrame, books, path: str) -> None:
+    """PQ-encode ``df``'s embeddings into a (vec_id, codes) parquet table
+    with ONE distributed Spark job — each row encoded exactly once across
+    the cluster — instead of every Python worker redundantly encoding the
+    whole corpus slice at kernel init (r8 review: the in-kernel form did
+    32× the work on a 32-core box and was memory-bandwidth-bound; at a
+    real cluster's worker count it would be strictly worse). Write-once
+    per session: the app-scoped path determines the content."""
+    import numpy as np
+    import pandas as pd
+
+    if path in _CODES_WRITTEN:
+        return
+    bc = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        bk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "codes": []}).astype(
+                    {"vec_id": "int64", "codes": "object"}
+                )
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n = np.sqrt((v * v).sum(axis=1, keepdims=True))
+            n[n == 0.0] = 1.0
+            codes = _encode_mat(v / n, bk)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    (
+        df.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(encode, "vec_id bigint, codes array<bigint>")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _CODES_WRITTEN.add(path)
+
+
 def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
     """Escalated ANN: flat PQ-ADC shortlist + exact re-rank.
 
@@ -649,27 +710,8 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             [], "src_id bigint, nbr_id bigint, cos_sim double"
         )
     bc = spark.sparkContext.broadcast(books)
-
-    def encode(batches):
-        bk = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({"vec_id": [], "codes": []}).astype(
-                    {"vec_id": "int64", "codes": "object"}
-                )
-                continue
-            v = np.array(list(pdf["embedding"]), dtype=np.float64)
-            n = np.sqrt((v * v).sum(axis=1, keepdims=True))
-            n[n == 0.0] = 1.0
-            codes = _encode_mat(v / n, bk)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
-
     codes_path = f"{base}_pqcodes"
-    (
-        emb.mapInPandas(encode, "vec_id bigint, codes array<bigint>")
-        .write.mode("overwrite")
-        .parquet(codes_path)
-    )
+    _write_pq_codes(spark, emb, books, codes_path)
 
     def adc_shortlist(batches):
         bk = bc.value
@@ -1344,20 +1386,29 @@ def _hard_negatives(
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1, extra_cols=("label",))
     tile = f"{base}/tile=0"
     books = None
+    codes_path = None
     if escalate_n is not None and emb.count() >= escalate_n:
         books = _train_pq_codebooks(spark, emb, ESC_PQ_M, ESC_PQ_K)
+        # encode ONCE via a distributed job (the _margin_shortlists /
+        # _pq_adc_topk pattern); workers load the 16 B/vector code table
+        codes_path = f"{base}_hn_pqcodes"
+        _write_pq_codes(spark, emb, books, codes_path)
 
     def hard_neg_batches(batches):
         ids, mat, norms, labels = _load_tile(tile, with_labels=True)
         labels = np.asarray(labels, dtype=np.int64)
         codes = None
         if books is not None and len(ids) >= escalate_n:
-            key = (tile, "all")
-            codes = _MINE_CODES_CACHE.get(key)
-            if codes is None:
-                safe = np.where(norms == 0.0, 1.0, norms)
-                codes = _encode_mat(mat / safe[:, None], books)
-                _MINE_CODES_CACHE[key] = codes
+            # tile rows and the code table are both ascending vec_id
+            c_ids, c_codes = _load_codes(codes_path)
+            pos = np.searchsorted(c_ids, ids)
+            if pos.size and (
+                pos.max() >= len(c_ids) or not (c_ids[pos] == ids).all()
+            ):
+                raise ValueError(
+                    "pq code table out of sync with the corpus tile"
+                )
+            codes = c_codes[pos]
         scratch: dict = {}
         for pdf in batches:
             if ids.size == 0 or not len(pdf):
@@ -1421,7 +1472,9 @@ def _hard_negatives(
                      "nbr_id": "int64", "cos_sim": "float64"}
                 )
 
-    return emb.mapInPandas(
+    # full-core fan-out before the scan (the _pq_adc_topk precedent;
+    # see _margin_shortlists) — row-independent kernel, output unchanged
+    return emb.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         hard_neg_batches,
         "src_id bigint, src_label bigint, nbr_id bigint, cos_sim double",
     )
@@ -2019,11 +2072,6 @@ MINE_ESCALATE_N = 10_000
 #: denominator needs the WHOLE top-k neighborhood right, not just rank 1.
 MINE_SHORTLIST = 40
 
-#: worker-side cache of the other side's PQ codes, keyed by
-#: (tile path, label): encode once per worker process, reuse across
-#: batches and across the fwd/bwd kernels of the same run.
-_MINE_CODES_CACHE: dict = {}
-
 
 def _margin_oracle_sql() -> str:
     k, thr = MINE_K, MINE_MARGIN_MICRO_MIN
@@ -2146,20 +2194,25 @@ def _margin_shortlists(
         for r in emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
     }
     books_by_label: dict = {}
+    codes_by_label: dict = {}
     if escalate_n is not None:
         for lbl in (MINE_LABEL_SRC, MINE_LABEL_TGT):
             if sizes.get(lbl, 0) >= escalate_n:
-                books_by_label[lbl] = _train_pq_codebooks(
-                    spark,
-                    emb.filter(F.col("label") == lbl),
-                    ESC_PQ_M,
-                    ESC_PQ_K,
-                )
+                side = emb.filter(F.col("label") == lbl)
+                books = _train_pq_codebooks(spark, side, ESC_PQ_M, ESC_PQ_K)
+                books_by_label[lbl] = books
+                # encode ONCE via a distributed job (not per worker at
+                # kernel init — r8 review: that form did n_workers× the
+                # encode work); workers load the 16 B/vector code table
+                codes_path = f"{base}_mine{lbl}_pqcodes"
+                _write_pq_codes(spark, side, books, codes_path)
+                codes_by_label[lbl] = codes_path
 
     def side_kernel(other_label: int, out_src_first: bool):
         """Score each incoming row against the tile rows of other_label;
         emit its top-k shortlist with the exact neighborhood sum."""
         books = books_by_label.get(other_label)
+        codes_path = codes_by_label.get(other_label)
 
         def kernel(batches):
             ids, mat, norms, labels = _load_tile(tile, with_labels=True)
@@ -2168,17 +2221,18 @@ def _margin_shortlists(
             o_ids, o_mat, o_norms = ids[mask], mat[mask], norms[mask]
             codes = None
             if books is not None and len(o_ids) >= escalate_n:
-                # encode once per worker process (~16 B/vector int64-held
-                # = 128 B/vector in cache; 2.6 MB at the sf10 side) and
-                # reuse across batches AND across this run's fwd/bwd
-                # kernels — both score against per-label slices of the
-                # same tile
-                key = (tile, int(other_label))
-                codes = _MINE_CODES_CACHE.get(key)
-                if codes is None:
-                    safe = np.where(o_norms == 0.0, 1.0, o_norms)
-                    codes = _encode_mat(o_mat / safe[:, None], books)
-                    _MINE_CODES_CACHE[key] = codes
+                # load the pre-encoded code table (worker-cached, id-
+                # sorted) and align it to the masked tile order — both
+                # are ascending vec_id, so this is a positional lookup
+                c_ids, c_codes = _load_codes(codes_path)
+                pos = np.searchsorted(c_ids, o_ids)
+                if pos.size and (
+                    pos.max() >= len(c_ids) or not (c_ids[pos] == o_ids).all()
+                ):
+                    raise ValueError(
+                        "pq code table out of sync with the corpus tile"
+                    )
+                codes = c_codes[pos]
             scratch: dict = {}
             empty = pd.DataFrame(
                 {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}
@@ -2258,8 +2312,14 @@ def _margin_shortlists(
         return kernel
 
     schema = "src_id bigint, tgt_id bigint, cos_micro bigint, sumk bigint"
-    side_a = emb.filter(F.col("label") == MINE_LABEL_SRC)
-    side_b = emb.filter(F.col("label") == MINE_LABEL_TGT)
+    # fan each side to the full core count before the scan (the
+    # _pq_adc_topk precedent): the parquet layout yields few input
+    # splits, which would leave half the executor cores idle through the
+    # dominant scoring stage; the repartition shuffles only (id, 64
+    # floats, label) rows. Row-independent kernel => output unchanged.
+    par = spark.sparkContext.defaultParallelism
+    side_a = emb.filter(F.col("label") == MINE_LABEL_SRC).repartition(par)
+    side_b = emb.filter(F.col("label") == MINE_LABEL_TGT).repartition(par)
     # _truncate_lineage, not persist: each shortlist feeds two consumers
     # (its sums distinct + the scored join), so it must compute once — but
     # a bare .persist() has no unpersist site here (the consuming action
