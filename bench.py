@@ -37,7 +37,6 @@ def headline_queries() -> list[str]:
         "llm_minhash_near_dup_pairs",
         "llm_topk_cosine",
         "llm_exact_dedup",
-        "str_tumbling_window",
         "etl_incremental_merge",
         # round-2 additions: cover the heavy tail (TF-IDF shuffle, ANN
         # bucket join, Q18 large-orders semi-join agg, CC iteration loop)
@@ -54,7 +53,6 @@ def headline_queries() -> list[str]:
         # or lost pushdown shows up as a per-query regression
         "llm_repetition_filter",
         "llm_boilerplate_ngrams",
-        "etl_shard_assign",
         # round-3 late additions: the heavier trainprep/analytics shapes
         # (funnel windows, broadcast-vocab scoring, packing window)
         "wn_event_funnel",
@@ -96,7 +94,6 @@ def headline_queries() -> list[str]:
         # round trip — so regressions in new code show as trends
         "llm_bpe_train",
         "jn_interval_containment",
-        "src_jdbc_roundtrip",
         # round-5 semantic changes: the two-sided asof (tie-rule rework)
         # and the 3-regex PII scrub pass — tracked from their change round
         "jn_asof_nearest",
@@ -118,7 +115,6 @@ def headline_queries() -> list[str]:
         # the round-5 statistical + multimodal additions (cheap, tracked
         # so regressions in new code show as trends per VERDICT r4 #9)
         "ag_mannwhitney_u",
-        "llm_multimodal_exact_dedup",
         # remaining round-5 additions: VARIANT round trip, _metadata file
         # lineage, Hampel despiker, Allen relation profile, nDCG eval
         "fn_variant_extract",
@@ -131,9 +127,7 @@ def headline_queries() -> list[str]:
         # rewritten compression proxy (char-4-gram zip projection) — new
         # or changed plans tracked from their change round
         "llm_multimodal_near_dup",
-        "llm_multimodal_chip_extract",
         "llm_compression_ratio",
-        "llm_multimodal_pair_align",
         # round 7: the fixed-point PCA (8 Arrow chunk-partial passes —
         # tracked so a lost persist re-scans parquet 8×), the epoch
         # allocator's (source, word) distinct-count aggregate, and the
@@ -159,6 +153,13 @@ def headline_queries() -> list[str]:
         "llm_quality_trend",
         "llm_dedup_cluster_size_histogram",
     ]
+    # round 8: six sub-0.3 s rows stable for 3+ rounds were RETIRED from
+    # the headline list (etl_shard_assign, the three multimodal blob ops,
+    # str_tumbling_window, src_jdbc_roundtrip) - the one-line JSON output
+    # must fit the driver's ~2.3 kB stdout tail window (VERDICT r7 #6),
+    # and with the round-8 additions the list outgrew it. Their plans
+    # remain driver-graded every round via CORRECTNESS; the retired
+    # timings' last rows live in BENCH_r07.
     names = [n for n in preferred if n in available]
     # Always bench at least the flagships even if the preferred list drifts.
     return names or sorted(available)[:3]
