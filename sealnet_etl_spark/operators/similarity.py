@@ -1376,10 +1376,15 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hard_negatives(spark, sf_dir)
 
 
-#: corpus size past which the hard-negative kernel ADC-prefilters. The
-#: shortlist is deeper than the margin miner's: same-label candidates are
-#: dropped AFTER shortlisting, so with L uniform labels only ~(L-1)/L of
-#: the shortlist survives the mask.
+#: corpus size past which the hard-negative kernel ADC-prefilters.
+#: LOWER than MINE_ESCALATE_N on measurement: the exact hard-negative
+#: path pays a full per-row STABLE ARGSORT over the corpus (not a bare
+#: argpartition — the rounded-cos tie discipline needs it), so at the
+#: 200 k sf10 corpus exact costs 274.0 ms/q single-core vs the ADC
+#: shortlist's 38.2 (7.2×, growing with n); here wall-clock and memory
+#: point the same way. The shortlist is deeper than the margin miner's:
+#: same-label candidates are dropped AFTER shortlisting, so with L
+#: uniform labels only ~(L-1)/L of the shortlist survives the mask.
 HN_ESCALATE_N = 10_000
 HN_SHORTLIST = 64
 
@@ -2084,10 +2089,11 @@ MINE_MARGIN_MICRO_MIN = 1_000_000
 #: other-side size past which the kernel stops exact-scanning and
 #: prefilters with a PQ-ADC shortlist (VERDICT r7 #3 — the escalation was
 #: documentation-only before r8). The boundary is MEMORY, not wall-clock:
-#: measured at sf10 (20 k/side, post fan-out/encode-once fixes) the exact
-#: BLAS path runs 9.3 s/call vs the ADC path's 22.0 s — both are
-#: O(|A|·|B|) per call, and dgemm's constant beats the 16-gather ADC scan
-#: whenever the fp64 side tile is worker-resident. What ADC buys is the
+#: single-core kernel measurements on the real sf10 side (18.2 k
+#: vectors) put exact at 6.99 ms/q vs ADC 5.56 ms/q — near-parity per
+#: query — while end-to-end ADC pays per-call fixed costs (codebook
+#: training + the code-table job), so exact is the faster production
+#: default at every tile-resident size. What ADC buys is the
 #: 16 B/vector code table (32× smaller): past ~1 M vectors/side the raw
 #: tile slice is ≥ 0.5 GB per worker and compression becomes the
 #: operative constraint. Recall cost of that compression, measured on
@@ -2184,9 +2190,10 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; every join after that is on shortlist-sized frames
     (broadcast), windows partition by src/tgt id. Candidate generation
     escalates past MINE_ESCALATE_N per side (r8, VERDICT r7 #3): below
-    it, one exact BLAS matmul per batch (measured 9.3 s/call at the
-    20 k/side sf10 decade — faster than the ADC path's 22.0 s, so the
-    exact gemm IS the plan while the fp64 tile is worker-resident);
+    it, one exact BLAS matmul per batch (6.99 ms/q single-core at the
+    18.2 k sf10 side vs ADC's 5.56 — near-parity, and ADC's per-call
+    fixed costs make exact the faster end-to-end plan while the fp64
+    tile is worker-resident; best observed 9.3 s/call at sf10);
     above it, the 16 B/vector PQ-ADC shortlist of MINE_SHORTLIST
     candidates per row, exact-re-ranked to top-k — the same rate-scaled
     flat-ADC escalation llm_lsh_ann_topk measured in, here bought for

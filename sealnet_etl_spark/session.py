@@ -13,7 +13,24 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# Cap BLAS/OpenMP threadpools to ONE thread per process BEFORE any JVM or
+# Python worker launches (workers inherit the driver's environment in
+# local mode). The engine's parallelism is process-level — 32 Arrow
+# workers on 32 cores — so a multithreaded OpenBLAS inside each worker
+# oversubscribes the box 32× with nondeterministic scheduling collapse:
+# the sf10 margin gemm measured anywhere from 9.3 s to 116.8 s per call
+# across sessions with identical code, while the gather-only (single-
+# threaded) ADC path reproduced within 0.2 s. setdefault, so an operator
+# explicitly tuned for in-worker threading can still override.
+for _var in (
+    "OPENBLAS_NUM_THREADS",
+    "OPENBLAS64_NUM_THREADS",
+    "OMP_NUM_THREADS",
+    "MKL_NUM_THREADS",
+):
+    os.environ.setdefault(_var, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 #: Confs that are runtime-settable and must hold on ANY session the engine
 #: uses — including an externally built one handed to us by a driver.

@@ -173,7 +173,7 @@ def main() -> None:
             # n_common = 0, measured). The bit pattern gives 2^|terms|
             # distinct score classes per ancestor; both rankings rank
             # boosted clones of shared ancestors first, so ranking
-            # overlap measures real arithmetic (sf1 n_common 0 → 4,
+            # overlap measures real arithmetic (sf1 n_common 0 → 6,
             # measured). APPEND — not occurrence-doubling — because
             # doubling composes across chained decades into ≥8-token
             # plain runs wherever the source has adjacent query terms,
