@@ -152,6 +152,7 @@ def headline_queries() -> list[str]:
         "llm_context_length_histogram",
         "llm_quality_trend",
         "llm_dedup_cluster_size_histogram",
+        "llm_vocab_growth",
     ]
     # round 8: six sub-0.3 s rows stable for 3+ rounds were RETIRED from
     # the headline list (etl_shard_assign, the three multimodal blob ops,

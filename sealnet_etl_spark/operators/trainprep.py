@@ -611,6 +611,81 @@ def llm_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_vocab_growth",
+    survey_id="LLM-7/ETL-6",
+    oracle=r"""
+        WITH tok AS (
+            SELECT CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                       AS batch_no,
+                   unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ), first_seen AS (
+            SELECT w, MIN(batch_no) AS batch_no FROM tok GROUP BY w
+        ), totals AS (
+            SELECT batch_no,
+                   COUNT(*) AS n_tokens,
+                   CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+            FROM tok GROUP BY batch_no
+        )
+        SELECT t.batch_no, t.n_tokens, t.n_types,
+               CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new_types,
+               CAST(COALESCE(f.n_new, 0) * 1000000 // t.n_types AS BIGINT)
+                   AS novelty_rate_micro
+        FROM totals t LEFT JOIN (
+            SELECT batch_no, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM first_seen GROUP BY batch_no
+        ) f USING (batch_no)
+    """,
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) monitor over arriving batches — the
+    third panel of the crawl-monitoring trio (llm_dedup_rate_trend counts
+    re-collected DOCUMENTS, llm_quality_trend gate drift; this counts new
+    WORD TYPES): per batch (the source's numeric suffix, arrival order),
+    total tokens, distinct types, how many types were NEVER seen in any
+    earlier batch, and that novelty rate in micro-units. A collapsing
+    novelty curve is the classic diminishing-marginal-data signal — the
+    vocabulary view of "this source is mined out", which document-level
+    dedup can miss when new docs recombine old language.
+
+    Scale: one token explode (the llm_vocab_induction cost class), then
+    two map-side-combinable aggregates — (word → min batch) and per-batch
+    token/type counts. Both shuffle on the word key; the skewed-head
+    words ("the") are exactly the ones map-side combine collapses to one
+    row per partition, the epoch-budget precedent. Output is |batches|
+    rows. First batch reads novelty 10⁶ by construction (every type is
+    new) — the causality witness the test pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.regexp_extract("source", r"([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("batch_no"),
+        F.explode(normalized_words(F.col("text"))).alias("w"),
+    )
+    first_seen = tok.groupBy("w").agg(F.min("batch_no").alias("batch_no"))
+    new_types = first_seen.groupBy("batch_no").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    totals = tok.groupBy("batch_no").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("w").alias("n_types"),
+    )
+    return (
+        totals.join(new_types, "batch_no", "left")
+        .withColumn("n_new_types", F.coalesce("n_new", F.lit(0)).cast("bigint"))
+        .select(
+            "batch_no",
+            "n_tokens",
+            "n_types",
+            "n_new_types",
+            F.expr("n_new_types * 1000000 div n_types").alias(
+                "novelty_rate_micro"
+            ),
+        )
+    )
+
+
 PMI_MIN_PAIR = 5
 
 

@@ -519,6 +519,42 @@ def test_shard_skew_report_brackets_the_mean(spark, queries):
     assert 1_000_000 <= row.skew_micro < 2_000_000
 
 
+def test_vocab_growth_is_causal_and_conserves_types(spark, queries):
+    """The earliest batch reads novelty = 10⁶ by construction (every
+    type is new), new-type counts sum to the corpus-wide distinct type
+    count, and every batch's novelty is the exact integer floor of
+    n_new/n_types. Cross-checked against a pure-python recount."""
+    from sealnet_etl_spark.sources import load_table
+
+    rows = {r.batch_no: r for r in queries["llm_vocab_growth"](spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    import re
+
+    seen_first: dict = {}
+    per_batch_tokens: dict = {}
+    per_batch_types: dict = {}
+    for d in docs:
+        b = int(re.search(r"([0-9]+)$", d.source).group(1))
+        words = re.split(r"\s+", (d.text or "").lower())
+        per_batch_tokens[b] = per_batch_tokens.get(b, 0) + len(words)
+        per_batch_types.setdefault(b, set()).update(words)
+        for w in words:
+            if w not in seen_first or seen_first[w] > b:
+                seen_first[w] = b
+    new_per_batch: dict = {}
+    for w, b in seen_first.items():
+        new_per_batch[b] = new_per_batch.get(b, 0) + 1
+    assert set(rows) == set(per_batch_tokens)
+    first = min(rows)
+    assert rows[first].novelty_rate_micro == 1_000_000
+    assert sum(r.n_new_types for r in rows.values()) == len(seen_first)
+    for b, r in rows.items():
+        assert r.n_tokens == per_batch_tokens[b]
+        assert r.n_types == len(per_batch_types[b])
+        assert r.n_new_types == new_per_batch.get(b, 0)
+        assert r.novelty_rate_micro == r.n_new_types * 1_000_000 // r.n_types
+
+
 def test_epoch_budget_apply_materializes_the_plan(spark, queries):
     """The apply twin realizes exactly the plan: every doc of a source
     appears floor(epochs) or ceil(epochs) times, low-tier sources
