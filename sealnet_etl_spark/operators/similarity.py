@@ -121,6 +121,34 @@ def llm_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TILE_CACHE: dict = {}
 
 
+def _list_column_to_matrix(col, dtype):
+    """Arrow list<numeric> column → dense 2-D numpy matrix WITHOUT the
+    to_pylist round trip. Measured on the 200 k × 64 sf10 tile:
+    to_pylist + np.asarray = 50 s per worker process (12.8 M boxed Python
+    floats), Arrow flatten = ~1 s uncontended. This was the dominant —
+    and WORKER-RECYCLING-DEPENDENT — cost of every tile/codes reload,
+    and the main source of the 9 s-vs-110 s end-to-end kernel variance
+    (a recycled worker pool re-paid 32 × 50 s; a surviving pool paid 0).
+    combine_chunks() re-materializes contiguous offsets, so flatten()
+    is exactly the concatenated values; the length check guards the
+    nulls/sliced-offsets cases by falling back to the slow exact path."""
+    import numpy as np
+
+    chunked = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    try:
+        flat = chunked.flatten().to_numpy(zero_copy_only=False)
+        n = len(chunked)
+        if n == 0:
+            return np.zeros((0,), dtype=dtype)
+        if flat.size % n == 0 and chunked.null_count == 0:
+            return np.ascontiguousarray(
+                np.asarray(flat, dtype=dtype).reshape(n, flat.size // n)
+            )
+    except Exception:  # noqa: BLE001 - fall through to the exact slow path
+        pass
+    return np.asarray(chunked.to_pylist(), dtype=dtype)
+
+
 def _load_tile(path: str, with_labels: bool = False):
     import numpy as np
     import pyarrow.parquet as pq
@@ -147,7 +175,7 @@ def _load_tile(path: str, with_labels: bool = False):
         _TILE_CACHE[key] = out
         return out
     ids = np.asarray(tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64)
-    mat = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mat = _list_column_to_matrix(tbl.column("embedding"), np.float64)
     if mat.size == 0:
         mat = mat.reshape(0, EMBED_DIM)
     order = np.argsort(ids, kind="stable")
@@ -155,7 +183,9 @@ def _load_tile(path: str, with_labels: bool = False):
     norms = np.sqrt((mat * mat).sum(axis=1))
     out = (ids, mat, norms)
     if with_labels:
-        labels = np.asarray(tbl.column("label").to_pylist())[order]
+        labels = np.asarray(
+            tbl.column("label").to_numpy(zero_copy_only=False)
+        )[order]
         out = (ids, mat, norms, labels)
     _TILE_CACHE.clear()
     _TILE_CACHE[key] = out
@@ -524,7 +554,7 @@ def _load_codes(path: str):
     ids = np.asarray(
         tbl.column("vec_id").to_numpy(zero_copy_only=False), dtype=np.int64
     )
-    codes = np.asarray(tbl.column("codes").to_pylist(), dtype=np.int64)
+    codes = _list_column_to_matrix(tbl.column("codes"), np.int64)
     if codes.size == 0:
         codes = codes.reshape(0, ESC_PQ_M)
     order = np.argsort(ids, kind="stable")
