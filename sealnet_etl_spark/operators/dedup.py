@@ -865,6 +865,85 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_contamination_report",
+    survey_id="LLM-2/ETL-6",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - 7),
+                       i -> array_to_string(w[i+1:i+8], ' '))) AS sh
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 8
+        ), ev AS (
+            SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 7 = 0
+        ), trs AS (
+            SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 7 <> 0
+        ), hits AS (
+            SELECT trs.doc_id, COUNT(DISTINCT trs.s) AS n_sh
+            FROM trs JOIN ev ON trs.s = ev.s
+            GROUP BY trs.doc_id
+        )
+        SELECT d.source,
+               COUNT(*)                             AS n_train_docs,
+               COUNT(h.doc_id)                      AS n_contaminated,
+               CAST(COUNT(h.doc_id) * 1000000 // COUNT(*)
+                    AS BIGINT)                      AS contamination_micro,
+               CAST(COALESCE(SUM(h.n_sh), 0)
+                    AS BIGINT)                      AS n_shared_shingles
+        FROM (SELECT doc_id FROM toks WHERE doc_id % 7 <> 0) tr
+        JOIN documents d USING (doc_id)
+        LEFT JOIN hits h ON tr.doc_id = h.doc_id
+        GROUP BY d.source
+    """,
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rate against the held-out eval probe —
+    the monitoring twin of llm_decontaminate (which lists the flagged
+    docs; this answers "which SOURCE is leaking benchmark text, and how
+    badly" — the number that decides whether a source gets dropped or
+    just filtered). One row per source: shingled train docs, contaminated
+    docs, the exact floor rate in micro-units, and the total distinct
+    shared shingles (leak mass, not just leak count).
+
+    Scale shape: identical to llm_decontaminate — the tiny eval shingle
+    set broadcasts, the training side streams map-only through the probe;
+    the denominators are a second narrow pass over (doc_id, source) only.
+    The added agg is |sources| rows. All-integer columns, exact floor
+    rate, so the oracle matches bit-for-bit."""
+    shingled = _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+    flagged = llm_decontaminate(spark, sf_dir).select(
+        "doc_id", "n_shared_shingles"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pop = (
+        shingled.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id")
+        .join(src, "doc_id")
+    )
+    joined = pop.join(flagged, "doc_id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("n_shared_shingles").alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("n_shared_shingles"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared_shingles"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            F.expr("n_contaminated * 1000000 div n_train_docs").alias(
+                "contamination_micro"
+            ),
+            "n_shared_shingles",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-3: dedup clustering (connected components, min-id propagation)
 # ---------------------------------------------------------------------------

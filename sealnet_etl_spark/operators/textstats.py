@@ -406,6 +406,65 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_tokenizer_fertility",
+    survey_id="LLM-7/LLM-8",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT lang, source,
+                   len(string_split_regex(lower(text), '\s+'))             AS n_words,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, source,
+               COUNT(*)                                   AS n_docs,
+               CAST(SUM(n_words) AS BIGINT)               AS n_words,
+               CAST(SUM(n_tokens) AS BIGINT)              AS n_tokens,
+               CAST(SUM(n_tokens) * 1000000 // SUM(n_words)
+                    AS BIGINT)                            AS fertility_micro
+        FROM toks WHERE n_words > 0
+        GROUP BY lang, source
+    """,
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per (lang, source): BPE-ish subword tokens per
+    whitespace word — the compression-quality number a multilingual
+    pretraining team reads per language before fixing a token budget (a
+    language whose fertility runs 2x English pays 2x the context window
+    for the same text; a source whose fertility drifts up is degrading
+    into symbol soup). Corpus-level ratio (Σtokens / Σwords), not a mean
+    of per-doc ratios, so long docs weigh what they cost.
+
+    All-integer: both counts are regex/split cardinalities and the ratio
+    is an exact floor in micro-units, so the oracle matches bit-for-bit.
+    Scale: one narrow two-count scan (no explode — the whole doc reduces
+    to two ints map-side), one map-side-combinable agg to |lang|x|source|
+    rows. No join, no window, no text past the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "lang",
+        "source",
+        F.size(normalized_words(F.col("text"))).alias("n_words"),
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    ).filter(F.col("n_words") > 0)
+    return (
+        counted.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").alias("fertility_micro"),
+        )
+    )
+
+
+@query(
     "llm_context_length_histogram",
     survey_id="LLM-7/LLM-11",
     oracle=rf"""
@@ -453,6 +512,88 @@ def llm_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
+    )
+
+
+@query(
+    "llm_token_gini",
+    survey_id="LLM-7/ETL-6",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT source,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        ), ranked AS (
+            SELECT source, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens)
+                       AS i
+            FROM toks
+        )
+        SELECT source,
+               COUNT(*)                        AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+               CAST((2 * SUM(i * n_tokens) - (COUNT(*) + 1) * SUM(n_tokens))
+                    * 1000000 // (COUNT(*) * SUM(n_tokens))
+                    AS BIGINT)                 AS gini_micro
+        FROM ranked
+        GROUP BY source
+        HAVING SUM(n_tokens) > 0
+    """,
+)
+def llm_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of document token counts — the
+    "is this source a long tail of stubs plus a few megadocs" number: 0
+    means every doc contributes equal tokens, values near 1 mean a few
+    docs carry the source (so doc-level sampling and token-level mixture
+    weights will disagree badly — cross-check
+    llm_mixture_temperature_weights, which weights by tokens). One row
+    per source: docs, total tokens, and the exact Gini in micro-units
+    via the sorted-rank identity G = (2*Sum(i*x_i) - (n+1)*Sum(x))
+    / (n*Sum(x)).
+
+    Tie discipline: rank ties (equal token counts) permute only equal
+    x_i values, so Sum(i*x_i) is invariant under either engine's tie
+    order — no tiebreak column needed for bit-equality. Overflow: the
+    scaled numerator can pass int64 at the decade SFs, so both engines
+    accumulate in wide integers (DuckDB SUM is int128; Spark folds in
+    decimal(38,0)) before one exact floor division. Scale: one narrow
+    token-count scan, then the per-source rank comes from the shared
+    TWO-PHASE global rank over (source, n_tokens) minus a broadcast
+    per-source offset — a range exchange where no task sees more than
+    ~N/partitions rows, NOT a partitionBy(source) window (which would
+    sort an entire source in one task — a multi-TB task at 100 TB with
+    few sources); then one map-side-combinable agg to |sources| rows.
+    (Range partitioning keeps equal keys in one partition, so tied rows
+    get distinct consecutive ranks — row_number semantics, and the sums
+    above are invariant to their order.)"""
+    from .windows import two_phase_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
+    )
+    g_ranked, _ = two_phase_global_rank(toks, ["source", "n_tokens"])
+    offsets = g_ranked.groupBy("source").agg(F.min("rank").alias("first_rank"))
+    ranked = g_ranked.join(F.broadcast(offsets), "source").withColumn(
+        "i", (F.col("rank") - F.col("first_rank") + 1).cast("bigint")
+    )
+    agged = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("decimal(38,0)").alias("t_sum"),
+        F.sum(F.col("i") * F.col("n_tokens"))
+        .cast("decimal(38,0)")
+        .alias("s_sum"),
+    )
+    return agged.filter(F.col("t_sum") > 0).select(
+        "source",
+        "n_docs",
+        F.col("t_sum").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "cast((2 * s_sum - (cast(n_docs as decimal(38,0)) + 1) * t_sum)"
+            " * 1000000 div (cast(n_docs as decimal(38,0)) * t_sum) as bigint)"
+        ).alias("gini_micro"),
     )
 
 

@@ -1060,6 +1060,76 @@ def llm_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: Interleave-schedule horizon: how many training steps the schedule
+#: report plans ahead. A constant — the plan frame is N x |sources| rows
+#: regardless of corpus size.
+SCHEDULE_STEPS = 240
+
+
+@query(
+    "llm_mixture_schedule",
+    survey_id="LLM-3/ETL-3",
+    oracle=f"""
+        WITH w AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), slots AS (
+            SELECT source,
+                   CAST(j AS BIGINT)                       AS k,
+                   CAST(((2 * j - 1) * 1000000000000) // n_docs
+                        AS BIGINT)                         AS slot_key
+            FROM w, generate_series(1, {SCHEDULE_STEPS}) AS t(j)
+        ), ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY slot_key, source, k)
+                        AS BIGINT) AS step,
+                   source, k, slot_key
+            FROM slots
+        )
+        SELECT step, source, k, slot_key FROM ranked
+        WHERE step <= {SCHEDULE_STEPS}
+    """,
+)
+def llm_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted interleave of sources into a training-step
+    order — the schedule a data loader follows so every source is spread
+    evenly through the epoch in proportion to its weight (here: doc
+    count), instead of clumping (which biases early training toward
+    whichever source a naive concat puts first). Classic error-diffusion
+    /Bresenham interleave: source s's k-th emission sits at rational
+    position (2k-1)/(2*w_s), and the global order is the merge of those
+    ladders — over any prefix of length L, source s appears
+    round(L*w_s/W) +- 1 times. One row per step: the source to draw
+    from, its per-source emission index k, and the slot key.
+
+    All-integer: the slot key is an exact floor in pico-units
+    ((2k-1)*1e12 div w_s — magnitudes <= ~5e14, no overflow), ties
+    broken (slot_key, source, k), so the oracle matches bit-for-bit.
+    Scale: the weight table is |sources| rows from one map-side agg; the
+    ladder explode and the single-partition row_number run on a constant
+    N x |sources| plan frame — never on data. The schedule horizon is a
+    plan constant; a full-epoch schedule at 100 TB would instead assign
+    steps arithmetically per source (step s.t. the ladder inequality
+    holds), which this report's prefix verifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    slots = w.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(SCHEDULE_STEPS))).alias("k"),
+        "n_docs",
+    ).select(
+        "source",
+        F.col("k").cast("bigint").alias("k"),
+        F.expr(
+            "(cast(2 * k - 1 as bigint) * 1000000000000) div n_docs"
+        ).alias("slot_key"),
+    )
+    win = Window.orderBy("slot_key", "source", "k")
+    return (
+        slots.withColumn("step", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("step") <= SCHEDULE_STEPS)
+        .select("step", "source", "k", "slot_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Data-constrained epoch budgeting
 # ---------------------------------------------------------------------------

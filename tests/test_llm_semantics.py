@@ -808,3 +808,110 @@ def test_rbo_bounds_and_determinism(spark, queries):
     hi = _RBO_W_NANO[0] * a.n_common / 1e9
     assert lo - 1e-6 <= a.rbo_at10 <= hi + 1e-6
     assert a.rbo_at10 <= 1 - RBO_P ** RBO_K + 1e-6
+
+
+def test_tokenizer_fertility_reconciles_with_token_count(spark, queries):
+    """Fertility must be EXACTLY the (lang, source) aggregate of
+    llm_token_count's two per-doc counts: recompute the group sums from
+    the per-doc report and compare field-for-field. Fertility >= 1e6 on
+    this fixture (a whitespace word contains at least one BPE-ish token
+    whenever words are non-empty), and the micro rate is the exact
+    integer floor of the corpus-level ratio, not a mean of ratios."""
+    from sealnet_etl_spark.sources import load_table
+
+    per_doc = {
+        r.doc_id: r for r in queries["llm_token_count"](spark, SF_DIR).collect()
+    }
+    meta = {
+        r.doc_id: (r.lang, r.source)
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang", "source")
+        .collect()
+    }
+    agg: dict = {}
+    for did, r in per_doc.items():
+        if r.ws_tokens <= 0:
+            continue
+        a = agg.setdefault(meta[did], {"docs": 0, "w": 0, "t": 0})
+        a["docs"] += 1
+        a["w"] += r.ws_tokens
+        a["t"] += r.bpe_ish_tokens
+    rows = queries["llm_tokenizer_fertility"](spark, SF_DIR).collect()
+    assert {(r.lang, r.source) for r in rows} == set(agg)
+    for r in rows:
+        a = agg[(r.lang, r.source)]
+        assert (r.n_docs, r.n_words, r.n_tokens) == (a["docs"], a["w"], a["t"])
+        assert r.fertility_micro == a["t"] * 1_000_000 // a["w"]
+        assert r.fertility_micro >= 1_000_000
+
+
+def test_token_gini_matches_pure_python_and_stays_in_range(spark, queries):
+    """The per-source Gini must equal a pure-python recount via the same
+    sorted-rank identity (tie order immaterial — tied values are equal),
+    and sit in [0, 1e6): 0 only if every doc has identical token count,
+    never 1e6 (a source's tokens cannot all sit on zero-count docs when
+    the total is positive)."""
+    import re
+
+    from sealnet_etl_spark.operators.textstats import TOKEN_PATTERN
+    from sealnet_etl_spark.sources import load_table
+
+    pat = re.compile(TOKEN_PATTERN)
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    per_source: dict = {}
+    for d in docs:
+        per_source.setdefault(d.source, []).append(
+            len(pat.findall((d.text or "").lower()))
+        )
+    rows = queries["llm_token_gini"](spark, SF_DIR).collect()
+    expect = {s for s, xs in per_source.items() if sum(xs) > 0}
+    assert {r.source for r in rows} == expect
+    for r in rows:
+        xs = sorted(per_source[r.source])
+        n, t = len(xs), sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        assert (r.n_docs, r.total_tokens) == (n, t)
+        assert r.gini_micro == (2 * s - (n + 1) * t) * 1_000_000 // (n * t)
+        assert 0 <= r.gini_micro < 1_000_000
+
+
+def test_contamination_report_reconciles_with_decontaminate(spark, queries):
+    """The report must be EXACTLY the per-source aggregate of the
+    decontamination flag list over the shingled train population:
+    contaminated totals match the flag list, leak mass is the sum of its
+    shingle counts, the rate is the exact floor, and no source reports
+    more contaminated docs than it has train docs."""
+    from sealnet_etl_spark.operators.dedup import SHINGLE_K, _docs_with_shingles
+    from sealnet_etl_spark.sources import load_table
+
+    flagged = {
+        r.doc_id: r.n_shared_shingles
+        for r in queries["llm_decontaminate"](spark, SF_DIR).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    train_pop = [
+        r.doc_id
+        for r in _docs_with_shingles(spark, SF_DIR, SHINGLE_K)
+        .select("doc_id")
+        .collect()
+        if r.doc_id % 7 != 0
+    ]
+    pop_by_src: dict = {}
+    for did in train_pop:
+        pop_by_src[src[did]] = pop_by_src.get(src[did], 0) + 1
+    rows = queries["llm_contamination_report"](spark, SF_DIR).collect()
+    assert {r.source for r in rows} == set(pop_by_src)
+    assert sum(r.n_contaminated for r in rows) == len(flagged)
+    assert sum(r.n_shared_shingles for r in rows) == sum(flagged.values())
+    for r in rows:
+        assert r.n_train_docs == pop_by_src[r.source]
+        assert 0 <= r.n_contaminated <= r.n_train_docs
+        assert (
+            r.contamination_micro
+            == r.n_contaminated * 1_000_000 // r.n_train_docs
+        )

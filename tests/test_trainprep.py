@@ -583,3 +583,42 @@ def test_epoch_budget_apply_materializes_the_plan(spark, queries):
             # hash-uniform Bernoulli at rate frac/1e6 over |docs| draws
             exp = len(docs) * frac / 1_000_000
             assert abs(extra - exp) <= 4 * (exp ** 0.5) + 3, (source, extra, exp)
+
+
+def test_mixture_schedule_is_dense_balanced_and_ladder_exact(spark, queries):
+    """Error-diffusion schedule invariants: steps are exactly 1..N with
+    no gap, each source's emission indices k form a dense prefix 1..m
+    (the slot key is strictly increasing in k), the full-horizon count
+    per source deviates from the ideal N*w/W by <= 1, and every sampled
+    prefix deviates by < 2 — the classic Bresenham-merge bound."""
+    from sealnet_etl_spark.operators.trainprep import SCHEDULE_STEPS
+    from sealnet_etl_spark.sources import load_table
+
+    rows = sorted(
+        queries["llm_mixture_schedule"](spark, SF_DIR).collect(),
+        key=lambda r: r.step,
+    )
+    n = SCHEDULE_STEPS
+    assert [r.step for r in rows] == list(range(1, n + 1))
+    per_src_ks: dict = {}
+    for r in rows:
+        per_src_ks.setdefault(r.source, []).append(r.k)
+    for ks in per_src_ks.values():
+        assert sorted(ks) == list(range(1, len(ks) + 1))
+    w = {
+        r["source"]: r["count"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    total = sum(w.values())
+    for s, ws in w.items():
+        got = len(per_src_ks.get(s, []))
+        assert abs(got - n * ws / total) <= 1.0
+    for prefix in (7, 37, 100, 201):
+        cnt: dict = {}
+        for r in rows[:prefix]:
+            cnt[r.source] = cnt.get(r.source, 0) + 1
+        for s, ws in w.items():
+            assert abs(cnt.get(s, 0) - prefix * ws / total) < 2.0
