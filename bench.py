@@ -153,6 +153,14 @@ def headline_queries() -> list[str]:
         "llm_quality_trend",
         "llm_dedup_cluster_size_histogram",
         "llm_vocab_growth",
+        # round 8, late batch: the fertility token scan, the per-source
+        # contamination aggregate (broadcast probe + denominator pass),
+        # and the materialized-scan + range-exchange Gini — tracked from
+        # their change round (llm_mixture_schedule is omitted: flat
+        # ~0.2 s by design, the retired-class shape)
+        "llm_tokenizer_fertility",
+        "llm_contamination_report",
+        "llm_token_gini",
     ]
     # round 8: six sub-0.3 s rows stable for 3+ rounds were RETIRED from
     # the headline list (etl_shard_assign, the three multimodal blob ops,
