@@ -1397,7 +1397,14 @@ def llm_dedup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate bucket's pair emission at CAP² with the same accepted
     recall trade as the batch path."""
     docs_src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    shingled = (
+    # Materialized via lineage truncation, NOT .cache(): the frame is
+    # consumed by band keys, both verify joins, and the totals — but a
+    # cache() here has no unpersist site (the consuming action is the
+    # caller's collect), so a full-registry sweep would pin one shingled
+    # corpus per invocation in executor storage (round-8 review finding —
+    # the ag_cohens_kappa/margin-mining ADVICE r7 pattern). localCheckpoint
+    # is reclaimed by the ContextCleaner when the frame goes out of scope.
+    shingled = _truncate_lineage(
         _docs_with_shingles(spark, sf_dir, SHINGLE_K)
         .join(docs_src, "doc_id")
         .withColumn(
@@ -1405,7 +1412,6 @@ def llm_dedup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("source", r"([0-9]+)$", 1).cast("bigint"),
         )
         .withColumn("__base", shingle_base_hashes(F.col("shingles")))
-        .cache()  # consumed by band keys, both verify joins, and totals
     )
     keys = (
         shingled.select(

@@ -130,20 +130,29 @@ def _list_column_to_matrix(col, dtype):
     and the main source of the 9 s-vs-110 s end-to-end kernel variance
     (a recycled worker pool re-paid 32 × 50 s; a surviving pool paid 0).
     combine_chunks() re-materializes contiguous offsets, so flatten()
-    is exactly the concatenated values; the length check guards the
-    nulls/sliced-offsets cases by falling back to the slow exact path."""
+    is exactly the concatenated values. The fast path requires UNIFORM
+    row widths (min list length == max, no nulls), checked via Arrow's
+    list_value_length — a total-size divisibility check alone would
+    accept a ragged column (e.g. rows of 63 and 65 floats from a corrupt
+    parquet) and silently reshape shifted garbage (round-8 review
+    finding, reproduced); ragged input falls through to np.asarray over
+    to_pylist, which raises the loud inhomogeneous-shape ValueError."""
     import numpy as np
 
     chunked = col.combine_chunks() if hasattr(col, "combine_chunks") else col
     try:
-        flat = chunked.flatten().to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
         n = len(chunked)
         if n == 0:
             return np.zeros((0,), dtype=dtype)
-        if flat.size % n == 0 and chunked.null_count == 0:
-            return np.ascontiguousarray(
-                np.asarray(flat, dtype=dtype).reshape(n, flat.size // n)
-            )
+        if chunked.null_count == 0:
+            mm = pc.min_max(pc.list_value_length(chunked)).as_py()
+            if mm["min"] is not None and mm["min"] == mm["max"] and mm["min"] > 0:
+                flat = chunked.flatten().to_numpy(zero_copy_only=False)
+                return np.ascontiguousarray(
+                    np.asarray(flat, dtype=dtype).reshape(n, mm["min"])
+                )
     except Exception:  # noqa: BLE001 - fall through to the exact slow path
         pass
     return np.asarray(chunked.to_pylist(), dtype=dtype)
@@ -197,6 +206,28 @@ def _load_tile(path: str, with_labels: bool = False):
 _TILES_WRITTEN: set = set()
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Session-stable identity of ``sf_dir``'s embeddings for the tile/
+    codes memo paths: leaf name plus a hash of (absolute path, source
+    mtime). The leaf name alone (pre-round-8-review form) collided two
+    different corpora whose directories share a basename and kept
+    serving a fixture regenerated mid-session — the write-once memo
+    would skip the write and every later consumer scored against the
+    FIRST corpus's vectors with no error. The mtime of the embeddings
+    parquet (file or directory — Spark rewrites recreate the entry)
+    rolls the tag on regeneration."""
+    import hashlib
+    import os
+
+    p = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        mt = str(os.stat(p).st_mtime_ns)
+    except OSError:
+        mt = "missing"
+    leaf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return leaf + "_" + hashlib.md5((p + "|" + mt).encode()).hexdigest()[:8]
+
+
 def _write_corpus_tiles(
     spark: SparkSession,
     corpus_df: DataFrame,
@@ -222,7 +253,7 @@ def _write_corpus_tiles(
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = re.sub("^file:(//)?", "", warehouse)
     app_id = spark.sparkContext.applicationId
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = _sf_tag(sf_dir)
     suffix = ("_" + "_".join(extra_cols)) if extra_cols else ""
     base = os.path.join(
         warehouse, "_sim_tiles", app_id, f"{tag}_t{n_tiles}{suffix}"
@@ -567,6 +598,22 @@ def _load_codes(path: str):
         _CODES_CACHE.pop(next(iter(_CODES_CACHE)))
     _CODES_CACHE[path] = out
     return out
+
+
+def _aligned_codes(codes_path: str, ids):
+    """Load the (id-sorted) PQ code table and align it positionally to
+    ``ids`` (also ascending vec_id). THE single alignment + invariant
+    check — the hard-negative and both margin side-kernels previously
+    carried byte-identical copies of this block (round-8 review: a fix
+    to one copy would silently miss the others). Raises if any id is
+    missing from the code table."""
+    import numpy as np
+
+    c_ids, c_codes = _load_codes(codes_path)
+    pos = np.searchsorted(c_ids, ids)
+    if pos.size and (pos.max() >= len(c_ids) or not (c_ids[pos] == ids).all()):
+        raise ValueError("pq code table out of sync with the corpus tile")
+    return c_codes[pos]
 
 
 #: Row-slab bound for ADC consumers: the (rows × n_codes) float32 score
@@ -1451,15 +1498,7 @@ def _hard_negatives(
         codes = None
         if books is not None and len(ids) >= escalate_n:
             # tile rows and the code table are both ascending vec_id
-            c_ids, c_codes = _load_codes(codes_path)
-            pos = np.searchsorted(c_ids, ids)
-            if pos.size and (
-                pos.max() >= len(c_ids) or not (c_ids[pos] == ids).all()
-            ):
-                raise ValueError(
-                    "pq code table out of sync with the corpus tile"
-                )
-            codes = c_codes[pos]
+            codes = _aligned_codes(codes_path, ids)
         scratch: dict = {}
         for pdf in batches:
             if ids.size == 0 or not len(pdf):
@@ -2291,18 +2330,9 @@ def _margin_shortlists(
             o_ids, o_mat, o_norms = ids[mask], mat[mask], norms[mask]
             codes = None
             if books is not None and len(o_ids) >= escalate_n:
-                # load the pre-encoded code table (worker-cached, id-
-                # sorted) and align it to the masked tile order — both
-                # are ascending vec_id, so this is a positional lookup
-                c_ids, c_codes = _load_codes(codes_path)
-                pos = np.searchsorted(c_ids, o_ids)
-                if pos.size and (
-                    pos.max() >= len(c_ids) or not (c_ids[pos] == o_ids).all()
-                ):
-                    raise ValueError(
-                        "pq code table out of sync with the corpus tile"
-                    )
-                codes = c_codes[pos]
+                # align the pre-encoded code table (worker-cached, id-
+                # sorted) to the masked tile order — positional lookup
+                codes = _aligned_codes(codes_path, o_ids)
             scratch: dict = {}
             empty = pd.DataFrame(
                 {"src_id": [], "tgt_id": [], "cos_micro": [], "sumk": []}

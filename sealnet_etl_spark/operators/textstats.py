@@ -593,10 +593,14 @@ def llm_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agged = ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("decimal(38,0)").alias("t_sum"),
-        F.sum(F.col("i") * F.col("n_tokens"))
-        .cast("decimal(38,0)")
-        .alias("s_sum"),
+        # The casts sit INSIDE the sums so the fold itself runs in
+        # decimal(38,0): a post-agg cast would accumulate in int64 and
+        # sum(i*x) ~ n^2*mean(x)/2 passes 2^63 near ~2e9 docs/source —
+        # silent wraparound with ANSI off (round-8 review finding).
+        F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("t_sum"),
+        F.sum((F.col("i") * F.col("n_tokens")).cast("decimal(38,0)")).alias(
+            "s_sum"
+        ),
     )
     return agged.filter(F.col("t_sum") > 0).select(
         "source",
