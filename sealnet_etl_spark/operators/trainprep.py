@@ -1111,7 +1111,7 @@ def llm_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds), which this report's prefix verifies."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    slots = w.select(
+    slots = w.select(  # see schedule_step_of for the closed-form inverse
         "source",
         F.explode(F.sequence(F.lit(1), F.lit(SCHEDULE_STEPS))).alias("k"),
         "n_docs",
@@ -1128,6 +1128,45 @@ def llm_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("step") <= SCHEDULE_STEPS)
         .select("step", "source", "k", "slot_key")
     )
+
+
+_SLOT_SCALE = 1_000_000_000_000
+
+
+def schedule_step_of(source: str, k: int, weights: dict) -> int:
+    """Closed-form inverse of llm_mixture_schedule: the global step at
+    which ``source`` emits for the k-th time, by EXACT integer counting —
+    no merge, no sort, O(|sources|) per lookup. This is the docstring's
+    100 TB shape made code: a full-epoch schedule never materializes the
+    merged ladder; each loader computes its own steps arithmetically.
+
+    step = 1 + Σ_t #{j : key_t(j) < K} + Σ_{t<source} #{j : key_t(j) = K}
+    with key_t(j) = (2j-1)*S div w_t and K = key_source(k); ties break
+    (slot_key, source, k) exactly as the registered query's window does.
+    Both floor-inequality counts have closed forms:
+    key < K  ⟺  (2j-1)*S ≤ K*w - 1  ⟺  j ≤ ((K*w - 1) div S + 1) div 2,
+    and the equal-count is the ≤-count at K+1 minus the <-count at K.
+    Pinned equal to the query's step column for every row by
+    test_mixture_schedule_arithmetic_inverse_matches."""
+
+    def n_below(key: int, w: int) -> int:
+        # j with (2j-1)*S div w < key, i.e. (2j-1)*S <= key*w - 1
+        if key <= 0:
+            return 0
+        return max(0, ((key * w - 1) // _SLOT_SCALE + 1) // 2)
+
+    key = (2 * k - 1) * _SLOT_SCALE // weights[source]
+    step = 1
+    for t, w in weights.items():
+        below = n_below(key, w)
+        if t < source:
+            below += n_below(key + 1, w) - below  # ties at K rank before
+        step += below
+    # subtract source's own emissions strictly after its k-th tie-slot:
+    # within one source keys are strictly increasing, so its own
+    # below-count is exactly k-1 and needs no tie handling beyond the
+    # loop above (t == source contributes n_below(key, w_s) == k-1).
+    return step
 
 
 # ---------------------------------------------------------------------------

@@ -622,3 +622,54 @@ def test_mixture_schedule_is_dense_balanced_and_ladder_exact(spark, queries):
             cnt[r.source] = cnt.get(r.source, 0) + 1
         for s, ws in w.items():
             assert abs(cnt.get(s, 0) - prefix * ws / total) < 2.0
+
+
+def test_mixture_schedule_arithmetic_inverse_matches(spark, queries):
+    """schedule_step_of (the closed-form O(|sources|) step lookup — the
+    100 TB shape where no merged ladder is ever materialized) must agree
+    with the registered query's window-ranked step for EVERY row of the
+    schedule, including any cross-source slot-key ties."""
+    from sealnet_etl_spark.operators.trainprep import schedule_step_of
+    from sealnet_etl_spark.sources import load_table
+
+    weights = {
+        r["source"]: r["count"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    rows = queries["llm_mixture_schedule"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert schedule_step_of(r.source, r.k, weights) == r.step, (
+            r.source, r.k, r.step
+        )
+
+
+def test_schedule_step_of_pure_merge_reference():
+    """Pure-python reference: brute-force the merged ladder for several
+    UNEQUAL weight maps (the sf fixtures are equal-weight, which makes
+    every slot a full cross-source tie — this covers the non-tied and
+    partially-tied regimes) and check the closed form on every slot."""
+    from sealnet_etl_spark.operators.trainprep import _SLOT_SCALE, schedule_step_of
+
+    for weights in (
+        {"a": 3, "b": 5},
+        {"a": 1, "b": 7, "c": 7},
+        {"x": 2, "y": 3, "z": 11},
+        {"s1": 4, "s2": 4, "s3": 9, "s4": 1},
+    ):
+        # The closed form models the UNBOUNDED epoch ladder (the query's
+        # j <= N clip only drops rows whose step exceeds N anyway), so
+        # the brute reference must be deep enough that no truncated
+        # emission could rank inside the asserted prefix: with j <= 400
+        # per source, every omitted emission ranks past step 400 >
+        # the 100 asserted.
+        ladder = sorted(
+            ((2 * k - 1) * _SLOT_SCALE // w, t, k)
+            for t, w in weights.items()
+            for k in range(1, 401)
+        )
+        for step, (_, t, k) in enumerate(ladder[:100], start=1):
+            assert schedule_step_of(t, k, weights) == step, (t, k, step)
