@@ -53,9 +53,12 @@ _REGRADE_FIRST: tuple[str, ...] = (
 
 #: ROUND-8 STATE: the never-driver-graded tail is EMPTY — CORRECTNESS_r07
 #: drained the final 17 (all hash-green), completing 303/303 queries
-#: driver-graded at least once. Queries registered in round 8+ enter the
-#: window automatically via tier 2 (name absent from every round file);
-#: this tuple stays the mechanism for any future query that needs an
+#: driver-graded at least once. Round 8 registered 11 new queries (the
+#: monitoring quartet + cluster-size histogram + quality trend + vocab
+#: growth from the early session; fertility, contamination report,
+#: mixture schedule, token gini late) — all enter the window via tier 2
+#: (name absent from every round file), ahead of the 303 long-green.
+#: This tuple stays the mechanism for any future query that needs an
 #: explicit interleaved order inside one window.
 _NEVER_GRADED: tuple[str, ...] = ()
 
