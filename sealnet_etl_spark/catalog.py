@@ -41,14 +41,18 @@ from .plans import flagship  # noqa: F401
 from . import registry as _registry
 
 #: Queries whose physical plan was rewritten since their last driver
-#: grade, re-certified first (the r6 simhash precedent — VERDICT r7 #2):
-#: - str_streaming_near_dup: streaming/incremental.py plan rewritten twice
-#:   since its last driver grade (r6 write-coalescing; r7 write-ahead band
-#:   keys + broadcast-semi index prune). Outputs argued identical by
-#:   construction and the local oracle mirror + restart tests are green,
-#:   but a rewritten already-green query gets a driver regrade slot.
+#: grade, re-certified first (the r6 simhash precedent — VERDICT r8 #1):
+#: - llm_margin_mining / llm_hard_negatives: round-8 ADC-escalation
+#:   rewrite (PQ-ADC shortlist prefilter past 10k vectors/side, 512-row
+#:   score slabs, distributed one-job encode) — graded SFs never escalate
+#:   so outputs are argued bit-identical, but the kernel changed.
+#: - ag_cohens_kappa: round-8 grid materialization (persist → collected
+#:   literal grid) changed the physical plan after its last grade.
+#: (str_streaming_near_dup was re-certified hash-green in r8 and dropped.)
 _REGRADE_FIRST: tuple[str, ...] = (
-    "str_streaming_near_dup",
+    "llm_margin_mining",
+    "llm_hard_negatives",
+    "ag_cohens_kappa",
 )
 
 #: ROUND-8 STATE: the never-driver-graded tail is EMPTY — CORRECTNESS_r07

@@ -1453,6 +1453,56 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hard_negatives(spark, sf_dir)
 
 
+#: Anchor-batch size for llm_hard_negatives_batch — fixed, NOT a
+#: corpus fraction, so the query's cost is O(batch x corpus) at every
+#: scale (the 100 TB serving shape: a training batch is a constant).
+#: 64 < the 500-vector graded fixture, so the batch is a strict subset
+#: at every SF.
+HN_BATCH = 64
+
+
+@query(
+    "llm_hard_negatives_batch",
+    survey_id="LLM-4/LLM-11",
+    oracle=f"""
+        WITH batch AS (
+            SELECT vec_id, label, embedding
+            FROM embeddings
+            ORDER BY md5('hnb:' || vec_id::VARCHAR), vec_id
+            LIMIT {HN_BATCH}
+        )
+        SELECT a.vec_id AS src_id, a.label AS src_label,
+               b.vec_id AS nbr_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM batch a JOIN embeddings b
+          ON a.vec_id <> b.vec_id AND a.label <> b.label
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) DESC,
+                     b.vec_id
+        ) <= {TOP_K}
+    """,
+)
+def llm_hard_negatives_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for ONE TRAINING BATCH — the production
+    serving shape of llm_hard_negatives (VERDICT r8 #3: the full-corpus
+    query is quadratic BY SEMANTICS — every vector an anchor — and
+    stays as the stress case; a contrastive trainer actually mines
+    negatives per batch). Anchors are the deterministic md5-first
+    HN_BATCH vec_ids (a stand-in for "the ids in this step's batch");
+    each gets its top-k most-similar OTHER-label vectors from the FULL
+    corpus.
+
+    Scale: identical kernel and tile/escalation path as
+    llm_hard_negatives — only the anchor stream shrinks to a constant,
+    so cost is O(batch x corpus) ~ one corpus scan per batch instead of
+    corpus². The anchor pick is a TakeOrdered top-64, never a global
+    sort. At 100 TB the batch ids would arrive as a parameter table;
+    the md5 pick keeps the registered query self-contained and
+    oracle-checkable."""
+    return _hard_negatives(spark, sf_dir, batch=HN_BATCH)
+
+
 #: corpus size past which the hard-negative kernel ADC-prefilters.
 #: LOWER than MINE_ESCALATE_N on measurement: the exact hard-negative
 #: path pays a full per-row STABLE ARGSORT over the corpus (not a bare
@@ -1471,10 +1521,15 @@ def _hard_negatives(
     sf_dir: str,
     escalate_n: int | None = HN_ESCALATE_N,
     shortlist: int = HN_SHORTLIST,
+    batch: int | None = None,
 ) -> DataFrame:
     """llm_hard_negatives' plan with the escalation knobs exposed (the
     _margin_mine convention: knobs thread the kernel closure because
-    executors re-import the module)."""
+    executors re-import the module). ``batch`` restricts the ANCHOR
+    stream to the deterministic md5-first ``batch`` vectors (the
+    llm_hard_negatives_batch serving shape); the corpus side — tile,
+    codebooks, escalation threshold — is untouched, so negatives are
+    still mined against every vector."""
     import numpy as np
     import pandas as pd
 
@@ -1569,9 +1624,21 @@ def _hard_negatives(
                      "nbr_id": "int64", "cos_sim": "float64"}
                 )
 
+    anchors = emb
+    if batch is not None:
+        # deterministic fixed-size anchor batch: the md5-first `batch`
+        # vec_ids. orderBy+limit compiles to TakeOrderedAndProject — a
+        # per-partition top-`batch` then a driver merge of partition
+        # heads, never a global sort.
+        anchors = emb.orderBy(
+            F.md5(F.concat(F.lit("hnb:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        ).limit(batch)
     # full-core fan-out before the scan (the _pq_adc_topk precedent;
     # see _margin_shortlists) — row-independent kernel, output unchanged
-    return emb.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+    return anchors.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
         hard_neg_batches,
         "src_id bigint, src_label bigint, nbr_id bigint, cos_sim double",
     )

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load_table
-from .dedup import normalized_words, word_shingles
+from .dedup import JACCARD_TAU, SHINGLE_K, normalized_words, word_shingles
 
 
 def type_token_ratio(words) -> "Column":
@@ -278,6 +278,124 @@ def llm_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_quality_dedup_crosstab",
+    survey_id="LLM-9/LLM-2/ETL-6",
+    oracle=rf"""
+        WITH q AS ({_QUALITY_FILTER_ORACLE}),
+        toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= {JACCARD_TAU}
+        ), dup_ids AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT da AS doc_id FROM pairs
+                UNION ALL
+                SELECT db AS doc_id FROM pairs
+            )
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(q.keep, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT)     AS n_pass,
+               CAST(SUM(CASE WHEN COALESCE(q.keep, FALSE)
+                        THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT)                AS pass_rate_micro,
+               CAST(SUM(CASE WHEN u.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)     AS n_near_dup_docs,
+               CAST(SUM(CASE WHEN u.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT)                AS dup_rate_micro,
+               CAST(SUM(CASE WHEN NOT COALESCE(q.keep, FALSE)
+                             AND u.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT)     AS n_dirty_and_dup,
+               CAST(SUM(CASE WHEN NOT COALESCE(q.keep, FALSE)
+                             AND u.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT)                AS dirty_and_dup_micro
+        FROM documents d
+        LEFT JOIN q ON d.doc_id = q.doc_id
+        LEFT JOIN dup_ids u ON d.doc_id = u.doc_id
+        GROUP BY d.source
+    """,
+)
+def llm_quality_dedup_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality × duplication decision table (VERDICT r8 #7):
+    joins the quality-gate verdicts with the near-dup pair list and
+    reduces to one row per source — the "which source is both dirty AND
+    redundant" view that decides whether a source gets dropped (high
+    dirty_and_dup), deduped (clean but redundant), or filtered (dirty
+    but unique). Columns: docs, quality passes + rate, near-duplicated
+    docs + rate, and the cross cell (fails the gates AND has a near-dup
+    twin — the delete-first candidates) + its rate. A doc too short for
+    the gates (< 3 words) counts as failing them — junk by definition.
+
+    Scale: both parents are the shared cached artifacts (the quality
+    feature pass is one narrow scan; the verified MinHash pair list is
+    KBs of id pairs at any corpus size — llm_dedup_degree_report's
+    argument); this adds two id-keyed left joins and one
+    map-side-combinable agg to |sources| rows. All-integer columns with
+    exact floor rates, so the oracle matches bit-for-bit (the pair
+    list's banding recall at J ≥ 0.8 is the documented ≥ 0.9997, same
+    as every other oracle built on it)."""
+    from .dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    qf = llm_quality_filter(spark, sf_dir).select("doc_id", "keep")
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    joined = (
+        docs.join(qf, "doc_id", "left")
+        .join(dup_ids, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("keep", F.lit(False)).alias("__pass"),
+            F.coalesce("__dup", F.lit(False)).alias("__isdup"),
+        )
+    )
+    agged = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(F.when(F.col("__isdup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near_dup_docs"),
+        F.sum(F.when(~F.col("__pass") & F.col("__isdup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dirty_and_dup"),
+    )
+    return agged.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.expr("n_pass * 1000000 div n_docs").alias("pass_rate_micro"),
+        "n_near_dup_docs",
+        F.expr("n_near_dup_docs * 1000000 div n_docs").alias(
+            "dup_rate_micro"
+        ),
+        "n_dirty_and_dup",
+        F.expr("n_dirty_and_dup * 1000000 div n_docs").alias(
+            "dirty_and_dup_micro"
+        ),
+    )
+
+
 #: Tiny per-language stopword marker lists for the n-gram/stopword
 #: language-ID heuristic. Order fixes the argmax tiebreak.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -374,6 +492,68 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
 TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
+#: driver-side write-once memo for token_counts (paths are app-scoped,
+#: so entries die with the session — the _TILES_WRITTEN precedent,
+#: similarity.py).
+_TOKEN_COUNTS_WRITTEN: set = set()
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE session-scoped materialized token-count frame: one row per
+    document with (doc_id, source, lang, n_chars, n_words, n_tokens),
+    written ONCE per (session, corpus) to app-scoped warehouse scratch
+    and read back by every consumer. Eight registered queries need the
+    TOKEN_PATTERN count over the full text (token_count, fertility,
+    context-length histogram, token gini, sequence pack, pack lineage,
+    pack bins/efficiency, shard skew); paying the regexp scan — ~97% of
+    llm_pack_bins' 24 s at sf10 (SCALE.md, VERDICT r8 #2) — once per
+    SESSION instead of once per QUERY is the production layout: at
+    100 TB the counts frame is ~30 bytes/doc (ids + three ints — never
+    text), and every monitoring query after the first becomes a narrow
+    parquet scan. Counts are integers computed by the exact expressions
+    the consumers previously inlined (regexp_count / size(split) /
+    length), so every downstream result is bit-identical to the
+    pre-memo plans.
+
+    Same layout discipline as similarity.py's _write_corpus_tiles: the
+    path is keyed by spark.app.id (concurrent sessions never collide)
+    plus a (path, mtime) corpus tag (a fixture regenerated mid-session
+    rolls the tag instead of serving stale counts)."""
+    import hashlib
+    import os
+    import re
+
+    p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        mt = str(os.stat(p).st_mtime_ns)
+    except OSError:
+        mt = "missing"
+    leaf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = leaf + "_" + hashlib.md5((p + "|" + mt).encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = re.sub("^file:(//)?", "", warehouse)
+    base = os.path.join(
+        warehouse, "_token_counts", spark.sparkContext.applicationId, tag
+    )
+    if base not in _TOKEN_COUNTS_WRITTEN:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.select(
+                "doc_id",
+                "source",
+                "lang",
+                F.length("text").alias("n_chars"),
+                F.size(normalized_words(F.col("text"))).alias("n_words"),
+                F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias(
+                    "n_tokens"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(base)
+        )
+        _TOKEN_COUNTS_WRITTEN.add(base)
+    return spark.read.parquet(base)
+
 
 @query(
     "llm_token_count",
@@ -392,16 +572,14 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     pre-tokenization (letter runs / digit runs / symbols) — the budget
     estimator every training-data pipeline runs before tokenizing."""
-    docs = load_table(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    bpe_ish = F.regexp_count(lower, F.lit(TOKEN_PATTERN))
-    return docs.select(
+    tc = token_counts(spark, sf_dir)
+    return tc.select(
         "doc_id",
-        F.size(normalized_words(F.col("text"))).alias("ws_tokens"),
-        bpe_ish.alias("bpe_ish_tokens"),
-        F.round(F.length("text").cast("double") / bpe_ish, 6).alias(
-            "chars_per_token"
-        ),
+        F.col("n_words").alias("ws_tokens"),
+        F.col("n_tokens").alias("bpe_ish_tokens"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens"), 6
+        ).alias("chars_per_token"),
     )
 
 
@@ -439,13 +617,11 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one narrow two-count scan (no explode — the whole doc reduces
     to two ints map-side), one map-side-combinable agg to |lang|x|source|
     rows. No join, no window, no text past the counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    counted = docs.select(
-        "lang",
-        "source",
-        F.size(normalized_words(F.col("text"))).alias("n_words"),
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
-    ).filter(F.col("n_words") > 0)
+    counted = (
+        token_counts(spark, sf_dir)
+        .select("lang", "source", "n_words", "n_tokens")
+        .filter(F.col("n_words") > 0)
+    )
     return (
         counted.groupBy("lang", "source")
         .agg(
@@ -459,7 +635,15 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_words",
             "n_tokens",
-            F.expr("n_tokens * 1000000 div n_words").alias("fertility_micro"),
+            # The scale-up runs in decimal(38,0), not int64: with ANSI off
+            # n_tokens * 1e6 silently wraps once a (lang, source) group
+            # passes ~9.2e12 tokens — plausible at the 100 TB design
+            # point — while the DuckDB oracle promotes to HUGEINT
+            # (round-8 review finding; same guard as llm_token_gini).
+            F.expr(
+                "cast(cast(n_tokens as decimal(38,0)) * 1000000"
+                " div n_words as bigint)"
+            ).alias("fertility_micro"),
         )
     )
 
@@ -496,10 +680,11 @@ def llm_context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one bucket across engines. Scale: one narrow token-count pass, one
     map-side-combinable agg to ≤ 64 rows. No join, no window, no text
     past the count."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        token_counts(spark, sf_dir)
+        .select("n_tokens")
+        .filter(F.col("n_tokens") > 0)
+    )
     return (
         toks.withColumn(
             "log2_bucket",
@@ -568,24 +753,15 @@ def llm_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     get distinct consecutive ranks — row_number semantics, and the sums
     above are invariant to their order.)
 
-    The token-count frame is MATERIALIZED before the range exchange:
-    repartitionByRange's bounds-sampling job executes its child in full,
-    so an unmaterialized plan pays the regexp scan TWICE (measured at
-    the sf10 decade: 24.5 s cold -> 12.0 s with the cut, the single
-    remaining scan at ~10 s). The materialized frame is 16 bytes/doc
-    (source + int64 — never text), bounded at any corpus size."""
-    from .dedup import _truncate_lineage
+    The counts come from the session-memoized token_counts frame, which
+    is already MATERIALIZED parquet — so repartitionByRange's
+    bounds-sampling job (which executes its child in full) re-reads a
+    narrow 30-byte/doc scan, never the regexp pass (the round-8 form
+    localCheckpointed a per-call frame to get the same property;
+    measured then at the sf10 decade: 24.5 s cold -> 12.0 s)."""
     from .windows import two_phase_global_rank
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = _truncate_lineage(
-        docs.select(
-            "source",
-            F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias(
-                "n_tokens"
-            ),
-        )
-    )
+    toks = token_counts(spark, sf_dir).select("source", "n_tokens")
     g_ranked, _ = two_phase_global_rank(toks, ["source", "n_tokens"])
     offsets = g_ranked.groupBy("source").agg(F.min("rank").alias("first_rank"))
     ranked = g_ranked.join(F.broadcast(offsets), "source").withColumn(
@@ -593,12 +769,15 @@ def llm_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agged = ranked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        # The casts sit INSIDE the sums so the fold itself runs in
-        # decimal(38,0): a post-agg cast would accumulate in int64 and
-        # sum(i*x) ~ n^2*mean(x)/2 passes 2^63 near ~2e9 docs/source —
-        # silent wraparound with ANSI off (round-8 review finding).
+        # The casts sit on the OPERANDS, not post-product or post-agg:
+        # sum(i*x) ~ n^2*mean(x)/2 passes 2^63 near ~2e9 docs/source, and
+        # even a single row's i*x wraps in int64 once a high-rank row
+        # (i ~ 1e10) meets a megadoc token count (x ~ 1e9) — casting the
+        # finished product would wrap BEFORE the decimal ever saw it
+        # (round-8/9 review findings). With a decimal(38,0) operand the
+        # multiply and the fold both run decimal-wide.
         F.sum(F.col("n_tokens").cast("decimal(38,0)")).alias("t_sum"),
-        F.sum((F.col("i") * F.col("n_tokens")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("n_tokens")).alias(
             "s_sum"
         ),
     )

@@ -22,7 +22,7 @@ from ..registry import query
 from ..sources import load_table
 from .dedup import NEW_BATCH_SOURCES, normalized_words
 from .etl import N_SHARDS as _N_SHARDS
-from .textstats import TOKEN_PATTERN
+from .textstats import TOKEN_PATTERN, token_counts
 
 
 def md5_bucket(key: Column, salt: str, mod: int | Column) -> Column:
@@ -92,14 +92,17 @@ def llm_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACK_SHARDS to O(cluster cores), each holding a contiguous token
     stream; assignment stays deterministic because the shard key is
     content-hashed, not monotonic)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
-            "shard"
-        ),
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        token_counts(spark, sf_dir)
+        .select(
+            "doc_id",
+            md5_bucket(
+                F.col("doc_id").cast("string"), "pack:", PACK_SHARDS
+            ).alias("shard"),
+            "n_tokens",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1158,14 +1161,19 @@ def schedule_step_of(source: str, k: int, weights: dict) -> int:
     key = (2 * k - 1) * _SLOT_SCALE // weights[source]
     step = 1
     for t, w in weights.items():
-        below = n_below(key, w)
-        if t < source:
-            below += n_below(key + 1, w) - below  # ties at K rank before
-        step += below
-    # subtract source's own emissions strictly after its k-th tie-slot:
-    # within one source keys are strictly increasing, so its own
-    # below-count is exactly k-1 and needs no tie handling beyond the
-    # loop above (t == source contributes n_below(key, w_s) == k-1).
+        if t == source:
+            # Own earlier emissions ALWAYS rank before the k-th one: for
+            # j < k, key(j) <= key(k), and an equal key breaks the tie on
+            # the k column. Counting k-1 directly (instead of
+            # n_below(key, w)) stays exact even when w > 2*_SLOT_SCALE
+            # makes consecutive own keys collide (round-8 review finding:
+            # past ~2e12 docs/source the strictly-increasing assumption
+            # the old n_below shortcut leaned on fails).
+            step += k - 1
+        elif t < source:
+            step += n_below(key + 1, w)  # ties at K rank before
+        else:
+            step += n_below(key, w)
     return step
 
 
@@ -1779,14 +1787,17 @@ def llm_pack_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum), plus a bounded explode of ceil(n_tokens/SEQ_LEN) rows
     per doc. The lineage table is the artifact to PERSIST bucketed by
     seq_idx at production scale, so takedown queries are point lookups."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
-            "shard"
-        ),
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        token_counts(spark, sf_dir)
+        .select(
+            "doc_id",
+            md5_bucket(
+                F.col("doc_id").cast("string"), "pack:", PACK_SHARDS
+            ).alias("shard"),
+            "n_tokens",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
@@ -1898,14 +1909,17 @@ def _pack_bins(spark: SparkSession, sf_dir: str, shards: int) -> DataFrame:
     global, because executors re-import the module."""
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        md5_bucket(F.col("doc_id").cast("string"), "pack:", shards).alias(
-            "shard"
-        ),
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        token_counts(spark, sf_dir)
+        .select(
+            "doc_id",
+            md5_bucket(F.col("doc_id").cast("string"), "pack:", shards).alias(
+                "shard"
+            ),
+            "n_tokens",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -2033,13 +2047,16 @@ def llm_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one narrow token-count pass, one map-side-combinable agg to
     PACK_SHARDS rows, one single-row reduce. No join, no window."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        md5_bucket(F.col("doc_id").cast("string"), "pack:", PACK_SHARDS).alias(
-            "shard"
-        ),
-        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    toks = (
+        token_counts(spark, sf_dir)
+        .select(
+            md5_bucket(
+                F.col("doc_id").cast("string"), "pack:", PACK_SHARDS
+            ).alias("shard"),
+            "n_tokens",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
     per = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tokens"))
     return per.agg(
         F.count(F.lit(1)).alias("n_shards"),

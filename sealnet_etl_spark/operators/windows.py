@@ -960,14 +960,22 @@ def two_phase_global_cumsum(
     global cumulative sum = sum offset + within-partition running sum.
     Returns (df + rank/cum columns, total_rows, total_sum).
 
-    Same persist-before-collect requirement as two_phase_global_rank
-    (range bounds are sampled per execution; the persist pins one physical
-    partitioning for both the offsets job and the window job). No task
-    ever holds more than ~N/num_partitions rows."""
-    ranged = (
-        df.repartitionByRange(num_partitions, *order_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    Same pin-before-collect requirement as two_phase_global_rank
+    (range bounds are sampled per execution, so the offsets job and the
+    window job must see ONE physical partitioning). The pin is a
+    lineage-truncating checkpoint, NOT ``.persist()``: a persist here has
+    no reachable unpersist site (callers never see the handle), so every
+    invocation would pin a fresh InMemoryRelation in the CacheManager
+    until session end (round-8 review finding — the exact leak class the
+    dedup-rate-trend rewrite removed). The checkpointed blocks are
+    instead reclaimed by the ContextCleaner once the frame goes out of
+    scope. No task ever holds more than ~N/num_partitions rows."""
+    from .dedup import _truncate_lineage
+
+    ranged = _truncate_lineage(
+        df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     parts = {
         r["__pid"]: (r["n"], r["s"])

@@ -187,7 +187,12 @@ _DOC_REPLAY_CACHE: dict[str, str] = {}
 def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _DOC_REPLAY_CACHE:
         return _DOC_REPLAY_CACHE[sf_dir]
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # source rides along for the contamination monitor; near-dup's
+    # readStream schema names only (doc_id, text), so parquet by-name
+    # column pruning keeps its input unchanged
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
     chunks = [
         docs.filter(F.pmod("doc_id", F.lit(N_DOC_CHUNKS)) == i)
         for i in range(N_DOC_CHUNKS)
@@ -388,4 +393,166 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.read.parquet(results_store).select(
         "doc_prior", "doc_new", "jaccard"
+    )
+
+
+_STREAM_CONTAM_ORACLE = rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                   i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+        FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+              FROM documents)
+        WHERE len(w) >= {SHINGLE_K}
+    ), ev AS (
+        SELECT DISTINCT unnest(sh) AS s FROM toks WHERE doc_id % 7 = 0
+    ), trs AS (
+        SELECT doc_id, unnest(sh) AS s FROM toks WHERE doc_id % 7 <> 0
+    ), hits AS (
+        SELECT trs.doc_id, COUNT(DISTINCT trs.s) AS n_sh
+        FROM trs JOIN ev ON trs.s = ev.s
+        GROUP BY trs.doc_id
+    )
+    SELECT CAST(tr.doc_id % {N_DOC_CHUNKS} AS BIGINT) AS chunk,
+           d.source,
+           COUNT(*)                             AS n_train_docs,
+           COUNT(h.doc_id)                      AS n_contaminated,
+           CAST(COUNT(h.doc_id) * 1000000 // COUNT(*)
+                AS BIGINT)                      AS contamination_micro,
+           CAST(COALESCE(SUM(h.n_sh), 0)
+                AS BIGINT)                      AS n_shared_shingles
+    FROM (SELECT doc_id FROM toks WHERE doc_id % 7 <> 0) tr
+    JOIN documents d USING (doc_id)
+    LEFT JOIN hits h ON tr.doc_id = h.doc_id
+    GROUP BY 1, d.source
+"""
+
+
+@query(
+    "str_contamination_monitor",
+    survey_id="STR-8/LLM-2/ETL-6",
+    oracle=_STREAM_CONTAM_ORACLE,
+)
+def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming contamination monitor: each arriving micro-batch of
+    training documents is probed against the PERSISTED eval-benchmark
+    shingle postings, and a per-(batch, source) contamination row is
+    appended — the foreachBatch twin of llm_contamination_report
+    (VERDICT r8 #7), completing the batch→streaming pattern the
+    near-dup family already has. The batch report answers "did THIS
+    ingest leak benchmark text, from which source" while the data is
+    still quarantine-able, instead of after the corpus is assembled.
+
+    Plan per trigger: the eval postings are built ONCE before the
+    stream starts (the benchmark suite is a fixed artifact) and
+    force-broadcast into each batch's probe join — the exact
+    llm_contamination_report doctrine (a real probe is fixed-size, so
+    the broadcast is constant at any corpus scale); the batch side
+    shingles ONLY its own docs (O(batch), never re-scanning earlier
+    batches) and reduces to |sources| rows per trigger. Results write
+    under ``chunk=<batch_id>`` partitions with per-partition overwrite
+    (the write-ahead-by-batchId pattern) — a crash-replayed batch
+    rewrites the SAME partition, idempotent on plain parquet. Batches
+    are independent BY SEMANTICS (each probes the static eval set, not
+    the other batches), so no cross-batch state store is needed at all.
+
+    Replay is the near-dup family's 3-chunk doc_id % 3 split, so the
+    oracle recomputes batch membership exactly; integer columns and an
+    exact floor rate make the per-batch rows bit-comparable."""
+    import os as _os
+
+    from ..sources.ingest import _scratch
+
+    replay = _docs_replay_dir(spark, sf_dir)
+    eval_store = _scratch(sf_dir, "str_contam_eval_postings")
+    results_store = _scratch(sf_dir, "str_contam_report")
+    checkpoint = _scratch(sf_dir, "str_contamination_ckpt")
+    for p in (eval_store, results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # the persisted eval postings: distinct shingles of the (static)
+    # held-out eval docs, written once — the artifact a deployment
+    # refreshes only when the benchmark suite changes
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("__w", normalized_words(F.col("text")))
+        .filter(F.size("__w") >= SHINGLE_K)
+        .select(
+            F.explode(word_shingles(F.col("__w"), SHINGLE_K)).alias("s")
+        )
+        .distinct()
+    )
+    ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sh = (
+            batch_df.filter(F.col("doc_id") % 7 != 0)
+            .withColumn("__w", normalized_words(F.col("text")))
+            .filter(F.size("__w") >= SHINGLE_K)
+            .select(
+                "doc_id",
+                "source",
+                word_shingles(F.col("__w"), SHINGLE_K).alias("sh"),
+            )
+            .localCheckpoint()
+        )
+        postings = sh.select("doc_id", F.explode("sh").alias("s"))
+        evp = spark.read.parquet(eval_store)
+        hits = (
+            postings.join(F.broadcast(evp), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_sh"))
+        )
+        report = (
+            sh.select("doc_id", "source")
+            .join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_train_docs"),
+                F.count("n_sh").alias("n_contaminated"),
+                F.sum(F.coalesce(F.col("n_sh"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_shared_shingles"),
+            )
+            .select(
+                "source",
+                "n_train_docs",
+                "n_contaminated",
+                F.expr("n_contaminated * 1000000 div n_train_docs").alias(
+                    "contamination_micro"
+                ),
+                "n_shared_shingles",
+            )
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{results_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame(
+            [],
+            "chunk bigint, source string, n_train_docs bigint, "
+            "n_contaminated bigint, contamination_micro bigint, "
+            "n_shared_shingles bigint",
+        )
+    return spark.read.parquet(results_store).select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        "source",
+        "n_train_docs",
+        "n_contaminated",
+        "contamination_micro",
+        "n_shared_shingles",
     )

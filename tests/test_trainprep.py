@@ -673,3 +673,30 @@ def test_schedule_step_of_pure_merge_reference():
         )
         for step, (_, t, k) in enumerate(ladder[:100], start=1):
             assert schedule_step_of(t, k, weights) == step, (t, k, step)
+
+
+def test_schedule_step_of_megasource_key_collisions():
+    """Round-8 review finding: once a source's weight exceeds
+    2*_SLOT_SCALE (~2e12 docs) its consecutive slot keys COLLIDE
+    ((2k-1)*S div w stops being strictly increasing), and the old
+    own-source shortcut (count = n_below(key)) under-counted the tied
+    earlier emissions. The fixed closed form counts k-1 directly. Brute
+    reference over weight maps with w >> 2*_SLOT_SCALE, asserting every
+    slot in the prefix — including the all-tied key=0 runs."""
+    from sealnet_etl_spark.operators.trainprep import (
+        _SLOT_SCALE,
+        schedule_step_of,
+    )
+
+    for weights in (
+        {"mega": 5 * _SLOT_SCALE, "tiny": 3},
+        {"a": 3 * _SLOT_SCALE, "b": 3 * _SLOT_SCALE},
+        {"huge": 10**15, "mid": _SLOT_SCALE // 2, "small": 7},
+    ):
+        ladder = sorted(
+            ((2 * k - 1) * _SLOT_SCALE // w, t, k)
+            for t, w in weights.items()
+            for k in range(1, 401)
+        )
+        for step, (_, t, k) in enumerate(ladder[:100], start=1):
+            assert schedule_step_of(t, k, weights) == step, (t, k, step)
