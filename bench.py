@@ -60,7 +60,6 @@ def headline_queries() -> list[str]:
         "llm_sequence_pack",
         "jn_point_in_time",
         # the four-stage training-data pipeline composition (capstone)
-        "llm_pipeline_e2e",
         # round-3 continuation: the second analytics batch's heavier
         # shapes (rolling-distinct explode, day-blocked interval pairing,
         # asof attribution) — tracked so a regression to a range self-join
@@ -84,7 +83,6 @@ def headline_queries() -> list[str]:
         "llm_simhash_near_dup",
         "jn_triangle_count",
         "llm_bigram_logprob",
-        "udf_model_batch_inference",
         # the rollup twin that isolates jn_interval_overlap's JOIN cost
         # from the 617k-row driver-collect tax (see its docstring)
         "jn_interval_overlap_daily",
@@ -114,7 +112,6 @@ def headline_queries() -> list[str]:
         "llm_winnowing_fingerprints",
         # the round-5 statistical + multimodal additions (cheap, tracked
         # so regressions in new code show as trends per VERDICT r4 #9)
-        "ag_mannwhitney_u",
         # remaining round-5 additions: VARIANT round trip, _metadata file
         # lineage, Hampel despiker, Allen relation profile, nDCG eval
         "fn_variant_extract",
@@ -126,7 +123,6 @@ def headline_queries() -> list[str]:
         # blocked Hamming join), JVM-side chip extraction, and the
         # rewritten compression proxy (char-4-gram zip projection) — new
         # or changed plans tracked from their change round
-        "llm_multimodal_near_dup",
         "llm_compression_ratio",
         # round 7: the fixed-point PCA (8 Arrow chunk-partial passes —
         # tracked so a lost persist re-scans parquet 8×), the epoch
@@ -161,7 +157,21 @@ def headline_queries() -> list[str]:
         "llm_tokenizer_fertility",
         "llm_contamination_report",
         "llm_token_gini",
+        # round 9: the fixed-batch hard-negative serving shape (64
+        # anchors x full corpus), the per-trigger streaming
+        # contamination monitor, and the quality x dedup decision table
+        # (two cached parents + id joins) — tracked from their change
+        # round
+        "llm_hard_negatives_batch",
+        "str_contamination_monitor",
+        "llm_quality_dedup_crosstab",
+        "str_quality_monitor",
     ]
+    # round 9: four more stable rows retired to fund the three new
+    # round-9 rows inside the 2.0 kB tail window (llm_pipeline_e2e 0.37,
+    # udf_model_batch_inference 0.37, llm_multimodal_near_dup 0.26,
+    # ag_mannwhitney_u 0.43 -
+    # all flat for 3+ rounds; still driver-graded via CORRECTNESS).
     # round 8: six sub-0.3 s rows stable for 3+ rounds were RETIRED from
     # the headline list (etl_shard_assign, the three multimodal blob ops,
     # str_tumbling_window, src_jdbc_roundtrip) - the one-line JSON output

@@ -45,6 +45,83 @@ def word_shingles(words: Column, k: int) -> Column:
     )
 
 
+#: Compressed documents-parquet bytes per SHINGLE-CARRYING task. The
+#: calibration is the measured sf100 boundary (round 8 OOM, round 9
+#: A/B ladder): shingle rows inflate ~35x from parquet (distinct
+#: 8-gram strings + base-hash longs), and in LOCAL mode all 32
+#: concurrent tasks share ONE heap — so the budget is
+#: 32 x (per_task x 35) ≤ a few GB of the 8 g default. 8 MiB/task
+#: (117 partitions at sf100) still put ~300 MB x 32 ≈ 9.6 GB in
+#: flight and OOMed the cache-materialize stage (measured); 2 MiB
+#: (~470 partitions) holds ~75 MB x 32 ≈ 2.4 GB. On a real cluster
+#: the same rule is per-executor-core and lands at thousands of
+#: partitions per 100 TB.
+SHINGLE_PARTITION_BYTES = 2 << 20
+
+
+#: Input bytes per BANDING task (the bucket groupBy). Finer than
+#: SHINGLE_PARTITION_BYTES because the banding stream is N_BANDS rows
+#: per doc and collect_list buffers them BOXED per bucket: at 8 MiB the
+#: sf100 decade still put ~2.7 M ids (~90 MB of boxed longs) in every
+#: one of 32 concurrent tasks and OOMed stage 7 (measured); 2 MiB keeps
+#: the per-task buffer near ~700 k ids.
+BAND_PARTITION_BYTES = 2 << 20
+
+#: Documents-parquet size past which the shingle cache switches from
+#: deserialized in-memory (fastest at bench scale, where the whole
+#: frame fits) to DISK_ONLY: exploded shingles run ~15x the compressed
+#: parquet, so past ~0.5 GB of input the "cache" would be a multi-GB
+#: InMemoryRelation built inside the executor heap — the sf100 GC
+#: thrash — while DISK_ONLY streams each partition to local disk with
+#: a one-partition heap spike. On a real cluster this threshold is
+#: per-executor storage memory; 100 TB always takes the disk path.
+SHINGLE_MEMORY_CACHE_BYTES = 512 << 20
+
+
+def _partitions_for_bytes(
+    total_bytes: int, default: int, per_task: int = SHINGLE_PARTITION_BYTES
+) -> int:
+    """Pure sizing rule: never fewer than the session default (small
+    corpora keep full-core parallelism), one extra partition per
+    ``per_task`` input bytes past that."""
+    import math
+
+    return max(default, math.ceil(total_bytes / per_task))
+
+
+def _documents_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the documents parquet (file or directory)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    return total
+
+
+def shingle_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Partition count for the minhash pipeline's shingle-carrying
+    exchanges, scaled with the CORPUS instead of pinned to the session
+    conf (VERDICT r8 #8 — the conf docstring's partitions-with-corpus
+    prescription made code). The per-task working set of the signature
+    cache and the Jaccard-verify join is (corpus / partitions) shingle
+    rows, so a fixed 32 breaks at exactly the corpus size where
+    exploded arrays outgrow the heap slice — measured at sf100
+    (5 M docs): OOM at 32, clean at byte-scaled counts. On a real
+    cluster the same rule lands at thousands of partitions per 100 TB,
+    per-task set constant."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return _partitions_for_bytes(_documents_bytes(sf_dir), default)
+
+
 def _docs_with_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = normalized_words(F.col("text"))
@@ -129,10 +206,22 @@ def shingle_base_hashes(shingles: Column) -> Column:
 def minhash_signature_cols(base: Column) -> list[Column]:
     """N_PERM minhash values over pre-hashed shingles: the classic
     (a*h+b) mod p permutation family, min-reduced per permutation.
-    Everything is codegen'd JVM array math — no Python in the loop."""
+    Everything is codegen'd JVM array math — no Python in the loop.
+
+    Each column is an ``aggregate`` FOLD with a scalar accumulator, not
+    transform→array_min: the transform form materializes one permuted
+    copy of the shingle-hash array per permutation — 64 transient long
+    arrays PER ROW — and that allocation churn is what broke the sf100
+    banding map stage at the default heap (GCLocker retry storms, then
+    OOM; measured round 9). The fold computes the identical min (null
+    init + least ≡ array_min on non-empty arrays; shingled inputs are
+    size-filtered upstream) with zero per-permutation allocations."""
+    null_acc = F.lit(None).cast("bigint")
     return [
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(a * h + b, F.lit(_MERSENNE)))
+        F.aggregate(
+            base,
+            null_acc,
+            lambda acc, h: F.least(acc, F.pmod(a * h + b, F.lit(_MERSENNE))),
         ).alias(f"sig_{p}")
         for p, (a, b) in enumerate(_PERM_AB)
     ]
@@ -167,9 +256,17 @@ def minhash_band_keys() -> Column:
     )
 
 
-def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
+def minhash_candidate_pairs(
+    with_sigs: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """LSH banding: signature → N_BANDS band keys; docs sharing any band key
-    become a candidate pair.
+    become a candidate pair. ``num_partitions`` sizes the banding shuffle
+    with the corpus (the shingle_shuffle_partitions rule): the bucket
+    groupBy's sorted-collect buffers hold (corpus x N_BANDS /
+    partitions) ids per task, so the session default that serves bench
+    scale concentrates ~10 M ids per task at the sf100 decade — the
+    measured stage-7 heap boundary; corpus-scaled counts keep the
+    buffer flat at any scale.
 
     Pair generation is bucket-local: ONE shuffle groups (band_key, doc_id)
     into per-bucket sorted id lists, and pairs explode from each list —
@@ -193,6 +290,10 @@ def minhash_candidate_pairs(with_sigs: DataFrame) -> DataFrame:
     buckets = with_sigs.select(
         "doc_id", F.explode(minhash_band_keys()).alias("band_key")
     )
+    if num_partitions is not None:
+        # the groupBy reuses this hashpartitioning(band_key, n) instead
+        # of re-exchanging to the session default
+        buckets = buckets.repartition(num_partitions, "band_key")
     grouped = (
         buckets.groupBy("band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -216,14 +317,40 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = JACCAR
     exact-Jaccard verification of candidates at threshold tau."""
     # __base is materialized INSIDE the cache: Catalyst's CollapseProject
     # would otherwise re-inline the alias into each of the 64 signature
-    # columns and redo the string hashing per permutation.
+    # columns and redo the string hashing per permutation. The explicit
+    # doc_id repartition sizes the cache AND both verify-join exchanges
+    # with the corpus (shingle_shuffle_partitions): the cached frame's
+    # hashpartitioning(doc_id, n) survives the doc_a/doc_b renames, so
+    # EnsureRequirements shuffles the candidate side to n instead of the
+    # session default — no shingle-carrying task outgrows its heap slice
+    # at any corpus size. Row membership per partition changes nothing:
+    # every downstream op is key-local or key-shuffled.
+    from pyspark import StorageLevel
+
+    n_part = shingle_shuffle_partitions(spark, sf_dir)
+    level = (
+        StorageLevel.DISK_ONLY
+        if _documents_bytes(sf_dir) > SHINGLE_MEMORY_CACHE_BYTES
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     shingled = (
         _docs_with_shingles(spark, sf_dir, SHINGLE_K)
         .withColumn("__base", shingle_base_hashes(F.col("shingles")))
-        .cache()
+        .repartition(n_part, "doc_id")
+        .persist(level)
     )
     with_sigs = shingled.select("doc_id", *minhash_signature_cols(F.col("__base")))
-    candidates = minhash_candidate_pairs(with_sigs)
+    # None at bench scale (the session default's plan is untouched);
+    # corpus-scaled once the sizing rule asks for more than the default.
+    # The banding stream gets its own FINER sizing: N_BANDS rows per doc
+    # and boxed collect_list buffers (BAND_PARTITION_BYTES docstring).
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_band = _partitions_for_bytes(
+        _documents_bytes(sf_dir), default, BAND_PARTITION_BYTES
+    )
+    candidates = minhash_candidate_pairs(
+        with_sigs, num_partitions=None if n_band <= default else n_band
+    )
     sh = shingled.select("doc_id", "shingles")
     verified = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")

@@ -168,7 +168,15 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality gates: length bounds, language allowlist, repeated
     3-gram ratio, mean word length — each gate reported separately plus the
     conjunction, so downstream can audit why a doc dropped."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """llm_quality_filter's gate computation over ANY (doc_id, lang,
+    text) frame — factored out so the streaming quality monitor scores
+    each micro-batch with the EXACT batch-query expressions (the
+    near-dup family's shared-kernel discipline: batch and streaming
+    twins can never desynchronize)."""
     w = normalized_words(F.col("text"))
     feats = (
         docs.withColumn("__w", w)
@@ -1684,6 +1692,19 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the sum, the sum to 6 dp before ranking, identical in the
     oracle — ln's last ulp can differ across engines and the logprob
     family proved this two-stage rounding stable on this corpus."""
+    return _bm25_topk(spark, sf_dir, BM25_QUERY)
+
+
+def _bm25_topk(
+    spark: SparkSession, sf_dir: str, terms: tuple
+) -> DataFrame:
+    """llm_bm25_topk's plan with the query terms exposed (VERDICT r8
+    #4): decade fixtures past sf1 are clone ladders where the bare
+    registered terms degenerate every linear ranker's top-10 to one
+    ancestor's copies; a suffixed term set (e.g. ``data``→the words of
+    one copy's sub-corpus) scopes the SAME plan to a clone-free slice
+    so the eval arithmetic does real work at the third decade. The
+    registered query stays on BM25_QUERY."""
     docs = load_table(spark, sf_dir, "documents")
     w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
     # cache the tiny (doc_id, dl) frame: the avgdl aggregate and the
@@ -1694,7 +1715,7 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = w.select("doc_id", F.size("w").alias("dl")).cache()
     tf = (
         w.select("doc_id", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -1857,15 +1878,21 @@ def llm_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term-filtered before any shuffle (the bm25 doctrine); the nDCG
     arithmetic itself touches two K-row lists built by TakeOrdered and
     reduces to ONE row — evaluation cost is independent of corpus size."""
+    return _ndcg_eval(spark, sf_dir, BM25_QUERY)
+
+
+def _ndcg_eval(spark: SparkSession, sf_dir: str, terms: tuple) -> DataFrame:
+    """llm_ndcg_eval's plan with the query terms exposed (the _bm25_topk
+    convention — decade evals scope to a clone-free sub-corpus)."""
     docs = load_table(spark, sf_dir, "documents")
-    bm_gain = llm_bm25_topk(spark, sf_dir).select(
+    bm_gain = _bm25_topk(spark, sf_dir, terms).select(
         "doc_id",
         F.round(F.col("bm25") * F.lit(1000000.0)).cast("bigint").alias("gain"),
     )
     w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
     tf = (
         w.select("doc_id", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -2164,9 +2191,15 @@ def llm_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the bm25 doctrine) and truncate to K rows by TakeOrdered;
     the RBO arithmetic joins two 10-row lists — evaluation cost is
     corpus-size-independent."""
+    return _rbo_eval(spark, sf_dir, BM25_QUERY)
+
+
+def _rbo_eval(spark: SparkSession, sf_dir: str, terms: tuple) -> DataFrame:
+    """llm_rbo_eval's plan with the query terms exposed (the _bm25_topk
+    convention — decade evals scope to a clone-free sub-corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     b10 = (
-        llm_bm25_topk(spark, sf_dir)
+        _bm25_topk(spark, sf_dir, terms)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(RBO_K)
         .withColumn(
@@ -2177,7 +2210,7 @@ def llm_rbo_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", normalized_words(F.col("text")).alias("w"))
     tf = (
         w.select("doc_id", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
+        .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

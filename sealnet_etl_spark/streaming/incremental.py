@@ -187,11 +187,11 @@ _DOC_REPLAY_CACHE: dict[str, str] = {}
 def _docs_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _DOC_REPLAY_CACHE:
         return _DOC_REPLAY_CACHE[sf_dir]
-    # source rides along for the contamination monitor; near-dup's
-    # readStream schema names only (doc_id, text), so parquet by-name
-    # column pruning keeps its input unchanged
+    # source/lang ride along for the contamination and quality monitors;
+    # near-dup's readStream schema names only (doc_id, text), so parquet
+    # by-name column pruning keeps its input unchanged
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+        "doc_id", "source", "lang", "text"
     )
     chunks = [
         docs.filter(F.pmod("doc_id", F.lit(N_DOC_CHUNKS)) == i)
@@ -555,4 +555,133 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_contaminated",
         "contamination_micro",
         "n_shared_shingles",
+    )
+
+
+def _stream_quality_oracle() -> str:
+    from ..operators.textstats import _QUALITY_FILTER_ORACLE
+
+    return rf"""
+    WITH q AS ({_QUALITY_FILTER_ORACLE}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT CAST(q.doc_id % {N_DOC_CHUNKS} AS BIGINT) AS chunk,
+           s.source,
+           COUNT(*)                                              AS n_docs,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_pass,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT)                           AS pass_rate_micro,
+           CAST(SUM(CASE WHEN NOT q.len_ok THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_len_fail,
+           CAST(SUM(CASE WHEN NOT q.lang_ok THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_lang_fail,
+           CAST(SUM(CASE WHEN NOT q.repetition_ok THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_rep_fail,
+           CAST(SUM(CASE WHEN NOT q.word_len_ok THEN 1 ELSE 0 END)
+                AS BIGINT)                                       AS n_wlen_fail
+    FROM q JOIN src s USING (doc_id)
+    GROUP BY 1, s.source
+"""
+
+
+@query(
+    "str_quality_monitor",
+    survey_id="STR-8/LLM-9/ETL-6",
+    oracle=_stream_quality_oracle(),
+)
+def str_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-gate monitor: every arriving micro-batch is
+    scored through the C4-style gates and reduced to per-(batch, source)
+    pass rates + per-gate fail counts — the foreachBatch twin of
+    llm_quality_trend, completing the monitoring trio (near-dup ✓,
+    contamination ✓, quality ✓): a source whose pass rate drops in THIS
+    batch is caught while the batch is still quarantine-able, and the
+    per-gate fail columns say which gate moved. Gate expressions are the
+    SHARED quality_flags kernel (textstats.py), so the streaming and
+    batch verdicts can never desynchronize.
+
+    Plan per trigger: one narrow feature pass over the batch's own docs
+    (O(batch) — no state store, no cross-batch reads; the gates are
+    per-doc by definition) and a map-side-combinable agg to |sources|
+    rows. Results write under ``chunk=<batch_id>`` partitions with
+    per-partition overwrite — the write-ahead-by-batchId idempotency
+    pattern shared by the whole streaming monitoring family."""
+    import os as _os
+
+    from ..operators.textstats import quality_flags
+    from ..sources.ingest import _scratch
+
+    replay = _docs_replay_dir(spark, sf_dir)
+    results_store = _scratch(sf_dir, "str_quality_report")
+    checkpoint = _scratch(sf_dir, "str_quality_ckpt")
+    for p in (results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        flags = quality_flags(batch_df).join(
+            batch_df.select("doc_id", "source"), "doc_id"
+        )
+        fail = lambda c: F.sum(  # noqa: E731
+            F.when(~F.col(c), 1).otherwise(0)
+        ).cast("bigint")
+        report = (
+            flags.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pass"),
+                fail("len_ok").alias("n_len_fail"),
+                fail("lang_ok").alias("n_lang_fail"),
+                fail("repetition_ok").alias("n_rep_fail"),
+                fail("word_len_ok").alias("n_wlen_fail"),
+            )
+            .select(
+                "source",
+                "n_docs",
+                "n_pass",
+                F.expr("n_pass * 1000000 div n_docs").alias(
+                    "pass_rate_micro"
+                ),
+                "n_len_fail",
+                "n_lang_fail",
+                "n_rep_fail",
+                "n_wlen_fail",
+            )
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{results_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, lang string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame(
+            [],
+            "chunk bigint, source string, n_docs bigint, n_pass bigint, "
+            "pass_rate_micro bigint, n_len_fail bigint, n_lang_fail "
+            "bigint, n_rep_fail bigint, n_wlen_fail bigint",
+        )
+    return spark.read.parquet(results_store).select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        "source",
+        "n_docs",
+        "n_pass",
+        "pass_rate_micro",
+        "n_len_fail",
+        "n_lang_fail",
+        "n_rep_fail",
+        "n_wlen_fail",
     )

