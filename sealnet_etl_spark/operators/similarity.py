@@ -1645,6 +1645,113 @@ def _hard_negatives(
 
 
 @query(
+    "llm_embedding_drift",
+    survey_id="LLM-4/ETL-6",
+    oracle="""
+        WITH e AS (
+            SELECT label, vec_id % 2 AS snap,
+                   generate_subscripts(embedding, 1)          AS pos,
+                   CAST(FLOOR(unnest(embedding::DOUBLE[]) * 1000000.0)
+                        AS BIGINT)                            AS val
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), c AS (
+            SELECT label, snap, pos, SUM(val) AS s, COUNT(*) AS n
+            FROM e GROUP BY label, snap, pos
+        ), j AS (
+            SELECT o.label,
+                   MAX(o.n)            AS n_old,
+                   MAX(n.n)            AS n_new,
+                   SUM(o.s * n.s)      AS dot,
+                   SUM(o.s * o.s)      AS oo,
+                   SUM(n.s * n.s)      AS nn
+            FROM c o
+            JOIN c n ON o.label = n.label AND o.pos = n.pos
+            WHERE o.snap = 0 AND n.snap = 1
+            GROUP BY o.label
+        )
+        SELECT label,
+               CAST(n_old AS BIGINT) AS n_old,
+               CAST(n_new AS BIGINT) AS n_new,
+               ROUND(CAST(dot AS DOUBLE)
+                     / (SQRT(CAST(oo AS DOUBLE)) * SQRT(CAST(nn AS DOUBLE))),
+                     6)              AS centroid_cos
+        FROM j
+    """,
+)
+def llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-centroid drift between two deterministic
+    snapshot halves (vec_id parity — the contamination report's % -split
+    convention): the cosine between each label's old-half and new-half
+    centroid. The encoder-regression monitor an embedding pipeline runs
+    per ingest: a label whose centroid_cos drops has a shifted
+    distribution (re-embedded with a different model revision, upstream
+    content drift, or a poisoned batch) BEFORE any ANN index built on it
+    starts returning stale neighborhoods.
+
+    Float discipline (the one cross-engine hazard here is ORDER-DEPENDENT
+    double summation across rows): every component is floored to exact
+    integer micro-units per (vector, dim) FIRST, so the per-(label, snap,
+    dim) sums are order-independent integers (Spark folds them in
+    decimal(38,0), DuckDB in HUGEINT — exact both sides; s² sums stay
+    under 38 digits below ~1e12 vectors/label). Only the FINAL cosine is
+    double — computed as dot/(sqrt(oo)·sqrt(nn)), never sqrt(oo·nn),
+    because the product of the two squared norms overflows BOTH engines'
+    wide integers — and rounded at 6 dp.
+
+    Scale: one narrow posexplode pass (64 rows per vector, ints only —
+    never the vectors twice), one map-side-combinable agg to
+    |labels|×2×64 rows, a broadcast-sized self-join, |labels| rows out.
+    No vector data ever shuffles beyond the first agg's partials."""
+    emb = load_embeddings(spark, sf_dir)
+    e = emb.select(
+        "label",
+        F.pmod("vec_id", F.lit(2)).alias("snap"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos0", "v"
+        ),
+    ).select(
+        "label",
+        "snap",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v") * 1000000.0).cast("bigint").alias("val"),
+    )
+    c = e.groupBy("label", "snap", "pos").agg(
+        F.sum(F.col("val").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    o = c.filter(F.col("snap") == 0).select(
+        "label", "pos", F.col("s").alias("s_o"), F.col("n").alias("n_o")
+    )
+    n = c.filter(F.col("snap") == 1).select(
+        "label", "pos", F.col("s").alias("s_n"), F.col("n").alias("n_n")
+    )
+    j = (
+        o.join(n, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n_o").cast("bigint").alias("n_old"),
+            F.max("n_n").cast("bigint").alias("n_new"),
+            F.sum(F.col("s_o") * F.col("s_n")).alias("dot"),
+            F.sum(F.col("s_o") * F.col("s_o")).alias("oo"),
+            F.sum(F.col("s_n") * F.col("s_n")).alias("nn"),
+        )
+    )
+    return j.select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("oo").cast("double"))
+                * F.sqrt(F.col("nn").cast("double"))
+            ),
+            6,
+        ).alias("centroid_cos"),
+    )
+
+
+@query(
     "llm_embedding_qa",
     survey_id="LLM-4/ETL-6",
     oracle="""
