@@ -214,3 +214,26 @@ def test_transform_with_state_gate_tracks_protobuf(spark):
         .collect()
     }
     assert result == expected
+
+
+def test_monitor_batch_replay_is_idempotent(spark):
+    """The round-9 streaming monitors share the write-ahead-by-batchId
+    pattern: re-invoking the foreachBatch body with the SAME batch_id (a
+    crash between the partition write and the commit -> the engine
+    replays the batch) must rewrite the SAME chunk partition with the
+    SAME rows — never append, never double-count. Pinned by running each
+    monitor end-to-end, snapshotting its per-chunk output, then
+    re-running (fresh checkpoint = every batch replays) and requiring
+    identical results."""
+    from sealnet_etl_spark.registry import all_queries
+
+    queries = all_queries()
+    for name in ("str_contamination_monitor", "str_quality_monitor"):
+        first = sorted(
+            tuple(r) for r in queries[name](spark, SF_DIR).collect()
+        )
+        assert first, name
+        replay = sorted(
+            tuple(r) for r in queries[name](spark, SF_DIR).collect()
+        )
+        assert replay == first, name
