@@ -564,6 +564,109 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_effective_tokens",
+    survey_id="LLM-2/LLM-7/ETL-6",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= {JACCARD_TAU}
+        ), dropped AS (
+            SELECT DISTINCT db AS doc_id FROM pairs
+        ), tc AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+                       AS n_tokens
+            FROM documents
+        )
+        SELECT tc.source,
+               COUNT(*)                           AS n_docs,
+               CAST(SUM(tc.n_tokens) AS BIGINT)   AS n_tokens,
+               CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)                    AS n_dropped_docs,
+               CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN tc.n_tokens
+                        ELSE 0 END) AS BIGINT)    AS n_dropped_tokens,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL THEN tc.n_tokens
+                        ELSE 0 END) AS BIGINT)    AS effective_tokens,
+               CAST(SUM(CASE WHEN d.doc_id IS NULL THEN tc.n_tokens
+                        ELSE 0 END) * 1000000
+                    // SUM(tc.n_tokens) AS BIGINT) AS retention_micro
+        FROM tc LEFT JOIN dropped d USING (doc_id)
+        GROUP BY tc.source
+        HAVING SUM(tc.n_tokens) > 0
+    """,
+)
+def llm_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective token count per source AFTER near-dup pruning — the
+    number a budget planner actually trains on, versus the raw count a
+    naive `du -sh` suggests: raw tokens, tokens lost to the dedup
+    pass, the surviving effective tokens, and the retention rate. A
+    source with high raw volume but low retention contributes far
+    fewer unique tokens than its storage bill implies (the
+    data-constrained-scaling input; cross-check llm_epoch_budget, which
+    allocates on unique counts). The prune rule is keep-lowest-id per
+    verified pair (every doc_b of a (doc_a < doc_b) pair drops) — the
+    deterministic greedy that over-drops chain middles slightly versus
+    full cluster representatives; the clustering query owns the exact
+    component view.
+
+    Scale: both inputs are the round's shared cached artifacts — the
+    session-memoized token-count frame (one narrow parquet pass) and
+    the density-bounded verified pair list (id pairs, KBs at any
+    corpus size); this adds one id-keyed left join and one
+    map-side-combinable agg to |sources| rows. All-integer with an
+    exact floor rate — bit-exact against the oracle."""
+    from .dedup import minhash_near_dup_pairs
+
+    tc = token_counts(spark, sf_dir).select("doc_id", "source", "n_tokens")
+    dropped = (
+        minhash_near_dup_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    joined = tc.join(dropped, "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.coalesce("__drop", F.lit(False)).alias("__drop"),
+    )
+    agged = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__drop"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_docs"),
+        F.sum(F.when(F.col("__drop"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped_tokens"),
+        F.sum(F.when(~F.col("__drop"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("effective_tokens"),
+    )
+    return agged.filter(F.col("n_tokens") > 0).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_dropped_docs",
+        "n_dropped_tokens",
+        "effective_tokens",
+        F.expr("effective_tokens * 1000000 div n_tokens").alias(
+            "retention_micro"
+        ),
+    )
+
+
+@query(
     "llm_token_count",
     survey_id="LLM-7",
     oracle=rf"""

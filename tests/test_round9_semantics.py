@@ -144,3 +144,26 @@ def test_streaming_quality_reconciles_with_batch_trend(spark, queries):
         ):
             acc[i] += v
     assert {s: tuple(v) for s, v in summed.items()} == trend
+
+
+def test_effective_tokens_reconciles_with_parents(spark, queries):
+    """llm_effective_tokens must agree with its parents: per-source raw
+    token totals equal the fertility report's (summed over langs), the
+    dropped set is a subset of the crosstab's near-dup endpoints, and
+    the identity columns add up."""
+    from collections import defaultdict
+
+    fert: dict = defaultdict(int)
+    for r in queries["llm_tokenizer_fertility"](spark, SF).collect():
+        fert[r.source] += r.n_tokens
+    dup_docs = {
+        r.source: r.n_near_dup_docs
+        for r in queries["llm_quality_dedup_crosstab"](spark, SF).collect()
+    }
+    rows = queries["llm_effective_tokens"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens == fert[r.source]
+        assert r.n_dropped_tokens + r.effective_tokens == r.n_tokens
+        assert r.n_dropped_docs <= dup_docs[r.source]
+        assert r.retention_micro == r.effective_tokens * 1_000_000 // r.n_tokens
