@@ -115,7 +115,6 @@ def headline_queries() -> list[str]:
         # remaining round-5 additions: VARIANT round trip, _metadata file
         # lineage, Hampel despiker, Allen relation profile, nDCG eval
         "fn_variant_extract",
-        "src_file_provenance",
         "wn_hampel_filter",
         "jn_interval_allen_profile",
         "llm_ndcg_eval",
@@ -167,10 +166,10 @@ def headline_queries() -> list[str]:
         "llm_quality_dedup_crosstab",
         "str_quality_monitor",
     ]
-    # round 9: four more stable rows retired to fund the three new
+    # round 9: five more stable rows retired to fund the three new
     # round-9 rows inside the 2.0 kB tail window (llm_pipeline_e2e 0.37,
     # udf_model_batch_inference 0.37, llm_multimodal_near_dup 0.26,
-    # ag_mannwhitney_u 0.43 -
+    # ag_mannwhitney_u 0.43, src_file_provenance 0.46 -
     # all flat for 3+ rounds; still driver-graded via CORRECTNESS).
     # round 8: six sub-0.3 s rows stable for 3+ rounds were RETIRED from
     # the headline list (etl_shard_assign, the three multimodal blob ops,
