@@ -1677,6 +1677,93 @@ def llm_dedup_degree_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_cross_source_dup_matrix",
+    survey_id="LLM-2/ETL-6",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(len(w) - {SHINGLE_K - 1}),
+                       i -> array_to_string(w[i+1:i+{SHINGLE_K}], ' '))) AS sh
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {SHINGLE_K}
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                       6) AS jac
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= {JACCARD_TAU}
+        )
+        SELECT LEAST(sa.source, sb.source)    AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               COUNT(*)                       AS n_pairs,
+               ROUND(MAX(p.jac), 6)           AS max_jaccard,
+               CAST(COUNT(DISTINCT CASE WHEN sa.source <= sb.source
+                        THEN p.da ELSE p.db END) AS BIGINT) AS n_docs_a,
+               CAST(COUNT(DISTINCT CASE WHEN sa.source <= sb.source
+                        THEN p.db ELSE p.da END) AS BIGINT) AS n_docs_b
+        FROM pairs p
+        JOIN documents sa ON p.da = sa.doc_id
+        JOIN documents sb ON p.db = sb.doc_id
+        GROUP BY 1, 2
+    """,
+)
+def llm_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: the verified near-dup pair list
+    rolled up to unordered (source_a ≤ source_b) cells with pair count,
+    worst-case similarity, and the distinct doc counts on each side —
+    the "is source X mirrored inside source Y" table that decides
+    whether two sources should be ingested together at all (a hot
+    off-diagonal cell means one source is largely a re-crawl of the
+    other; the diagonal is within-source redundancy, cross-check
+    llm_dedup_rate_trend). Cell orientation is canonicalized by source
+    NAME order, with the doc-side counts re-oriented to match, so the
+    matrix is engine-order-independent.
+
+    Scale: two id-keyed joins of the density-bounded pair list against
+    the (doc_id, source) projection and one agg to ≤ |sources|² rows —
+    the pair list is KBs at any corpus size (the degree-report
+    argument), so this is free alongside the dedup itself."""
+    pairs = minhash_near_dup_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_a_side"),
+            F.when(F.col("sa") <= F.col("sb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_b_side"),
+            "jaccard",
+        )
+    )
+    return joined.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        F.countDistinct("doc_a_side").cast("bigint").alias("n_docs_a"),
+        F.countDistinct("doc_b_side").cast("bigint").alias("n_docs_b"),
+    )
+
+
 _TRIANGLE_ORACLE = (
     "WITH pairs AS ("
     + _NGRAM_ORACLE_TEMPLATE.format(

@@ -1133,6 +1133,84 @@ def llm_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llm_schedule_evenness",
+    survey_id="LLM-3/ETL-6",
+    oracle=f"""
+        WITH w AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), slots AS (
+            SELECT source,
+                   CAST(j AS BIGINT)                       AS k,
+                   CAST(((2 * j - 1) * 1000000000000) // n_docs
+                        AS BIGINT)                         AS slot_key
+            FROM w, generate_series(1, {SCHEDULE_STEPS}) AS t(j)
+        ), ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY slot_key, source, k)
+                        AS BIGINT) AS step,
+                   source
+            FROM slots
+        ), sched AS (
+            SELECT step, source FROM ranked WHERE step <= {SCHEDULE_STEPS}
+        ), gaps AS (
+            SELECT source, step,
+                   step - LAG(step) OVER (
+                       PARTITION BY source ORDER BY step) AS gap
+            FROM sched
+        )
+        SELECT source,
+               COUNT(*)                          AS n_emissions,
+               CAST(MIN(gap) AS BIGINT)          AS min_gap,
+               CAST(MAX(gap) AS BIGINT)          AS max_gap,
+               CAST({SCHEDULE_STEPS} * 1000000 // COUNT(*)
+                    AS BIGINT)                   AS ideal_gap_micro,
+               CAST(MAX(gap) * COUNT(*) * 1000000 // {SCHEDULE_STEPS}
+                    AS BIGINT)                   AS clump_micro
+        FROM gaps
+        GROUP BY source
+    """,
+)
+def llm_schedule_evenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spacing audit of the mixture interleave schedule — the check that
+    the error-diffusion ladder actually delivers its anti-clumping
+    claim: per source, the emission count inside the horizon, the
+    min/max gap between consecutive emissions, the ideal gap (N/count,
+    micro-units), and clump_micro = max_gap/ideal — a schedule is
+    well-spread when every source's clump factor stays near 1.0×10⁶,
+    and a naive concat (all of source A, then all of B) would read
+    ~count×10⁶. This is the acceptance test a data-loader team runs
+    BEFORE wiring a schedule into training, stated as a query.
+
+    Scale: the schedule itself is a plan-constant N×|sources| frame
+    (llm_mixture_schedule's doctrine); the audit adds one per-source
+    lag window and an agg over those same N rows — corpus cost stays
+    one map-side source-count aggregate. All-integer columns with
+    exact floor divisions — bit-exact against the oracle."""
+    sched = llm_mixture_schedule(spark, sf_dir).select("step", "source")
+    w_src = Window.partitionBy("source").orderBy("step")
+    gaps = sched.withColumn(
+        "gap", F.col("step") - F.lag("step").over(w_src)
+    )
+    agged = gaps.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_emissions"),
+        F.min("gap").cast("bigint").alias("min_gap"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+    )
+    return agged.select(
+        "source",
+        "n_emissions",
+        "min_gap",
+        "max_gap",
+        F.expr(
+            f"cast({SCHEDULE_STEPS} * 1000000 div n_emissions as bigint)"
+        ).alias("ideal_gap_micro"),
+        F.expr(
+            f"cast(max_gap * n_emissions * 1000000 div {SCHEDULE_STEPS}"
+            " as bigint)"
+        ).alias("clump_micro"),
+    )
+
+
 _SLOT_SCALE = 1_000_000_000_000
 
 
