@@ -55,15 +55,16 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "ag_cohens_kappa",
 )
 
-#: ROUND-8 STATE: the never-driver-graded tail is EMPTY — CORRECTNESS_r07
-#: drained the final 17 (all hash-green), completing 303/303 queries
-#: driver-graded at least once. Round 8 registered 11 new queries (the
-#: monitoring quartet + cluster-size histogram + quality trend + vocab
-#: growth from the early session; fertility, contamination report,
-#: mixture schedule, token gini late) — all enter the window via tier 2
-#: (name absent from every round file), ahead of the 303 long-green.
-#: This tuple stays the mechanism for any future query that needs an
-#: explicit interleaved order inside one window.
+#: ROUND-9 STATE: the never-driver-graded tail remains EMPTY — all 314
+#: round-8-era queries are driver-graded (306 hash-green + 8
+#: rows-only-by-design at latest state, zero mismatches). Round 9
+#: registered 8 new queries (hard-negatives batch, streaming
+#: contamination + quality monitors, quality x dedup crosstab,
+#: embedding drift, effective tokens, cross-source dup matrix,
+#: schedule evenness) — all enter the window via tier 2 (name absent
+#: from every round file), behind the three tier-0 regrades and ahead
+#: of the long-green. This tuple stays the mechanism for any future
+#: query that needs an explicit interleaved order inside one window.
 _NEVER_GRADED: tuple[str, ...] = ()
 
 
