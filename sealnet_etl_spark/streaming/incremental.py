@@ -313,6 +313,14 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only once the corpus-sized count exceeds the default
         return df.repartition(n, col) if n > _default else df
 
+    # Store-write parallelism: 2 files per chunk at bench scale (the
+    # small-files rationale below), but corpus-sized once a chunk's
+    # shingles/band-keys are GBs — coalesce(2) at sf100 wrote multi-GB
+    # files whose row-group read buffers then OOMed the probe's THREE
+    # concurrent 32-task parquet scans (measured round 9: the vectored
+    # IO allocation stack). Bounded files bound the read-side buffers.
+    w_store = 2 if n_batch <= _default else n_batch
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         words = normalized_words(F.col("text"))
         shingled = (
@@ -335,7 +343,7 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # filters chunk < batch_id, so the just-written own partition is
         # invisible to it and write-ahead idempotency is unchanged (a
         # crash-replayed batch rewrites the same partition either way).
-        keys.coalesce(2).write.mode("overwrite").parquet(
+        keys.coalesce(w_store).write.mode("overwrite").parquet(
             f"{index_store}/chunk={batch_id}"
         )
 
@@ -404,7 +412,7 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             verified.coalesce(2).write.mode("overwrite").parquet(
                 f"{results_store}/chunk={batch_id}"
             )
-        shingled.select("doc_id", "shingles").coalesce(2).write.mode(
+        shingled.select("doc_id", "shingles").coalesce(w_store).write.mode(
             "overwrite"
         ).parquet(f"{shingle_store}/chunk={batch_id}")
 
