@@ -55,9 +55,7 @@ def headline_queries() -> list[str]:
         "llm_boilerplate_ngrams",
         # round-3 late additions: the heavier trainprep/analytics shapes
         # (funnel windows, broadcast-vocab scoring, packing window)
-        "wn_event_funnel",
         "llm_unigram_logprob",
-        "llm_sequence_pack",
         "jn_point_in_time",
         # the four-stage training-data pipeline composition (capstone)
         # round-3 continuation: the second analytics batch's heavier
@@ -143,8 +141,6 @@ def headline_queries() -> list[str]:
         # narrow report passes — tracked from their change round
         "llm_pack_efficiency",
         "llm_dedup_rate_trend",
-        "llm_shard_skew_report",
-        "llm_context_length_histogram",
         "llm_quality_trend",
         "llm_dedup_cluster_size_histogram",
         "llm_vocab_growth",
@@ -165,7 +161,22 @@ def headline_queries() -> list[str]:
         "str_contamination_monitor",
         "llm_quality_dedup_crosstab",
         "str_quality_monitor",
+        # round 10: the four new incremental/monitoring plans — the
+        # fixed-probe contamination monitor (constant broadcast
+        # postings), the per-trigger mixture-conformance monitor, the
+        # frozen-cell IVF refresh (bounded seed BNLJ + store probe),
+        # and the persisted-index perceptual-hash probe — tracked from
+        # their change round
+        "str_contamination_monitor_fixed",
+        "str_mixture_monitor",
+        "llm_ivf_index_refresh",
+        "llm_multimodal_incremental_near_dup",
     ]
+    # round 10: four stable rows retired to fund the four new round-10
+    # rows inside the 2.0 kB tail window (llm_context_length_histogram
+    # 0.17, llm_shard_skew_report 0.21, llm_sequence_pack 0.25,
+    # wn_event_funnel 0.38 - all flat across r8/r9 after the token-frame
+    # memoization; still driver-graded via CORRECTNESS).
     # round 9: five more stable rows retired to fund the three new
     # round-9 rows inside the 2.0 kB tail window (llm_pipeline_e2e 0.37,
     # udf_model_batch_inference 0.37, llm_multimodal_near_dup 0.26,

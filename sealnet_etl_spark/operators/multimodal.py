@@ -704,3 +704,138 @@ def llm_multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l1_dist",
         (F.row_number().over(w) == 1).alias("is_best"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: incremental perceptual-hash probe (the persisted-index pattern
+# on the multimodal near-dup — VERDICT r9 #7)
+# ---------------------------------------------------------------------------
+
+#: process-scoped memo for the persisted perceptual-hash index
+#: ({store path: corpus key} — track what the path CURRENTLY holds so a
+#: corpus switch or regenerated fixture forces a rebuild; the
+#: _EVAL_POSTINGS_WRITTEN discipline).
+_PHASH_INDEX_WRITTEN: dict = {}
+
+
+def _mm_corpus_key(sf_dir: str) -> tuple:
+    """Identity of the binary corpus an index was built from: the
+    directory's absolute path plus the newest mtime among its parquet
+    blobs (any rewrite rolls the key)."""
+    import glob
+    import os
+
+    base = os.path.abspath(sf_dir)
+    mts = [
+        os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(base, "*.parquet"))
+    ]
+    return (base, max(mts) if mts else -1)
+
+
+@query(
+    "llm_multimodal_incremental_near_dup",
+    survey_id="LLM-10/LLM-2",
+    oracle=_PHASH_SIG_SQL
+    + f"""
+        SELECT a.file_name AS file_prior,
+               b.file_name AS file_new,
+               CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                    + bit_count(xor(a.sig_hi, b.sig_hi)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b
+          ON a.tag = 'a' AND b.tag = 'b'
+        WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+              + bit_count(xor(a.sig_hi, b.sig_hi)) <= {PHASH_HAM_T}
+    """,
+)
+def llm_multimodal_incremental_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental perceptual near-dup probe: an ARRIVING batch of media
+    blobs is probed against the PERSISTED perceptual-hash index of the
+    already-ingested corpus — the persisted-LSH incremental pattern
+    (llm_incremental_near_dup → str_streaming_near_dup →
+    llm_ivf_index_refresh) completing its multimodal leg (VERDICT r9
+    #7). Fixture roles: the tag-'a' originals are yesterday's indexed
+    corpus; the tag-'b' simulated re-encodes (32-byte metadata
+    overwrite) are today's re-delivery — the changed-EXIF duplicate a
+    crawler re-fetches daily. Measured separation (the one-shot query's
+    fixture numbers): each re-encode sits at Hamming ≤ 2 of its source
+    while distinct files are ≥ 20 apart, so the probe flags exactly the
+    re-deliveries.
+
+    Incremental mechanics: the 'a'-side signatures are written ONCE per
+    (process, corpus) to an app-scoped chunk-keyed store (16-byte rows —
+    content never persists, never shuffles); each probe computes ONLY
+    the batch's signatures and equality-joins the batch's 16-bit chunks
+    against the store — O(batch) per delivery, the index side is never
+    re-hashed. In this fixture both tag variants derive from the same
+    blobs, so the kernel pass covers both in one scan and the probe
+    filters its own side; in production the batch is a different day's
+    files and the scan IS the batch. Blocking is the one-shot query's
+    4×16-bit chunk scheme — LOSSLESS at Hamming ≤ 3 by pigeonhole, so
+    the blocked probe hash-matches the brute-force a×b oracle with no
+    recall caveat."""
+    import os
+    import re
+
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    sigs = files.select("path", "content").mapInPandas(
+        phash_signatures, PHASH_SCHEMA
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = re.sub("^file:(//)?", "", warehouse)
+    store = os.path.join(
+        warehouse,
+        "_phash_index",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    corpus_key = _mm_corpus_key(sf_dir)
+    if _PHASH_INDEX_WRITTEN.get(store) != corpus_key:
+        sigs.filter(F.col("tag") == "a").select(
+            "file_name", "sig_lo", "sig_hi"
+        ).write.mode("overwrite").parquet(store)
+        _PHASH_INDEX_WRITTEN[store] = corpus_key
+
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col(half), s).bitwiseAND(F.lit(0xFFFF))
+            for half in ("sig_lo", "sig_hi")
+            for s in (0, 16)
+        ]
+    )
+    index = spark.read.parquet(store).select(
+        F.col("file_name").alias("file_prior"),
+        F.col("sig_lo").alias("lo_p"),
+        F.col("sig_hi").alias("hi_p"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(half), s).bitwiseAND(F.lit(0xFFFF))
+                    for half in ("sig_lo", "sig_hi")
+                    for s in (0, 16)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    batch = sigs.filter(F.col("tag") == "b").select(
+        F.col("file_name").alias("file_new"),
+        "sig_lo",
+        "sig_hi",
+        F.posexplode(chunk_vals).alias("chunk_idx", "chunk_val"),
+    )
+    hamming = F.bit_count(
+        F.col("lo_p").bitwiseXOR(F.col("sig_lo"))
+    ) + F.bit_count(F.col("hi_p").bitwiseXOR(F.col("sig_hi")))
+    return (
+        index.join(batch, ["chunk_idx", "chunk_val"])
+        .filter(hamming <= PHASH_HAM_T)
+        .select(
+            "file_prior",
+            "file_new",
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair can collide in several chunk indexes
+    )

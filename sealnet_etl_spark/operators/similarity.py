@@ -2664,3 +2664,221 @@ def _margin_mine(
         .select("src_id", "tgt_id", "cos_micro", "margin_micro")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 10: incremental ANN-index refresh (the persisted-LSH pattern on
+# IVF cells — VERDICT r9 #7)
+# ---------------------------------------------------------------------------
+
+#: Coarse cell count for the refresh demo. A plan constant (like
+#: SCHEDULE_STEPS), deliberately small so the seed side is a bounded
+#: broadcast at every SF; production IVF uses ~sqrt(n) cells and the
+#: SAME plan shape (cell assignment is a bounded-fanout broadcast join
+#: either way).
+IVF_REFRESH_CELLS = 16
+
+#: process-scoped memo for the persisted cell-assignment index
+#: ({store path: corpus key} — the _EVAL_POSTINGS_WRITTEN discipline:
+#: track what the path CURRENTLY holds, so a corpus switch or fixture
+#: regeneration forces a rebuild instead of probing a stale index).
+_IVF_INDEX_WRITTEN: dict = {}
+
+_IVF_REFRESH_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), scored AS (
+        SELECT ei.vec_id, ei.snap, s.cell_id,
+               list_sum(list_transform(range(1, len(ei.a) + 1),
+                   i -> ei.a[i] * s.b[i]))::HUGEINT AS dot,
+               s.nn
+        FROM ei CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, snap, cell_id
+        FROM (
+            SELECT vec_id, snap, cell_id,
+                   CASE WHEN dot >= 0 THEN (dot * dot) // nn
+                        ELSE -((dot * dot) // nn) END AS score
+            FROM scored
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    )
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+           CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS added_micro
+    FROM assigned GROUP BY cell_id
+"""
+
+
+def _ivf_int_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, snap, a): embeddings floored to exact integer micro-units
+    per dimension — the llm_embedding_drift discipline, which makes every
+    downstream dot product an order-independent integer both engines
+    compute bit-identically. Components are |v| < 1 on this table, so
+    a_i ≤ 1e6, per-term products ≤ 1e12, 64-dim dots ≤ 6.4e13 (bigint-
+    safe), and dot² ≤ 4.1e27 (decimal(38,0)/HUGEINT-safe)."""
+    return load_embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(2)).alias("snap"),
+        F.expr(
+            "transform(cast(embedding as array<double>),"
+            " x -> cast(floor(x * 1000000) as bigint))"
+        ).alias("a"),
+    )
+
+
+def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Assign each vector to its best seed cell by EXACT integer cosine
+    ranking: comparing cos(a, b_i) across seeds with a shared |a| factor
+    reduces to comparing dot²/nn with dot's sign — computed as the exact
+    integer floor sign(dot)·(dot² div nn) in decimal(38,0), so both
+    engines rank identically (ties, if any, break to the smallest
+    cell_id). The seed side is IVF_REFRESH_CELLS rows → a bounded
+    broadcast nested-loop (the allowlisted scalar-shape class); each
+    vector row fans out exactly |cells| times and reduces back to one
+    row in the same stage — never a data-sized cross join."""
+    scored = df.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "snap",
+        "cell_id",
+        "nn",
+        F.expr(
+            "aggregate(zip_with(a, b, (x, y) -> x * y),"
+            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+        ).alias("dot"),
+    )
+    scored = scored.withColumn(
+        "score",
+        F.expr(
+            "cast(case when dot >= 0 then (dot * dot) div nn"
+            " else -((dot * dot) div nn) end as bigint)"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "snap", "cell_id")
+    )
+
+
+@query(
+    "llm_ivf_index_refresh",
+    survey_id="LLM-5/LLM-4/ETL-6",
+    oracle=_IVF_REFRESH_ORACLE,
+)
+def llm_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index refresh: a new embedding batch is assigned
+    to the EXISTING IVF coarse cells and the per-cell occupancy report
+    (old count, added count, post-refresh total, added share) is emitted
+    — the persisted-LSH incremental pattern (llm_incremental_near_dup)
+    applied to the IVF family (VERDICT r9 #7). This is the nightly
+    index-maintenance shape: centroids are NOT retrained per ingest (a
+    retrain invalidates every stored assignment); new vectors are routed
+    into the frozen cells, and this report is what decides WHEN to
+    retrain — a cell whose added_micro runs hot is absorbing a shifted
+    distribution the frozen quantizer no longer tessellates well
+    (cross-check llm_embedding_drift, which watches the same shift via
+    label centroids).
+
+    Determinism/oracle: cells are seeded by the md5-first
+    IVF_REFRESH_CELLS old-half vec_ids (the llm_hard_negatives_batch
+    anchor convention — a stand-in for trained centroids that keeps the
+    quantizer SQL-recomputable, unlike k-means); assignment ranks an
+    exact integer score (see _ivf_assign_cells), so the brute-force
+    DuckDB twin hash-matches bit-for-bit. Old half = vec_id % 2 == 0
+    (the drift/contamination split convention), new batch = the odd
+    half.
+
+    Incremental mechanics: the old half's assignments are written ONCE
+    per (process, corpus) to an app-scoped warehouse store (_sf_tag
+    memo discipline) — the persisted index; each refresh assigns ONLY
+    the batch (O(batch·|cells|) work) and merges with the stored
+    per-cell counts. At 100 TB the store is 16 bytes/vector, the seed
+    side broadcasts at any corpus size, and nothing re-touches old
+    vectors — the same never-re-shingle contract as the streaming
+    near-dup store."""
+    import os
+    import re
+
+    ei = _ivf_int_vectors(spark, sf_dir)
+    # The frozen quantizer, MATERIALIZED once (a bounded |cells|-row
+    # collect — the codebook/centroid precedent): left lazy, every
+    # consumer (index build + every refresh) would re-run the
+    # TakeOrdered over the whole old half — corpus-proportional work
+    # per refresh, the exact shape this operator exists to avoid. The
+    # orderBy+limit compiles to TakeOrderedAndProject (partition heads
+    # merged on the driver, never a global sort).
+    seed_rows = (
+        ei.filter(F.col("snap") == 0)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
+            "cell_id",
+        )
+        .limit(IVF_REFRESH_CELLS)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = re.sub("^file:(//)?", "", warehouse)
+    store = os.path.join(
+        warehouse,
+        "_ivf_index",
+        spark.sparkContext.applicationId,
+        _sf_tag(sf_dir),
+    )
+    corpus_key = _sf_tag(sf_dir)
+    if _IVF_INDEX_WRITTEN.get(store) != corpus_key:
+        _ivf_assign_cells(
+            ei.filter(F.col("snap") == 0), seeds
+        ).write.mode("overwrite").parquet(store)
+        _IVF_INDEX_WRITTEN[store] = corpus_key
+
+    old_counts = (
+        spark.read.parquet(store)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    new_counts = (
+        _ivf_assign_cells(ei.filter(F.col("snap") == 1), seeds)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_added"))
+    )
+    return (
+        old_counts.join(new_counts, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_added", F.lit(0)).cast("bigint").alias("n_added"),
+        )
+        .withColumn("n_total", (F.col("n_old") + F.col("n_added")).cast("bigint"))
+        .withColumn(
+            "added_micro", F.expr("n_added * 1000000 div n_total")
+        )
+    )

@@ -1,0 +1,142 @@
+"""Semantic/property tests for the round-10 additions — invariants the
+per-query oracles cannot state (probe constancy, reconciliation with the
+static corpus, memoized-index determinism, fixture separation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sealnet_etl_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_fixed_contamination_monitor_probe_is_constant_and_reconciles(
+    spark, queries
+):
+    """The _fixed monitor's whole point (VERDICT r9 #4): the eval probe
+    is the EVAL_PROBE_N lowest doc_ids — constant at every corpus size —
+    and the training denominators partition the doc_id >= EVAL_PROBE_N
+    population by (chunk, source). Checks the partition identity against
+    the raw table and the exact floor-rate internal consistency."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.sources import load_table
+    from sealnet_etl_spark.streaming.incremental import (
+        EVAL_PROBE_N,
+        N_DOC_CHUNKS,
+    )
+
+    rows = queries["str_contamination_monitor_fixed"](spark, SF).collect()
+    got = defaultdict(int)
+    for r in rows:
+        got[(r.chunk, r.source)] += r.n_train_docs
+        assert (
+            r.contamination_micro
+            == r.n_contaminated * 1_000_000 // r.n_train_docs
+        )
+        assert 0 <= r.n_contaminated <= r.n_train_docs
+    docs = load_table(spark, SF, "documents")
+    expected = {
+        (r.chunk, r.source): r.n
+        for r in docs.filter(F.col("doc_id") >= EVAL_PROBE_N)
+        .groupBy(
+            F.pmod("doc_id", F.lit(N_DOC_CHUNKS)).alias("chunk"), "source"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every shingleable (chunk, source) group appears with the right
+    # denominator (short docs below SHINGLE_K words are excluded by the
+    # monitor, so got <= expected per cell and no cell is spurious)
+    for key, n in got.items():
+        assert key in expected and n <= expected[key]
+
+
+def test_mixture_monitor_shares_partition_the_batch(spark, queries):
+    """Per chunk, realized shares are exact floors of a partition: the
+    n_docs column must sum to the chunk's batch total, each share_micro
+    must be the exact floor of n_docs/batch_total, and dev_micro must be
+    share - expected. Expected shares must be the corpus-level source
+    proportions (the broadcast target is the static table's weights)."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.sources import load_table
+
+    rows = queries["str_mixture_monitor"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    w = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(w.values())
+    by_chunk = defaultdict(list)
+    for r in rows:
+        by_chunk[r.chunk].append(r)
+        assert r.expected_micro == w[r.source] * 1_000_000 // total
+        assert r.dev_micro == r.share_micro - r.expected_micro
+    for chunk, rs in by_chunk.items():
+        batch_total = sum(r.n_docs for r in rs)
+        for r in rs:
+            assert (
+                r.share_micro == r.n_docs * 1_000_000 // batch_total
+            )
+        # floors of a partition sum to within |sources| of 1.0
+        s = sum(r.share_micro for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+def test_ivf_refresh_partitions_both_halves_and_is_memo_stable(
+    spark, queries
+):
+    """Cell occupancies must partition BOTH snapshot halves exactly
+    (every non-null vector is assigned to exactly one of the ≤ 16 seed
+    cells), cell ids must be even-half vec_ids, and a second invocation
+    — served by the persisted index instead of a rebuild — must return
+    identical rows (the incremental path cannot drift from the build
+    path)."""
+    from sealnet_etl_spark.operators.similarity import (
+        IVF_REFRESH_CELLS,
+        load_embeddings,
+    )
+
+    rows = queries["llm_ivf_index_refresh"](spark, SF).collect()
+    emb = load_embeddings(spark, SF)
+    n_old = emb.filter(F.col("vec_id") % 2 == 0).count()
+    n_new = emb.filter(F.col("vec_id") % 2 == 1).count()
+    assert sum(r.n_old for r in rows) == n_old
+    assert sum(r.n_added for r in rows) == n_new
+    assert len(rows) <= IVF_REFRESH_CELLS
+    for r in rows:
+        assert r.cell_id % 2 == 0  # seeds come from the old half
+        assert r.n_total == r.n_old + r.n_added
+        assert r.added_micro == r.n_added * 1_000_000 // r.n_total
+    again = queries["llm_ivf_index_refresh"](spark, SF).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_multimodal_incremental_probe_flags_exactly_the_redeliveries(
+    spark, queries
+):
+    """On the fixture, every tag-'b' re-encode must match ITS OWN tag-'a'
+    original (the one-shot query's measured ≤ 2 Hamming separation) and
+    nothing else (distinct files are ≥ 20 apart) — so the probe emits
+    exactly one self-pair per eligible blob, each within threshold."""
+    from sealnet_etl_spark.operators.multimodal import PHASH_HAM_T
+
+    rows = queries["llm_multimodal_incremental_near_dup"](
+        spark, SF
+    ).collect()
+    assert rows, "fixture must produce re-delivery matches"
+    assert all(r.file_prior == r.file_new for r in rows)
+    assert all(0 <= r.hamming <= PHASH_HAM_T for r in rows)
+    assert len({r.file_new for r in rows}) == len(rows)  # one per file

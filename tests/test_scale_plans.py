@@ -401,6 +401,11 @@ _BNLJ_ALLOWED = {
     # round 7
     "ag_cohens_kappa",      # two 1-row sides: totals x chance term
     "llm_rbo_eval",         # 1-row corpus doc-count (the ndcg/tfidf shape)
+    # round 10
+    "llm_ivf_index_refresh",  # IVF_REFRESH_CELLS(16)-row frozen-quantizer
+                              # side: bounded by the cell-count plan
+                              # constant, not data (each vector fans out
+                              # exactly |cells| times then reduces)
 }
 
 
