@@ -2751,7 +2751,14 @@ def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
     cell_id). The seed side is IVF_REFRESH_CELLS rows → a bounded
     broadcast nested-loop (the allowlisted scalar-shape class); each
     vector row fans out exactly |cells| times and reduces back to one
-    row in the same stage — never a data-sized cross join."""
+    row in the same stage — never a data-sized cross join.
+
+    The argmax is a max_by AGGREGATE, not a row_number window: both
+    compute the identical (score DESC, cell_id ASC) winner — max over
+    struct(score, -cell_id) on exact integers is a total order — but
+    the aggregate partial-combines MAP-SIDE, so the x|cells| fanout
+    collapses back to one row per vector before any exchange, while a
+    window would shuffle the whole fanned-out stream just to rank it."""
     scored = df.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "snap",
@@ -2769,10 +2776,13 @@ def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
             " else -((dot * dot) div nn) end as bigint)"
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell_id")
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy("vec_id", "snap")
+        .agg(
+            F.expr("max_by(cell_id, struct(score, -cell_id))").alias(
+                "cell_id"
+            )
+        )
         .select("vec_id", "snap", "cell_id")
     )
 
