@@ -93,7 +93,6 @@ def headline_queries() -> list[str]:
         # round-5 semantic changes: the two-sided asof (tie-rule rework)
         # and the 3-regex PII scrub pass — tracked from their change round
         "jn_asof_nearest",
-        "llm_pii_scrub",
         # round-5 new operators: duplicate-substring detection (positioned
         # shingle explode + distinct-doc agg + islands window) and its
         # apply rewrite (span join + positional higher-order cut)
@@ -171,12 +170,13 @@ def headline_queries() -> list[str]:
         "str_mixture_monitor",
         "llm_ivf_index_refresh",
         "llm_multimodal_incremental_near_dup",
+        "str_embedding_drift_monitor",
     ]
-    # round 10: four stable rows retired to fund the four new round-10
+    # round 10: five stable rows retired to fund the five new round-10
     # rows inside the 2.0 kB tail window (llm_context_length_histogram
     # 0.17, llm_shard_skew_report 0.21, llm_sequence_pack 0.25,
-    # wn_event_funnel 0.38 - all flat across r8/r9 after the token-frame
-    # memoization; still driver-graded via CORRECTNESS).
+    # wn_event_funnel 0.38, llm_pii_scrub 0.41 - all flat for 2+ rounds;
+    # still driver-graded via CORRECTNESS).
     # round 9: five more stable rows retired to fund the three new
     # round-9 rows inside the 2.0 kB tail window (llm_pipeline_e2e 0.37,
     # udf_model_batch_inference 0.37, llm_multimodal_near_dup 0.26,

