@@ -64,6 +64,11 @@ from . import registry as _registry
 #: - str_contamination_monitor: round-10 batch-stage partitioning (the
 #:   near-dup's corpus-sized rule, gated past the session default so the
 #:   graded-scale plan is byte-identical) landed after its r9 grade.
+#: - llm_shard_skew_report: round-10 skew_micro rewrite (int64 →
+#:   decimal(38,0) scale-up; max_tokens·n·1e6 wraps at the 100 TB token
+#:   count) after its last grade. llm_pack_efficiency's twin
+#:   padding_rate guard changed its projection too — already tier-0
+#:   via the token-frame rewrite.
 _REGRADE_FIRST: tuple[str, ...] = (
     "llm_minhash_near_dup_pairs",
     "llm_dedup_clusters",
@@ -76,6 +81,7 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_pack_efficiency",
     "llm_effective_tokens",
     "str_contamination_monitor",
+    "llm_shard_skew_report",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -15,6 +15,7 @@ executor core handles a bounded byte volume per task.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -714,8 +715,10 @@ def llm_multimodal_pair_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: process-scoped memo for the persisted perceptual-hash index
 #: ({store path: corpus key} — track what the path CURRENTLY holds so a
 #: corpus switch or regenerated fixture forces a rebuild; the
-#: _EVAL_POSTINGS_WRITTEN discipline).
+#: _EVAL_POSTINGS_WRITTEN discipline). Lock: the token_counts
+#: check-then-write race class — first writer wins, racers wait.
 _PHASH_INDEX_WRITTEN: dict = {}
+_PHASH_INDEX_LOCK = threading.Lock()
 
 
 def _mm_corpus_key(sf_dir: str) -> tuple:
@@ -794,10 +797,12 @@ def llm_multimodal_incremental_near_dup(
     )
     corpus_key = _mm_corpus_key(sf_dir)
     if _PHASH_INDEX_WRITTEN.get(store) != corpus_key:
-        sigs.filter(F.col("tag") == "a").select(
-            "file_name", "sig_lo", "sig_hi"
-        ).write.mode("overwrite").parquet(store)
-        _PHASH_INDEX_WRITTEN[store] = corpus_key
+        with _PHASH_INDEX_LOCK:  # double-check: first writer wins
+            if _PHASH_INDEX_WRITTEN.get(store) != corpus_key:
+                sigs.filter(F.col("tag") == "a").select(
+                    "file_name", "sig_lo", "sig_hi"
+                ).write.mode("overwrite").parquet(store)
+                _PHASH_INDEX_WRITTEN[store] = corpus_key
 
     chunk_vals = F.array(
         *[

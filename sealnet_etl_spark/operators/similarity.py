@@ -25,6 +25,7 @@ cells) complements LSH (no training pass needed).
 from __future__ import annotations
 
 import random
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -202,8 +203,13 @@ def _load_tile(path: str, with_labels: bool = False):
 
 
 #: driver-side write-once memo for _write_corpus_tiles (paths are
-#: app-scoped, so entries die with the session).
+#: app-scoped, so entries die with the session). The module lock
+#: serializes first writers across every store memo in this module
+#: (tiles, IVF index) — the token_counts check-then-write race class
+#: (round-9 review finding): two threads that both miss a memo would
+#: run overlapping mode("overwrite") writes to the same path.
 _TILES_WRITTEN: set = set()
+_STORE_WRITE_LOCK = threading.Lock()
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -265,14 +271,18 @@ def _write_corpus_tiles(
     # consumer. Memoizing the write makes "one write + load per session"
     # true in code, not just in the docstring.
     if base not in _TILES_WRITTEN:
-        (
-            corpus_df.select("vec_id", "embedding", *extra_cols)
-            .withColumn("tile", F.pmod(F.col("vec_id"), F.lit(n_tiles)))
-            .write.mode("overwrite")
-            .partitionBy("tile")
-            .parquet(base)
-        )
-        _TILES_WRITTEN.add(base)
+        with _STORE_WRITE_LOCK:  # double-check: first writer wins
+            if base not in _TILES_WRITTEN:
+                (
+                    corpus_df.select("vec_id", "embedding", *extra_cols)
+                    .withColumn(
+                        "tile", F.pmod(F.col("vec_id"), F.lit(n_tiles))
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("tile")
+                    .parquet(base)
+                )
+                _TILES_WRITTEN.add(base)
     return base
 
 
@@ -2865,10 +2875,12 @@ def llm_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_key = _sf_tag(sf_dir)
     if _IVF_INDEX_WRITTEN.get(store) != corpus_key:
-        _ivf_assign_cells(
-            ei.filter(F.col("snap") == 0), seeds
-        ).write.mode("overwrite").parquet(store)
-        _IVF_INDEX_WRITTEN[store] = corpus_key
+        with _STORE_WRITE_LOCK:  # double-check: first writer wins
+            if _IVF_INDEX_WRITTEN.get(store) != corpus_key:
+                _ivf_assign_cells(
+                    ei.filter(F.col("snap") == 0), seeds
+                ).write.mode("overwrite").parquet(store)
+                _IVF_INDEX_WRITTEN[store] = corpus_key
 
     old_counts = (
         spark.read.parquet(store)

@@ -2080,9 +2080,14 @@ def llm_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bins",
         "tokens_packed",
         (capacity - F.col("tokens_packed")).alias("padding_tokens"),
+        # decimal(38,0) scale-up (the fertility_micro guard): padding is
+        # a per-shard TOKEN quantity — int64 survives 100 TB by only ~3x
+        # (wraps at ~9e12 padding tokens/shard) while the oracle's
+        # HUGEINT never does; same exact floor either way.
         F.expr(
-            f"(n_bins * {SEQ_LEN} - tokens_packed) * 1000000"
-            f" div (n_bins * {SEQ_LEN})"
+            f"cast(cast(n_bins * {SEQ_LEN} - tokens_packed as"
+            f" decimal(38,0)) * 1000000"
+            f" div (n_bins * {SEQ_LEN}) as bigint)"
         ).alias("padding_rate_micro"),
         "n_truncated",
     )
@@ -2146,8 +2151,14 @@ def llm_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_tokens",
         "max_tokens",
         "total_tokens",
+        # decimal(38,0), not int64 (the fertility_micro wraparound
+        # guard): max_tokens is a per-shard TOKEN sum — at the 100 TB
+        # design point (~2.5e13 corpus tokens / 8 shards) the int64
+        # product max·n·1e6 ≈ 2.5e19 silently wraps with ANSI off while
+        # the DuckDB oracle promotes to HUGEINT.
         F.expr(
-            "max_tokens * n_shards * 1000000 div total_tokens"
+            "cast(cast(max_tokens as decimal(38,0)) * n_shards * 1000000"
+            " div total_tokens as bigint)"
         ).alias("skew_micro"),
     )
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import random
 import shutil
+import threading
 
 import pandas as pd
 
@@ -476,8 +477,12 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a member and A would probe against B's postings (round-9 review
 #: finding). Tracking only what the path currently holds makes any
 #: corpus switch (different documents path OR a regenerated fixture's
-#: mtime roll — the round-8 _sf_tag lesson) force a rewrite.
+#: mtime roll — the round-8 _sf_tag lesson) force a rewrite. The lock
+#: serializes first writers (the token_counts check-then-write race
+#: class, round-9 review finding): without it two threads first-calling
+#: a monitor run overlapping mode("overwrite") writes to one store.
 _EVAL_POSTINGS_WRITTEN: dict = {}
+_EVAL_POSTINGS_LOCK = threading.Lock()
 
 
 def _eval_postings_key(sf_dir: str) -> tuple:
@@ -574,19 +579,23 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated triggers across restarts) reads it back
     memo_key = _eval_postings_key(sf_dir)
     if _EVAL_POSTINGS_WRITTEN.get(eval_store) != memo_key:
-        shutil.rmtree(eval_store, ignore_errors=True)
-        docs = load_table(spark, sf_dir, "documents")
-        ev = (
-            docs.filter(F.col("doc_id") % 7 == 0)
-            .withColumn("__w", normalized_words(F.col("text")))
-            .filter(F.size("__w") >= SHINGLE_K)
-            .select(
-                F.explode(word_shingles(F.col("__w"), SHINGLE_K)).alias("s")
-            )
-            .distinct()
-        )
-        ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
-        _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
+        with _EVAL_POSTINGS_LOCK:  # double-check: first writer wins
+            if _EVAL_POSTINGS_WRITTEN.get(eval_store) != memo_key:
+                shutil.rmtree(eval_store, ignore_errors=True)
+                docs = load_table(spark, sf_dir, "documents")
+                ev = (
+                    docs.filter(F.col("doc_id") % 7 == 0)
+                    .withColumn("__w", normalized_words(F.col("text")))
+                    .filter(F.size("__w") >= SHINGLE_K)
+                    .select(
+                        F.explode(
+                            word_shingles(F.col("__w"), SHINGLE_K)
+                        ).alias("s")
+                    )
+                    .distinct()
+                )
+                ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
+                _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
 
     # Corpus-sized batch-stage partitioning (the streaming near-dup's r9
     # rule, found the same way — measured at the sf100 decade): a replay
@@ -895,19 +904,23 @@ def str_contamination_monitor_fixed(
 
     memo_key = _eval_postings_key(sf_dir)
     if _EVAL_POSTINGS_WRITTEN.get(eval_store) != memo_key:
-        shutil.rmtree(eval_store, ignore_errors=True)
-        docs = load_table(spark, sf_dir, "documents")
-        ev = (
-            docs.filter(F.col("doc_id") < EVAL_PROBE_N)
-            .withColumn("__w", normalized_words(F.col("text")))
-            .filter(F.size("__w") >= SHINGLE_K)
-            .select(
-                F.explode(word_shingles(F.col("__w"), SHINGLE_K)).alias("s")
-            )
-            .distinct()
-        )
-        ev.coalesce(1).write.mode("overwrite").parquet(eval_store)
-        _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
+        with _EVAL_POSTINGS_LOCK:  # double-check: first writer wins
+            if _EVAL_POSTINGS_WRITTEN.get(eval_store) != memo_key:
+                shutil.rmtree(eval_store, ignore_errors=True)
+                docs = load_table(spark, sf_dir, "documents")
+                ev = (
+                    docs.filter(F.col("doc_id") < EVAL_PROBE_N)
+                    .withColumn("__w", normalized_words(F.col("text")))
+                    .filter(F.size("__w") >= SHINGLE_K)
+                    .select(
+                        F.explode(
+                            word_shingles(F.col("__w"), SHINGLE_K)
+                        ).alias("s")
+                    )
+                    .distinct()
+                )
+                ev.coalesce(1).write.mode("overwrite").parquet(eval_store)
+                _EVAL_POSTINGS_WRITTEN[eval_store] = memo_key
 
     # the registered monitor's corpus-sized batch-stage rule (one
     # coalesced replay file → 2-3 scan splits → multi-GB shingle
