@@ -69,6 +69,11 @@ from . import registry as _registry
 #:   count) after its last grade. llm_pack_efficiency's twin
 #:   padding_rate guard changed its projection too — already tier-0
 #:   via the token-frame rewrite.
+#: - llm_decontaminate / llm_contamination_report: round-10 Arrow
+#:   shingle_postings kernel (the interpreted-HOF array build + explode
+#:   was ~97% of the probe wall; postings verified set-identical,
+#:   report 6.4 → 1.2 s at sf0.1) — the plan changed at every scale, so
+#:   both take tier-0 slots (the compression_ratio r6 precedent).
 _REGRADE_FIRST: tuple[str, ...] = (
     "llm_minhash_near_dup_pairs",
     "llm_dedup_clusters",
@@ -82,6 +87,8 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "llm_effective_tokens",
     "str_contamination_monitor",
     "llm_shard_skew_report",
+    "llm_decontaminate",
+    "llm_contamination_report",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

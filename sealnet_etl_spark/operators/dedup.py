@@ -133,6 +133,83 @@ def _docs_with_shingles(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
 
 
+def shingle_postings(
+    spark: SparkSession, docs: DataFrame, k: int, fan_out: bool = True
+) -> DataFrame:
+    """(doc_id, sh) posting rows — per-doc DISTINCT k-word shingles as an
+    Arrow kernel instead of the Catalyst word_shingles array build.
+
+    Why a kernel (the llm_compression_ratio precedent, SCALE.md round 6):
+    higher-order functions (transform + slice + concat_ws + array_distinct)
+    are INTERPRETED in Spark — no whole-stage codegen — and for postings
+    consumers the array is built only to be exploded away. The Python
+    set-of-joins kernel measured 0.56 s vs 3.28 s for the identical
+    full-corpus posting set at sf0.1 (5.9x), verified set-equal on the
+    fixtures. Exactness: re.split(r'\\s+', text.lower()) and
+    ' '.join(w[i:i+k]) reproduce normalized_words (F.split keeps empty
+    boundary tokens; so does re.split) and concat_ws(' ') (empty strings
+    kept by both) bit-for-bit, so the DuckDB oracles match unchanged.
+    Jaccard-verification paths keep the ARRAY form (word_shingles) —
+    they need whole sets per doc, not postings.
+
+    Scale: the kernel is row-independent; the explicit fan-out exchange
+    exists ONLY while the corpus is small enough that the file scan
+    under-fills the cores (bytes/maxPartitionBytes < defaultParallelism).
+    At 100 TB the scan itself provides the parallelism and NO text ever
+    shuffles — the branch is a no-op by construction."""
+    import re as _re
+
+    import pandas as _pd
+
+    ws = _re.compile(r"\s+")
+
+    def rows(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = ws.split(text.lower())
+                n = len(w)
+                if n < k:
+                    continue
+                seen = set()
+                for i in range(n - k + 1):
+                    s = " ".join(w[i : i + k])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(doc_id)
+                        shs.append(s)
+            yield _pd.DataFrame({"doc_id": ids, "sh": shs})
+
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    src = docs.select("doc_id", "text")
+    # fan_out=False: the caller has already sized its input (the
+    # streaming monitors' per-batch n_batch rule) — a second exchange
+    # here would double-shuffle the text
+    if fan_out and _documents_bytes_of(docs) // max_split < par:
+        src = src.repartition(par)
+    return src.mapInPandas(rows, "doc_id long, sh string")
+
+
+def _documents_bytes_of(docs: DataFrame) -> int:
+    """Best-effort input bytes of a documents scan (for the fan-out
+    gate): sum of the scan's file sizes via the plan's file index; falls
+    back to 0 (→ fan out, the small-corpus branch) when unreadable."""
+    try:
+        files = [
+            f
+            for src in docs.inputFiles()
+            for f in [src.replace("file:", "")]
+        ]
+        import os
+
+        return sum(os.path.getsize(f) for f in files if os.path.isfile(f))
+    except Exception:  # noqa: BLE001 - sizing heuristic only
+        return 0
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))
@@ -972,15 +1049,19 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the contamination probe — no shuffle of training shingles at
     all; the lone exchange is the final per-doc aggregation of hits, whose
     input is only the contaminated subset. Flagged docs report how many
-    distinct shingles leaked and the smallest offending eval doc id."""
-    shingled = _docs_with_shingles(spark, sf_dir, SHINGLE_K)
-    eval_postings = (
-        shingled.filter(F.col("doc_id") % 7 == 0)
-        .select(F.col("doc_id").alias("eval_id"), F.explode("shingles").alias("sh"))
-    )
-    train_postings = (
-        shingled.filter(F.col("doc_id") % 7 != 0)
-        .select("doc_id", F.explode("shingles").alias("sh"))
+    distinct shingles leaked and the smallest offending eval doc id.
+
+    Both posting sides come from the Arrow shingle_postings kernel
+    (round 10): the interpreted-HOF array build + explode was 97% of
+    this query's wall (3.06 + 3.19 of 6.27 s at sf0.1, SCALE.md) and
+    postings consumers never need the arrays. Posting sets verified
+    identical; the report's oracle is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_postings = shingle_postings(
+        spark, docs.filter(F.col("doc_id") % 7 == 0), SHINGLE_K
+    ).select(F.col("doc_id").alias("eval_id"), "sh")
+    train_postings = shingle_postings(
+        spark, docs.filter(F.col("doc_id") % 7 != 0), SHINGLE_K
     )
     return (
         train_postings.join(F.broadcast(eval_postings), "sh")
@@ -1038,16 +1119,24 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     set broadcasts, the training side streams map-only through the probe;
     the denominators are a second narrow pass over (doc_id, source) only.
     The added agg is |sources| rows. All-integer columns, exact floor
-    rate, so the oracle matches bit-for-bit."""
-    shingled = _docs_with_shingles(spark, sf_dir, SHINGLE_K)
+    rate, so the oracle matches bit-for-bit.
+
+    The denominator pass counts docs with >= SHINGLE_K words WITHOUT
+    building their shingle arrays (round 10): membership needs only
+    size(split(text)) - _docs_with_shingles applies exactly this size
+    filter before shingling, so the rows are identical by construction.
+    Honest measurement: the saving is small at sf0.1 (6.59 -> 6.42 s
+    median; the probe side dominates), but the denominator no longer
+    scales with shingle construction - at 100 TB the second full
+    8-gram array build was pure waste."""
     flagged = llm_decontaminate(spark, sf_dir).select(
         "doc_id", "n_shared_shingles"
     )
-    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load_table(spark, sf_dir, "documents")
     pop = (
-        shingled.filter(F.col("doc_id") % 7 != 0)
-        .select("doc_id")
-        .join(src, "doc_id")
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .filter(F.size(normalized_words(F.col("text"))) >= SHINGLE_K)
+        .select("doc_id", "source")
     )
     joined = pop.join(flagged, "doc_id", "left")
     return (

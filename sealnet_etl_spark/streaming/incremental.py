@@ -212,6 +212,7 @@ from ..operators.dedup import (  # noqa: E402
     minhash_signature_cols,
     normalized_words,
     shingle_base_hashes,
+    shingle_postings,
     word_shingles,
 )
 
@@ -584,14 +585,12 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(eval_store, ignore_errors=True)
                 docs = load_table(spark, sf_dir, "documents")
                 ev = (
-                    docs.filter(F.col("doc_id") % 7 == 0)
-                    .withColumn("__w", normalized_words(F.col("text")))
-                    .filter(F.size("__w") >= SHINGLE_K)
-                    .select(
-                        F.explode(
-                            word_shingles(F.col("__w"), SHINGLE_K)
-                        ).alias("s")
+                    shingle_postings(
+                        spark,
+                        docs.filter(F.col("doc_id") % 7 == 0),
+                        SHINGLE_K,
                     )
+                    .select(F.col("sh").alias("s"))
                     .distinct()
                 )
                 ev.coalesce(2).write.mode("overwrite").parquet(eval_store)
@@ -616,18 +615,19 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n_batch > _default
             else batch_df
         )
-        sh = (
-            sized.filter(F.col("doc_id") % 7 != 0)
-            .withColumn("__w", normalized_words(F.col("text")))
-            .filter(F.size("__w") >= SHINGLE_K)
-            .select(
-                "doc_id",
-                "source",
-                word_shingles(F.col("__w"), SHINGLE_K).alias("sh"),
-            )
-            .localCheckpoint()
-        )
-        postings = sh.select("doc_id", F.explode("sh").alias("s"))
+        train = sized.filter(F.col("doc_id") % 7 != 0)
+        # postings via the Arrow kernel (the llm_decontaminate round-10
+        # rewrite: the interpreted-HOF array build was ~97% of the probe
+        # wall and postings consumers never need the arrays); the
+        # denominators need only membership (size(words) >= K), a narrow
+        # filter — so the localCheckpoint that existed to share the
+        # array column between the two consumers is gone too
+        postings = shingle_postings(
+            spark, train, SHINGLE_K, fan_out=False
+        ).select("doc_id", F.col("sh").alias("s"))
+        members = train.filter(
+            F.size(normalized_words(F.col("text"))) >= SHINGLE_K
+        ).select("doc_id", "source")
         evp = spark.read.parquet(eval_store)
         hits = (
             postings.join(F.broadcast(evp), "s")
@@ -635,8 +635,7 @@ def str_contamination_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("s").alias("n_sh"))
         )
         report = (
-            sh.select("doc_id", "source")
-            .join(hits, "doc_id", "left")
+            members.join(hits, "doc_id", "left")
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).alias("n_train_docs"),
@@ -909,14 +908,12 @@ def str_contamination_monitor_fixed(
                 shutil.rmtree(eval_store, ignore_errors=True)
                 docs = load_table(spark, sf_dir, "documents")
                 ev = (
-                    docs.filter(F.col("doc_id") < EVAL_PROBE_N)
-                    .withColumn("__w", normalized_words(F.col("text")))
-                    .filter(F.size("__w") >= SHINGLE_K)
-                    .select(
-                        F.explode(
-                            word_shingles(F.col("__w"), SHINGLE_K)
-                        ).alias("s")
+                    shingle_postings(
+                        spark,
+                        docs.filter(F.col("doc_id") < EVAL_PROBE_N),
+                        SHINGLE_K,
                     )
+                    .select(F.col("sh").alias("s"))
                     .distinct()
                 )
                 ev.coalesce(1).write.mode("overwrite").parquet(eval_store)
@@ -939,18 +936,15 @@ def str_contamination_monitor_fixed(
             if n_batch > _default
             else batch_df
         )
-        sh = (
-            sized.filter(F.col("doc_id") >= EVAL_PROBE_N)
-            .withColumn("__w", normalized_words(F.col("text")))
-            .filter(F.size("__w") >= SHINGLE_K)
-            .select(
-                "doc_id",
-                "source",
-                word_shingles(F.col("__w"), SHINGLE_K).alias("sh"),
-            )
-            .localCheckpoint()
-        )
-        postings = sh.select("doc_id", F.explode("sh").alias("s"))
+        train = sized.filter(F.col("doc_id") >= EVAL_PROBE_N)
+        # the registered monitor's kernel-postings + narrow-membership
+        # shape (see its process body)
+        postings = shingle_postings(
+            spark, train, SHINGLE_K, fan_out=False
+        ).select("doc_id", F.col("sh").alias("s"))
+        members = train.filter(
+            F.size(normalized_words(F.col("text"))) >= SHINGLE_K
+        ).select("doc_id", "source")
         evp = spark.read.parquet(eval_store)
         hits = (
             postings.join(F.broadcast(evp), "s")
@@ -958,8 +952,7 @@ def str_contamination_monitor_fixed(
             .agg(F.countDistinct("s").alias("n_sh"))
         )
         report = (
-            sh.select("doc_id", "source")
-            .join(hits, "doc_id", "left")
+            members.join(hits, "doc_id", "left")
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).alias("n_train_docs"),
