@@ -165,3 +165,30 @@ def test_drift_monitor_batches_partition_the_corpus(spark, queries):
     assert got == expected
     for r in rows:
         assert -1.0 <= r.centroid_cos <= 1.0
+
+
+def test_shingle_postings_kernel_matches_catalyst_form(spark):
+    """The Arrow shingle_postings kernel must emit EXACTLY the posting
+    set of the Catalyst word_shingles array build (split/lower/join
+    parity including empty boundary tokens) — the bit-for-bit claim the
+    contamination family's oracles rest on since the round-10 rewrite."""
+    from sealnet_etl_spark.operators.dedup import (
+        SHINGLE_K,
+        _docs_with_shingles,
+        shingle_postings,
+    )
+    from sealnet_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    kernel = set(
+        map(tuple, shingle_postings(spark, docs, SHINGLE_K).collect())
+    )
+    catalyst = set(
+        map(
+            tuple,
+            _docs_with_shingles(spark, SF, SHINGLE_K)
+            .select("doc_id", F.explode("shingles").alias("sh"))
+            .collect(),
+        )
+    )
+    assert kernel == catalyst and kernel
