@@ -176,6 +176,11 @@ def shingle_postings(
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    # NULL text: the Catalyst form drops it via
+                    # size(split(NULL)) = -1 < k; match that, don't crash
+                    # (pinned by test_every_query_survives_null_payloads)
+                    continue
                 w = ws.split(text.lower())
                 n = len(w)
                 if n < k:
