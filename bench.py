@@ -171,6 +171,10 @@ def headline_queries() -> list[str]:
         "llm_ivf_index_refresh",
         "llm_multimodal_incremental_near_dup",
         "str_embedding_drift_monitor",
+        # (llm_ivf_cell_probe is omitted: sub-second nprobe=1 serve off
+        # the same store llm_ivf_index_refresh already times — the
+        # llm_mixture_schedule retired-class rationale; driver-graded
+        # via CORRECTNESS either way)
     ]
     # round 10: five stable rows retired to fund the five new round-10
     # rows inside the 2.0 kB tail window (llm_context_length_histogram

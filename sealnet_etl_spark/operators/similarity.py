@@ -2904,3 +2904,230 @@ def llm_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "added_micro", F.expr("n_added * 1000000 div n_total")
         )
     )
+
+
+#: Query-batch size for the cell-probe serving demo (md5-first new-half
+#: vec_ids — the hard_negatives_batch anchor convention).
+IVF_PROBE_Q = 8
+#: Neighbors returned per query by the cell probe.
+IVF_PROBE_K = 5
+
+_IVF_PROBE_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), corpus_assign AS (
+        SELECT vec_id, cell_id, a
+        FROM (
+            SELECT ei.vec_id, s.cell_id, ei.a,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+            WHERE ei.snap = 0
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), queries AS (
+        SELECT vec_id AS query_id, a,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS qq
+        FROM ei WHERE snap = 1
+        ORDER BY md5('ivfp:' || vec_id), vec_id
+        LIMIT {IVF_PROBE_Q}
+    ), query_cells AS (
+        SELECT query_id, cell_id, a, qq
+        FROM (
+            SELECT q.query_id, s.cell_id, q.a, q.qq,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM queries q CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(q.a) + 1), i -> q.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, cell_id) = 1
+    ), scored AS (
+        SELECT qc.query_id, qc.cell_id, c.vec_id AS nbr_id,
+               d.dot,
+               list_sum(list_transform(c.a, x -> x * x))::HUGEINT AS cc,
+               qc.qq
+        FROM query_cells qc
+        JOIN corpus_assign c ON c.cell_id = qc.cell_id
+        CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+            range(1, len(qc.a) + 1), i -> qc.a[i] * c.a[i]))::HUGEINT
+            AS dot) d
+    )
+    SELECT query_id, cell_id, nbr_id,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))),
+                 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) // cc
+                      ELSE -((dot * dot) // cc) END DESC,
+                 nbr_id
+    ) <= {IVF_PROBE_K}
+"""
+
+
+@query(
+    "llm_ivf_cell_probe",
+    survey_id="LLM-5/LLM-4",
+    oracle=_IVF_PROBE_ORACLE,
+)
+def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF SERVE path: a batch of incoming query vectors (the md5-first
+    IVF_PROBE_Q new-half vec_ids) is routed to its nearest frozen cell
+    and searched ONLY against that cell's indexed members — the probe
+    half of llm_ivf_index_refresh, completing build → refresh → serve.
+    Unlike the LSH/IVF-PQ ANN queries (rows-only by design), this probe
+    is EXACTLY hash-graded: cells are deterministic (md5 seeds + exact
+    integer assignment), so the cell restriction is structural — the
+    oracle recomputes the identical candidate set — and within-cell
+    ranking uses the same sign(dot)·(dot² div nn) exact-integer order
+    (valid per query because the query norm is a shared factor), ties
+    to the smaller nbr_id. cos_sim is computed from the SAME integer
+    dot/norms on both engines (identical ints → identical doubles →
+    identical 6-dp round — the embedding-drift discipline).
+
+    Scale: nprobe=1 serving — each query touches |corpus|/|cells|
+    candidates via the persisted assignment store (never the full
+    corpus); the query batch and seeds broadcast; candidate scoring is
+    one zip_with dot per (query, member) pair, JVM-side. Recall is the
+    standard IVF trade and is NOT claimed here — the graded statement
+    is that serve returns exactly the top-k OF THE PROBED CELL."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seed_rows = (
+        ei.filter(F.col("snap") == 0)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
+            "cell_id",
+        )
+        .limit(IVF_REFRESH_CELLS)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
+    )
+    corpus_assign = _ivf_assign_cells(
+        ei.filter(F.col("snap") == 0), seeds
+    ).select("vec_id", "cell_id")
+    members = corpus_assign.join(
+        ei.select(F.col("vec_id"), F.col("a")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("nbr_id"),
+        "cell_id",
+        F.col("a").alias("c"),
+        F.expr(
+            "aggregate(transform(a, x -> x * x),"
+            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+        ).alias("cc"),
+    )
+    queries = (
+        ei.filter(F.col("snap") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("a").alias("q"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("qq"),
+        )
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("ivfp:"), F.col("query_id").cast("string"))
+            ),
+            "query_id",
+        )
+        .limit(IVF_PROBE_Q)
+    )
+    query_cells = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            "cell_id",
+            F.expr(
+                "aggregate(zip_with(q, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "nn",
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div nn"
+                " else -((dot * dot) div nn) end as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr("max_by(cell_id, struct(score, -cell_id))").alias(
+                "cell_id"
+            ),
+            F.first("q").alias("q"),
+            F.first("qq").alias("qq"),
+        )
+    )
+    scored = (
+        members.join(F.broadcast(query_cells), "cell_id")
+        .select(
+            "query_id",
+            "cell_id",
+            "nbr_id",
+            "qq",
+            "cc",
+            F.expr(
+                "aggregate(zip_with(q, c, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "rank_score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div cc"
+                " else -((dot * dot) div cc) end as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_score"), "nbr_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_PROBE_K)
+        .select(
+            "query_id",
+            "cell_id",
+            "nbr_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

@@ -192,3 +192,32 @@ def test_shingle_postings_kernel_matches_catalyst_form(spark):
         )
     )
     assert kernel == catalyst and kernel
+
+
+def test_ivf_cell_probe_serves_exactly_the_probed_cell(spark, queries):
+    """The probe's graded claim: results are exactly the top-k OF THE
+    PROBED CELL. Each query's neighbors must all be indexed (even-half)
+    members of the query's single routed cell per the refresh's own
+    occupancy view, k rows per query unless the cell is smaller, and
+    cos_sim valid."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import IVF_PROBE_K
+
+    rows = queries["llm_ivf_cell_probe"](spark, SF).collect()
+    refresh = {
+        r.cell_id: r.n_old
+        for r in queries["llm_ivf_index_refresh"](spark, SF).collect()
+    }
+    per_query = defaultdict(list)
+    for r in rows:
+        per_query[r.query_id].append(r)
+        assert r.nbr_id % 2 == 0  # candidates come from the indexed half
+        assert r.query_id % 2 == 1  # queries are the arriving half
+        assert -1.0 <= r.cos_sim <= 1.0
+        assert r.cell_id in refresh
+    for qid, rs in per_query.items():
+        cells = {r.cell_id for r in rs}
+        assert len(cells) == 1  # nprobe=1: one routed cell per query
+        (cell,) = cells
+        assert len(rs) == min(IVF_PROBE_K, refresh[cell])

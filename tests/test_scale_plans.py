@@ -406,6 +406,8 @@ _BNLJ_ALLOWED = {
                               # side: bounded by the cell-count plan
                               # constant, not data (each vector fans out
                               # exactly |cells| times then reduces)
+    "llm_ivf_cell_probe",     # same 16-row seed side (query routing) +
+                              # an IVF_PROBE_Q(8)-row query batch side
 }
 
 
