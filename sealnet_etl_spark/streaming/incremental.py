@@ -1326,3 +1326,160 @@ def str_embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "centroid_cos",
     )
+
+
+def _ivf_monitor_oracle() -> str:
+    from ..operators.similarity import IVF_REFRESH_CELLS
+
+    return f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % {N_DOC_CHUNKS} AS chunk,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE vec_id % 2 = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), assigned AS (
+        SELECT vec_id, chunk, cell_id
+        FROM (
+            SELECT ei.vec_id, ei.chunk, s.cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), bt AS (
+        SELECT chunk, COUNT(*) AS batch_total FROM assigned GROUP BY chunk
+    )
+    SELECT CAST(a.chunk AS BIGINT)   AS chunk,
+           a.cell_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_assigned,
+           CAST(COUNT(*) * 1000000 // bt.batch_total
+                AS BIGINT)           AS share_micro
+    FROM assigned a JOIN bt USING (chunk)
+    GROUP BY a.chunk, a.cell_id, bt.batch_total
+"""
+
+
+@query(
+    "str_ivf_ingest_monitor",
+    survey_id="STR-8/LLM-5/ETL-6",
+    oracle=_ivf_monitor_oracle(),
+)
+def str_ivf_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ingest monitor: every arriving micro-batch of
+    embeddings is routed into the FROZEN coarse cells (the exact seeds
+    and integer assignment of llm_ivf_index_refresh) and reduced to
+    per-(batch, cell) occupancy + share — the sixth streaming panel,
+    completing the IVF family's batch → incremental → streaming arc the
+    near-dup family set (one-shot pairs → persisted-index refresh →
+    per-trigger monitor). A cell whose share spikes within one batch is
+    absorbing a shifted distribution the quantizer no longer
+    tessellates (cross-check str_embedding_drift_monitor, which watches
+    the same shift per label; this view is per CELL, i.e. per index
+    shard — the operational unit that actually overflows).
+
+    Per-trigger plan: the 16-row frozen quantizer is materialized once
+    before the stream (bounded collect, broadcast local relation); the
+    batch fans out x|cells| and collapses map-side via the max_by
+    aggregate (the refresh's argmax discipline — no window shuffle),
+    then one count agg to <= |cells| rows. No state store; batches
+    independent by semantics; chunk=<batch_id> per-partition overwrite
+    idempotency. All-integer assignment and exact floor shares —
+    bit-comparable to the brute-force oracle."""
+    import os as _os
+
+    from ..operators.similarity import (
+        IVF_REFRESH_CELLS,
+        _ivf_assign_cells,
+        _ivf_int_vectors,
+    )
+    from ..sources.ingest import _scratch
+
+    replay = _emb_drift_replay_dir(spark, sf_dir)
+    results_store = _scratch(sf_dir, "str_ivf_ingest_report")
+    checkpoint = _scratch(sf_dir, "str_ivf_ingest_ckpt")
+    for p in (results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ei_static = _ivf_int_vectors(spark, sf_dir)
+    seed_rows = (
+        ei_static.filter(F.col("snap") == 0)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
+            "cell_id",
+        )
+        .limit(IVF_REFRESH_CELLS)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ei = batch_df.select(
+            "vec_id",
+            F.lit(0).alias("snap"),  # unused by the assigner's output here
+            F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(floor(x * 1000000) as bigint))"
+            ).alias("a"),
+        )
+        assigned = _ivf_assign_cells(ei, seeds).select("vec_id", "cell_id")
+        counts = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("n_assigned")
+        )
+        total = counts.agg(F.sum("n_assigned").alias("batch_total"))
+        report = counts.crossJoin(F.broadcast(total)).select(
+            "cell_id",
+            F.col("n_assigned").cast("bigint").alias("n_assigned"),
+            F.expr("n_assigned * 1000000 div batch_total").alias(
+                "share_micro"
+            ),
+        )
+        report.coalesce(1).write.mode("overwrite").parquet(
+            f"{results_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, label int, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame(
+            [],
+            "chunk bigint, cell_id bigint, n_assigned bigint, "
+            "share_micro bigint",
+        )
+    return spark.read.parquet(results_store).select(
+        F.col("chunk").cast("bigint").alias("chunk"),
+        "cell_id",
+        "n_assigned",
+        "share_micro",
+    )

@@ -221,3 +221,29 @@ def test_ivf_cell_probe_serves_exactly_the_probed_cell(spark, queries):
         assert len(cells) == 1  # nprobe=1: one routed cell per query
         (cell,) = cells
         assert len(rs) == min(IVF_PROBE_K, refresh[cell])
+
+
+def test_ivf_ingest_monitor_reconciles_with_refresh_totals(spark, queries):
+    """The streaming monitor routes EVERY non-null vector (per vec_id%3
+    batch) into the same frozen cells the refresh uses, so summing its
+    per-(chunk, cell) counts across chunks must reproduce the refresh's
+    per-cell n_total exactly — the streaming and batch views of one
+    quantizer can never disagree. Shares must floor-partition each
+    batch."""
+    from collections import defaultdict
+
+    rows = queries["str_ivf_ingest_monitor"](spark, SF).collect()
+    refresh = {
+        r.cell_id: r.n_total
+        for r in queries["llm_ivf_index_refresh"](spark, SF).collect()
+    }
+    per_cell = defaultdict(int)
+    per_chunk = defaultdict(list)
+    for r in rows:
+        per_cell[r.cell_id] += r.n_assigned
+        per_chunk[r.chunk].append(r)
+    assert dict(per_cell) == refresh
+    for chunk, rs in per_chunk.items():
+        total = sum(r.n_assigned for r in rs)
+        for r in rs:
+            assert r.share_micro == r.n_assigned * 1_000_000 // total
