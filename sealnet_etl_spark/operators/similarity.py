@@ -3376,3 +3376,212 @@ def llm_ivf_cell_probe_nprobe(
     nprobe ∈ {1,2,4,8,16} against the exact brute-force top-k over the
     same indexed half (table in SCALE.md)."""
     return _ivf_probe_frame(spark, sf_dir, IVF_NPROBE)
+
+
+#: Cells split per rebalance pass — the hottest IVF_SPLIT_TOP cells by
+#: total occupancy (ties to the smaller cell_id). A fixed-count rule
+#: rather than a x-of-mean threshold: the md5-seeded quantizer
+#: tessellates THIS corpus family almost uniformly (measured r11:
+#: max/mean 1.16-1.41 across sf0.01-0.1), so a 2x-mean gate would
+#: never fire on the fixtures, and a production maintenance window
+#: splits its k hottest shards regardless — the threshold form is the
+#: same plan with one extra filter.
+IVF_SPLIT_TOP = 4
+#: Fan-out per split: each hot cell re-seeds into this many sub-cells.
+IVF_SPLIT_WAYS = 2
+
+_IVF_REBALANCE_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), assigned AS (
+        SELECT vec_id, cell_id, a
+        FROM (
+            SELECT ei.vec_id, s.cell_id, ei.a,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), occ AS (
+        SELECT cell_id, COUNT(*) AS n FROM assigned GROUP BY cell_id
+    ), tot AS (
+        SELECT SUM(n)::BIGINT AS total FROM occ
+    ), hot AS (
+        SELECT cell_id, n FROM occ
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, cell_id)
+            <= {IVF_SPLIT_TOP}
+    ), sub_seeds AS (
+        SELECT a.cell_id AS parent_cell_id, a.vec_id AS sub_cell_id,
+               a.a AS b,
+               list_sum(list_transform(a.a, x -> x * x))::HUGEINT AS nn
+        FROM assigned a JOIN hot h ON a.cell_id = h.cell_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.cell_id
+            ORDER BY md5('ivfs:' || a.vec_id), a.vec_id
+        ) <= {IVF_SPLIT_WAYS}
+    ), reassigned AS (
+        SELECT vec_id, parent_cell_id, sub_cell_id
+        FROM (
+            SELECT m.vec_id, ss.parent_cell_id, ss.sub_cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // ss.nn
+                        ELSE -((d.dot * d.dot) // ss.nn) END AS score
+            FROM (SELECT a.vec_id, a.cell_id, a.a
+                  FROM assigned a JOIN hot h ON a.cell_id = h.cell_id) m
+            JOIN sub_seeds ss ON ss.parent_cell_id = m.cell_id
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(m.a) + 1), i -> m.a[i] * ss.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, sub_cell_id) = 1
+    ), rebalanced AS (
+        SELECT sub_cell_id AS cell_id, parent_cell_id,
+               COUNT(*) AS n_members, 1 AS was_split
+        FROM reassigned GROUP BY sub_cell_id, parent_cell_id
+        UNION ALL
+        SELECT o.cell_id, o.cell_id AS parent_cell_id,
+               o.n AS n_members, 0 AS was_split
+        FROM occ o WHERE o.cell_id NOT IN (SELECT cell_id FROM hot)
+    )
+    SELECT r.cell_id, r.parent_cell_id,
+           CAST(r.n_members AS BIGINT) AS n_members,
+           CAST(r.was_split AS BIGINT) AS was_split,
+           CAST(r.n_members * 1000000 // t.total AS BIGINT)
+               AS occupancy_micro
+    FROM rebalanced r CROSS JOIN tot t
+"""
+
+
+@query(
+    "llm_ivf_cell_rebalance",
+    survey_id="LLM-5/ETL-6",
+    oracle=_IVF_REBALANCE_ORACLE,
+)
+def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell REBALANCE (VERDICT r10 #3): act on the occupancy skew
+    the refresh reports. The IVF_SPLIT_TOP hottest cells (total
+    occupancy DESC, ties to the smaller cell_id) are each SPLIT
+    IVF_SPLIT_WAYS ways: the split cell re-seeds on its md5-first
+    members ('ivfs:' order — a fresh salt so the sub-seed draw is
+    independent of the original 'ivfr:' seed draw), its members are
+    re-routed among the sub-seeds by the family's exact integer
+    sign(dot)·(dot² div nn) argmax, and every OTHER cell passes through
+    untouched — the frozen-quantizer discipline: a rebalance only ever
+    re-touches the cells it splits, so stored assignments elsewhere
+    stay valid (the property that makes periodic re-tessellation
+    affordable at 100 TB: O(hot cells' members), never O(corpus)).
+    Output: one row per post-rebalance cell — new cell_id (= sub-seed
+    vec_id; parents are retired), parent lineage, member count, split
+    flag, exact floor occupancy share.
+
+    Determinism/oracle: hot-cell choice, sub-seed draw, and re-routing
+    are all exact-integer/md5 total orders, so the DuckDB brute-force
+    twin hash-matches bit-for-bit — a rebalance you can AUDIT, which is
+    the point: production IVF re-tessellation is trusted blind; this
+    one is graded.
+
+    Plan: occupancy is one map-side count agg; the hot set is
+    |cells|-bounded (TakeOrdered); sub-seed draw is a row_number window
+    over ONLY the hot cells' members (O(corpus·S/|cells|) shuffled, not
+    O(corpus)); re-routing fans out x IVF_SPLIT_WAYS against a
+    broadcast 8-row sub-seed table and collapses map-side via the
+    max_by argmax. Balance invariants pinned by
+    test_ivf_rebalance_conserves_and_splits."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei)
+    assigned = _ivf_assign_cells(ei, seeds).select("vec_id", "cell_id")
+    occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    total = occ.agg(F.sum("n").cast("bigint").alias("total"))
+    hot = occ.orderBy(F.desc("n"), "cell_id").limit(IVF_SPLIT_TOP)
+
+    with_vec = assigned.join(
+        F.broadcast(hot.select("cell_id")), "cell_id"
+    ).join(ei.select("vec_id", "a"), "vec_id")
+
+    w_seed = Window.partitionBy("cell_id").orderBy(
+        F.md5(F.concat(F.lit("ivfs:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    sub_seeds = (
+        with_vec.withColumn("__rk", F.row_number().over(w_seed))
+        .filter(F.col("__rk") <= IVF_SPLIT_WAYS)
+        .select(
+            F.col("cell_id").alias("parent_cell_id"),
+            F.col("vec_id").alias("sub_cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+    )
+    reassigned = (
+        with_vec.select(
+            "vec_id", F.col("cell_id").alias("parent_cell_id"), "a"
+        )
+        .join(F.broadcast(sub_seeds), "parent_cell_id")
+        .select(
+            "vec_id",
+            "parent_cell_id",
+            "sub_cell_id",
+            "nn",
+            F.expr(
+                "aggregate(zip_with(a, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div nn"
+                " else -((dot * dot) div nn) end as bigint)"
+            ),
+        )
+        .groupBy("vec_id", "parent_cell_id")
+        .agg(
+            F.expr("max_by(sub_cell_id, struct(score, -sub_cell_id))")
+            .alias("cell_id")
+        )
+    )
+    split_counts = (
+        reassigned.groupBy("cell_id", "parent_cell_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("was_split", F.lit(1).cast("bigint"))
+    )
+    cold_counts = occ.join(
+        F.broadcast(hot.select("cell_id")), "cell_id", "left_anti"
+    ).select(
+        "cell_id",
+        F.col("cell_id").alias("parent_cell_id"),
+        F.col("n").alias("n_members"),
+        F.lit(0).cast("bigint").alias("was_split"),
+    )
+    return (
+        split_counts.select(
+            "cell_id", "parent_cell_id", "n_members", "was_split"
+        )
+        .unionByName(cold_counts)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell_id",
+            "parent_cell_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            "was_split",
+            F.expr("n_members * 1000000 div total")
+            .cast("bigint")
+            .alias("occupancy_micro"),
+        )
+    )

@@ -1470,3 +1470,172 @@ def str_ivf_ingest_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_assigned",
         "share_micro",
     )
+
+
+def _ivf_append_oracle() -> str:
+    from ..operators.similarity import IVF_REFRESH_CELLS
+
+    return f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), assigned AS (
+        SELECT vec_id, snap, cell_id
+        FROM (
+            SELECT ei.vec_id, ei.snap, s.cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    )
+    SELECT cell_id,
+           CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+           CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_streamed,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT CASE WHEN snap = 1
+                                    THEN vec_id % {N_DOC_CHUNKS} END)
+                AS BIGINT) AS n_chunks
+    FROM assigned GROUP BY cell_id
+"""
+
+
+@query(
+    "str_ivf_index_append",
+    survey_id="STR-8/LLM-5/ETL-5",
+    oracle=_ivf_append_oracle(),
+)
+def str_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF index APPEND (VERDICT r10 #2): the arriving batches
+    are not just routed and reported (str_ivf_ingest_monitor) — each
+    micro-batch's (vec_id, cell_id) assignments are PERSISTED into an
+    accumulating index store alongside the batch-built base index, so
+    build → refresh → serve → stream is a real accumulating index. The
+    monitor pattern's write-ahead-by-batchId idempotency carries over
+    unchanged: each batch overwrites its own chunk=<batch_id> partition,
+    so a crash-replayed batch rewrites identical rows (pinned by
+    tests/test_streaming_restart.py::test_ivf_append_store_is_idempotent)
+    and never appends twice.
+
+    The arriving half is the odd snap (the refresh's new-batch
+    convention), delivered across the N_DOC_CHUNKS vec_id%N replay
+    chunks; the base index is the even half, written once per
+    (process, corpus) by the SAME store discipline the refresh uses.
+    The emitted frame is served FROM the stores — base ∪ appended, one
+    row per cell: (n_old, n_streamed, n_total, n_chunks) where n_chunks
+    counts the distinct micro-batches that landed rows in the cell —
+    and reconciles exactly with llm_ivf_index_refresh (n_old/n_added)
+    by construction, which the restart test asserts frame-equal.
+
+    Per-trigger plan: 16-row frozen quantizer broadcast; the batch fans
+    out x|cells| and collapses MAP-SIDE via the max_by argmax; one
+    16-byte row per vector lands in the store — O(batch·|cells|)
+    compute, O(batch) writes, nothing re-touches prior chunks. At
+    100 TB the store is the standard IVF posting layout: partitioned by
+    arrival chunk, 16 bytes/vector, mergeable offline into cell-major
+    order without recomputing a single assignment."""
+    import os as _os
+
+    from ..operators.similarity import (
+        _ivf_assign_cells,
+        _ivf_frozen_seeds,
+        _ivf_int_vectors,
+    )
+    from ..sources.ingest import _scratch
+
+    replay = _emb_drift_replay_dir(spark, sf_dir)
+    base_store = _scratch(sf_dir, "str_ivf_append_base")
+    append_store = _scratch(sf_dir, "str_ivf_append_chunks")
+    checkpoint = _scratch(sf_dir, "str_ivf_append_ckpt")
+    for p in (base_store, append_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    ei_static = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei_static)
+
+    # the base index: even-half assignments, written before the stream
+    # opens (the refresh's build step, store-local to this query so the
+    # restart test can wipe and rebuild freely)
+    _ivf_assign_cells(ei_static.filter(F.col("snap") == 0), seeds).select(
+        "vec_id", "cell_id"
+    ).coalesce(1).write.mode("overwrite").parquet(base_store)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        arriving = batch_df.filter(F.pmod("vec_id", F.lit(2)) == 1).select(
+            "vec_id",
+            F.lit(1).alias("snap"),
+            F.expr(
+                "transform(cast(embedding as array<float>),"
+                " x -> cast(floor(x * 1000000) as bigint))"
+            ).alias("a"),
+        )
+        _ivf_assign_cells(arriving, seeds).select(
+            "vec_id", "cell_id"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{append_store}/chunk={batch_id}"
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, label int, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    empty = "cell_id bigint, n_old bigint, n_streamed bigint, " \
+        "n_total bigint, n_chunks bigint"
+    if not _os.path.isdir(append_store):
+        return spark.createDataFrame([], empty)
+    base = (
+        spark.read.parquet(base_store)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_old"))
+    )
+    appended = (
+        spark.read.parquet(append_store)
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streamed"),
+            F.countDistinct("chunk").alias("n_chunks"),
+        )
+    )
+    return (
+        base.join(appended, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_streamed", F.lit(0))
+            .cast("bigint")
+            .alias("n_streamed"),
+            F.coalesce("n_chunks", F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+        .withColumn(
+            "n_total",
+            (F.col("n_old") + F.col("n_streamed")).cast("bigint"),
+        )
+        .select("cell_id", "n_old", "n_streamed", "n_total", "n_chunks")
+    )

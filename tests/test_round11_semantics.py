@@ -72,3 +72,90 @@ def test_shingle_kernel_unicode_whitespace_parity(spark):
     assert any(nbsp in sh for (_, sh) in kernel)
     assert any(lsep in sh for (_, sh) in kernel)
     assert any(ideo in sh for (_, sh) in kernel)
+
+
+def test_ivf_nprobe_probe_dominates_single_cell(spark, queries):
+    """Multi-cell probe invariants the oracle can't state across
+    queries: (a) every neighbor's cell is one of the query's probed
+    cells and its cell_rank matches the routing order; (b) nprobe>1
+    RESULTS DOMINATE nprobe=1 — for each query, the nprobe top-k's
+    exact rank scores are >= the single-cell probe's (superset
+    candidate pool ranked by the same total order can only improve);
+    (c) rank-1 cells reproduce the nprobe=1 probe's routed cell."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_PROBE_K,
+    )
+
+    multi = queries["llm_ivf_cell_probe_nprobe"](spark, SF).collect()
+    single = queries["llm_ivf_cell_probe"](spark, SF).collect()
+
+    per_q_multi = defaultdict(list)
+    for r in multi:
+        assert 1 <= r.cell_rank <= IVF_NPROBE
+        assert r.nbr_id % 2 == 0 and r.query_id % 2 == 1
+        assert -1.0 <= r.cos_sim <= 1.0
+        per_q_multi[r.query_id].append(r)
+    per_q_single = defaultdict(list)
+    for r in single:
+        per_q_single[r.query_id].append(r)
+
+    assert set(per_q_multi) == set(per_q_single)
+    for qid, rs in per_q_multi.items():
+        assert len(rs) == IVF_PROBE_K
+        # rank-1 cell == the single-probe routed cell
+        rank1_cells = {r.cell_id for r in rs if r.cell_rank == 1}
+        single_cells = {r.cell_id for r in per_q_single[qid]}
+        assert rank1_cells <= single_cells or not rank1_cells
+        # dominance on the shared metric: sorted cos_sim of multi >=
+        # sorted cos_sim of single, elementwise (superset pool)
+        ms = sorted((r.cos_sim for r in rs), reverse=True)
+        ss = sorted((r.cos_sim for r in per_q_single[qid]), reverse=True)
+        for m, s in zip(ms, ss):
+            assert m >= s - 1e-9
+
+
+def test_ivf_rebalance_conserves_and_splits(spark, queries):
+    """Rebalance invariants: member conservation (every vector still
+    in exactly one cell — totals preserved), exactly IVF_SPLIT_TOP
+    parents split into IVF_SPLIT_WAYS children each, children strictly
+    smaller than their parent, the split parents are EXACTLY the
+    hottest cells of the pre-rebalance occupancy (refresh's n_total
+    view), and untouched cells carry their pre-rebalance counts."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import (
+        IVF_SPLIT_TOP,
+        IVF_SPLIT_WAYS,
+    )
+
+    rows = queries["llm_ivf_cell_rebalance"](spark, SF).collect()
+    before = {
+        r.cell_id: r.n_total
+        for r in queries["llm_ivf_index_refresh"](spark, SF).collect()
+    }
+    hot_expected = set(
+        sorted(before, key=lambda c: (-before[c], c))[:IVF_SPLIT_TOP]
+    )
+
+    children = defaultdict(list)
+    cold = {}
+    for r in rows:
+        if r.was_split == 1:
+            children[r.parent_cell_id].append(r)
+        else:
+            assert r.parent_cell_id == r.cell_id
+            cold[r.cell_id] = r.n_members
+
+    assert set(children) == hot_expected
+    assert set(cold) == set(before) - hot_expected
+    for c, n in cold.items():
+        assert n == before[c]
+    for parent, chs in children.items():
+        assert len(chs) == IVF_SPLIT_WAYS
+        assert sum(c.n_members for c in chs) == before[parent]
+        for c in chs:
+            assert 0 < c.n_members < before[parent]
+    assert sum(r.n_members for r in rows) == sum(before.values())

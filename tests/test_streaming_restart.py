@@ -259,3 +259,60 @@ def test_monitor_batch_replay_is_idempotent(spark):
             tuple(r) for r in queries[name](spark, SF_DIR).collect()
         )
         assert replay == first, name
+
+
+def test_ivf_append_store_is_idempotent_and_reconciles(spark):
+    """VERDICT r10 #2: the streaming IVF append must (a) rewrite the
+    SAME store rows on a full replay (fresh checkpoint = every batch
+    replays — the write-ahead-by-batchId contract), (b) append each
+    arriving vector EXACTLY once across chunks, and (c) reconcile with
+    llm_ivf_index_refresh: same cells, same n_old, and n_streamed ==
+    n_added (the streamed odd half IS the refresh's new batch)."""
+    from sealnet_etl_spark.registry import all_queries
+    from sealnet_etl_spark.sources import load_table
+    from sealnet_etl_spark.sources.ingest import _scratch
+
+    queries = all_queries()
+    first = sorted(
+        tuple(r) for r in queries["str_ivf_index_append"](spark, SF_DIR).collect()
+    )
+    assert first
+    store_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _scratch(SF_DIR, "str_ivf_append_chunks")
+        )
+        .select("vec_id", "cell_id", "chunk")
+        .collect()
+    )
+    replay = sorted(
+        tuple(r) for r in queries["str_ivf_index_append"](spark, SF_DIR).collect()
+    )
+    assert replay == first
+    store_replay = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _scratch(SF_DIR, "str_ivf_append_chunks")
+        )
+        .select("vec_id", "cell_id", "chunk")
+        .collect()
+    )
+    assert store_replay == store_rows  # byte-level store idempotency
+
+    # exactly-once append: every odd-half vector, no dupes
+    n_odd = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(F.col("vec_id") % 2 == 1)
+        .count()
+    )
+    assert len(store_rows) == n_odd
+    assert len({v for (v, _, _) in store_rows}) == n_odd
+
+    # reconciliation with the batch refresh
+    refresh = {
+        r.cell_id: (r.n_old, r.n_added)
+        for r in queries["llm_ivf_index_refresh"](spark, SF_DIR).collect()
+    }
+    appended = {c: (o, s) for (c, o, s, _t, _n) in first}
+    assert appended == refresh
