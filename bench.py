@@ -62,7 +62,6 @@ def headline_queries() -> list[str]:
         # shapes (rolling-distinct explode, day-blocked interval pairing,
         # asof attribution) — tracked so a regression to a range self-join
         # or a global window shows up as a number
-        "ag_rolling_active_users",
         "jn_interval_overlap",
         "wn_attribution_last_touch",
         # round-3 continuation, batches 5-10: the grid-blocked spatial
@@ -131,24 +130,20 @@ def headline_queries() -> list[str]:
         # exact-output explode), the sequential-per-shard next-fit pack,
         # the kappa contingency pass, and the RBO retrieval twin
         "llm_epoch_budget_apply",
-        "llm_pack_bins",
         "ag_cohens_kappa",
         "llm_rbo_eval",
         # round 8: the packing-waste report (consumes the pack), the
         # banded cross-batch dedup-rate trend (the round's heaviest new
         # plan — minhash + posting-list pairing + verify), and the two
         # narrow report passes — tracked from their change round
-        "llm_pack_efficiency",
         "llm_dedup_rate_trend",
         "llm_quality_trend",
         "llm_dedup_cluster_size_histogram",
-        "llm_vocab_growth",
         # round 8, late batch: the fertility token scan, the per-source
         # contamination aggregate (broadcast probe + denominator pass),
         # and the materialized-scan + range-exchange Gini — tracked from
         # their change round (llm_mixture_schedule is omitted: flat
         # ~0.2 s by design, the retired-class shape)
-        "llm_tokenizer_fertility",
         "llm_contamination_report",
         "llm_token_gini",
         # round 9: the fixed-batch hard-negative serving shape (64
@@ -175,7 +170,21 @@ def headline_queries() -> list[str]:
         # the same store llm_ivf_index_refresh already times — the
         # llm_mixture_schedule retired-class rationale; driver-graded
         # via CORRECTNESS either way)
+        # round 11: the three new IVF-family plans — the multi-cell
+        # (nprobe=4) probe's union-candidate serve, the streaming
+        # index APPEND (base build + 3-trigger write-ahead store), and
+        # the hot-cell split rebalance (full assignment pass + hot-only
+        # window + broadcast re-route) — tracked from their change round
+        "llm_ivf_cell_probe_nprobe",
+        "str_ivf_index_append",
+        "llm_ivf_cell_rebalance",
     ]
+    # round 11: five stable rows retired to fund the three new
+    # round-11 rows inside the 2.0 kB tail window (llm_tokenizer_fertility
+    # 0.17/0.18, llm_pack_efficiency 0.36/0.41, llm_vocab_growth
+    # 0.40/0.43, llm_pack_bins 0.43/0.40, ag_rolling_active_users
+    # 0.48/0.46 over r10/r9 - all flat narrow store-read or window
+    # passes; still driver-graded via CORRECTNESS).
     # round 10: five stable rows retired to fund the five new round-10
     # rows inside the 2.0 kB tail window (llm_context_length_histogram
     # 0.17, llm_shard_skew_report 0.21, llm_sequence_pack 0.25,
