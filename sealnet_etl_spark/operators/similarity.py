@@ -3585,3 +3585,247 @@ def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("occupancy_micro"),
         )
     )
+
+
+_IVF_SERVE_ACCUM_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), corpus_assign AS (
+        SELECT vec_id, snap, cell_id, a
+        FROM (
+            SELECT ei.vec_id, ei.snap, s.cell_id, ei.a,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), queries AS (
+        SELECT vec_id AS query_id, a,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS qq
+        FROM ei WHERE snap = 1
+        ORDER BY md5('ivfp:' || vec_id), vec_id
+        LIMIT {IVF_PROBE_Q}
+    ), query_cells AS (
+        SELECT query_id, cell_id, cell_rank, a, qq
+        FROM (
+            SELECT q.query_id, s.cell_id, q.a, q.qq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY CASE WHEN d.dot >= 0
+                                     THEN (d.dot * d.dot) // s.nn
+                                     ELSE -((d.dot * d.dot) // s.nn) END
+                                DESC, s.cell_id) AS cell_rank
+            FROM queries q CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(q.a) + 1), i -> q.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        WHERE cell_rank <= {IVF_NPROBE}
+    ), scored AS (
+        SELECT qc.query_id, qc.cell_id, qc.cell_rank, c.vec_id AS nbr_id,
+               c.snap AS from_stream, d.dot,
+               list_sum(list_transform(c.a, x -> x * x))::HUGEINT AS cc,
+               qc.qq
+        FROM query_cells qc
+        JOIN corpus_assign c ON c.cell_id = qc.cell_id
+        CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+            range(1, len(qc.a) + 1), i -> qc.a[i] * c.a[i]))::HUGEINT
+            AS dot) d
+        WHERE c.vec_id <> qc.query_id
+    )
+    SELECT query_id, cell_id, CAST(cell_rank AS BIGINT) AS cell_rank,
+           nbr_id, CAST(from_stream AS BIGINT) AS from_stream,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))),
+                 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) // cc
+                      ELSE -((dot * dot) // cc) END DESC,
+                 nbr_id
+    ) <= {IVF_PROBE_K}
+"""
+
+
+@query(
+    "llm_ivf_serve_accumulated",
+    survey_id="LLM-5/LLM-4/STR-8",
+    oracle=_IVF_SERVE_ACCUM_ORACLE,
+)
+def llm_ivf_serve_accumulated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Serve the ACCUMULATED index — the last arc of build → refresh →
+    serve → stream: queries probe their IVF_NPROBE nearest frozen
+    cells over the UNION of the base (even-half) index and the
+    streamed (odd-half) appends, so vectors ingested by
+    str_ivf_index_append are first-class serving candidates the moment
+    their chunk commits. from_stream (= nbr's snap) records which leg
+    of the index produced each neighbor; self-matches are excluded
+    (a query must not retrieve its own streamed copy — the standard
+    serving rule once the query population is also indexed).
+
+    The graded plan recomputes both halves' assignments batch-side —
+    bit-identical to what the stores hold, because assignment is the
+    same frozen-quantizer exact-integer argmax in both paths; that the
+    STORE-served result is the same frame is pinned by
+    tests/test_streaming_restart.py::test_accumulated_serve_matches_store
+    (runs the real stream, rebuilds this top-k from base+append
+    parquet, asserts frame equality). The graded query itself stays
+    deterministic and store-independent so the oracle needs no
+    filesystem state.
+
+    Scale: identical shape to llm_ivf_cell_probe_nprobe with 2x the
+    candidate slice (both halves indexed); routing collapses map-side,
+    scoring is JVM-side zip_with integer dots, output is 40 rows at
+    every SF."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei)
+    corpus_assign = _ivf_assign_cells(ei, seeds).select(
+        "vec_id", "snap", "cell_id"
+    )
+    return _ivf_serve_topk(ei, seeds, corpus_assign)
+
+
+def _ivf_serve_topk(
+    ei: DataFrame, seeds: DataFrame, corpus_assign: DataFrame
+) -> DataFrame:
+    """Rank stage of the accumulated serve, factored so the store-parity
+    test can feed it the PERSISTED base+append assignments instead of
+    the batch recomputation and assert frame equality (the docstring
+    contract of llm_ivf_serve_accumulated). corpus_assign: (vec_id,
+    snap, cell_id) — from any source that routed through the same
+    frozen quantizer."""
+    members = corpus_assign.join(
+        ei.select("vec_id", "a"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("snap").cast("bigint").alias("from_stream"),
+        "cell_id",
+        F.col("a").alias("c"),
+        F.expr(
+            "aggregate(transform(a, x -> x * x),"
+            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+        ).alias("cc"),
+    )
+    queries = (
+        ei.filter(F.col("snap") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("a").alias("q"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("qq"),
+        )
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("ivfp:"), F.col("query_id").cast("string"))
+            ),
+            "query_id",
+        )
+        .limit(IVF_PROBE_Q)
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            "cell_id",
+            F.expr(
+                "aggregate(zip_with(q, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "nn",
+        )
+        .withColumn(
+            "ns",
+            F.expr(
+                "cast(case when dot >= 0 then -((dot * dot) div nn)"
+                " else (dot * dot) div nn end as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("q").alias("q"),
+            F.first("qq").alias("qq"),
+            F.expr(
+                f"slice(array_sort(collect_list(struct(ns, cell_id))),"
+                f" 1, {IVF_NPROBE})"
+            ).alias("cells"),
+        )
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            F.posexplode("cells").alias("pos", "cell"),
+        )
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            (F.col("pos") + 1).cast("bigint").alias("cell_rank"),
+            F.col("cell.cell_id").alias("cell_id"),
+        )
+    )
+    scored = (
+        members.join(F.broadcast(routed), "cell_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell_id",
+            "cell_rank",
+            "nbr_id",
+            "from_stream",
+            "qq",
+            "cc",
+            F.expr(
+                "aggregate(zip_with(q, c, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "rank_score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div cc"
+                " else -((dot * dot) div cc) end as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_score"), "nbr_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_PROBE_K)
+        .select(
+            "query_id",
+            "cell_id",
+            "cell_rank",
+            "nbr_id",
+            "from_stream",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
