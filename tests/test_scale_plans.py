@@ -408,6 +408,16 @@ _BNLJ_ALLOWED = {
                               # exactly |cells| times then reduces)
     "llm_ivf_cell_probe",     # same 16-row seed side (query routing) +
                               # an IVF_PROBE_Q(8)-row query batch side
+    # round 11 — the same bounded frozen-quantizer shapes
+    "llm_ivf_cell_probe_nprobe",   # 16-row seed side (nprobe routing)
+    "llm_ivf_serve_accumulated",   # 16-row seed side (nprobe routing)
+    "llm_ivf_cell_rebalance",      # 16-row seed side + the 1-row total
+                                   # for occupancy_micro; the sub-seed
+                                   # re-route side is 8 rows (4 hot
+                                   # cells x 2), an equi-join on
+                                   # parent_cell_id either way
+    "str_ivf_index_append",        # 16-row seed side (base build +
+                                   # per-batch routing)
 }
 
 
