@@ -1639,3 +1639,193 @@ def str_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cell_id", "n_old", "n_streamed", "n_total", "n_chunks")
     )
+
+
+def _ivf_rebalance_trigger_oracle() -> str:
+    from ..operators.similarity import IVF_REFRESH_CELLS, IVF_SPLIT_TOP
+
+    return f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % {N_DOC_CHUNKS} AS chunk,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE vec_id % 2 = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), assigned AS (
+        SELECT vec_id, chunk, cell_id
+        FROM (
+            SELECT ei.vec_id, ei.chunk, s.cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), counts AS (
+        SELECT chunk, cell_id, COUNT(*) AS n
+        FROM assigned GROUP BY chunk, cell_id
+    ), grid AS (
+        SELECT c.chunk, s.cell_id
+        FROM (SELECT DISTINCT chunk FROM counts) c
+        CROSS JOIN (SELECT DISTINCT cell_id FROM counts) s
+    ), cum AS (
+        SELECT g.chunk, g.cell_id,
+               COALESCE(cn.n, 0)            AS n_batch,
+               COALESCE(SUM(c2.n), 0)       AS cum_n
+        FROM grid g
+        LEFT JOIN counts cn
+          ON cn.chunk = g.chunk AND cn.cell_id = g.cell_id
+        LEFT JOIN counts c2
+          ON c2.cell_id = g.cell_id AND c2.chunk <= g.chunk
+        GROUP BY g.chunk, g.cell_id, cn.n
+    )
+    SELECT CAST(chunk AS BIGINT)  AS chunk,
+           cell_id,
+           CAST(n_batch AS BIGINT) AS n_batch,
+           CAST(cum_n AS BIGINT)   AS cum_n,
+           CAST(CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY chunk ORDER BY cum_n DESC, cell_id)
+                    <= {IVF_SPLIT_TOP} THEN 1 ELSE 0 END AS BIGINT)
+               AS split_candidate
+    FROM cum WHERE cum_n > 0
+"""
+
+
+@query(
+    "str_ivf_rebalance_trigger",
+    survey_id="STR-8/LLM-5/ETL-6",
+    oracle=_ivf_rebalance_trigger_oracle(),
+)
+def str_ivf_rebalance_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming REBALANCE TRIGGER — the decision leg between
+    str_ivf_ingest_monitor (watch) and llm_ivf_cell_rebalance (act):
+    each micro-batch's frozen-cell routing is persisted
+    (write-ahead-by-batchId, the append's store discipline), and after
+    every trigger the monitor re-ranks the CUMULATIVE per-cell
+    occupancy and marks the IVF_SPLIT_TOP hottest cells — exactly the
+    set the batch rebalance would split if the maintenance window fired
+    at that trigger. A cell that enters the candidate set and stays
+    there across chunks is the operational page; one that drifts in and
+    out is load noise the fixed-count rule absorbs.
+
+    Emitted frame: one row per (chunk, cell) with any cumulative mass —
+    that batch's arrivals, the cumulative count, and the candidate
+    flag. All-integer and md5-deterministic, so the brute-force DuckDB
+    twin hash-matches bit-for-bit; the trigger-vs-batch consistency
+    (final chunk's candidate set == the rebalance's split set) is
+    pinned by tests/test_round11_semantics.py::
+    test_rebalance_trigger_final_chunk_matches_batch_split.
+
+    Per-trigger plan: 16-row frozen quantizer broadcast; batch fans out
+    x|cells| and collapses map-side (the family's max_by argmax); ONE
+    |cells|-row count frame lands in the store per trigger. The
+    cumulative re-rank runs over the ≤ |chunks|x|cells| store rows — a
+    plan-constant frame, never corpus-sized, at any SF."""
+    import os as _os
+
+    from ..operators.similarity import (
+        IVF_SPLIT_TOP,
+        _ivf_assign_cells,
+        _ivf_frozen_seeds,
+        _ivf_int_vectors,
+    )
+    from ..sources.ingest import _scratch
+
+    replay = _emb_drift_replay_dir(spark, sf_dir)
+    results_store = _scratch(sf_dir, "str_ivf_trigger_counts")
+    checkpoint = _scratch(sf_dir, "str_ivf_trigger_ckpt")
+    for p in (results_store, checkpoint):
+        shutil.rmtree(p, ignore_errors=True)
+
+    seeds = _ivf_frozen_seeds(spark, _ivf_int_vectors(spark, sf_dir))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ei = batch_df.select(
+            "vec_id",
+            F.lit(0).alias("snap"),
+            F.expr(
+                "transform(cast(embedding as array<float>),"
+                " x -> cast(floor(x * 1000000) as bigint))"
+            ).alias("a"),
+        )
+        (
+            _ivf_assign_cells(ei, seeds)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{results_store}/chunk={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, label int, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    empty = (
+        "chunk bigint, cell_id bigint, n_batch bigint, cum_n bigint, "
+        "split_candidate bigint"
+    )
+    if not _os.path.isdir(results_store):
+        return spark.createDataFrame([], empty)
+    counts = spark.read.parquet(results_store).select(
+        F.col("chunk").cast("bigint").alias("chunk"), "cell_id", "n"
+    )
+    # plan-constant frame from here on: |chunks| x |cells| rows (the
+    # explicit broadcast keeps this a bounded BNLJ, never a
+    # CartesianProduct — the plan-gate contract)
+    grid = counts.select("chunk").distinct().crossJoin(
+        F.broadcast(counts.select("cell_id").distinct())
+    )
+    c2 = counts.select(
+        F.col("chunk").alias("c2_chunk"),
+        F.col("cell_id").alias("c2_cell"),
+        F.col("n").alias("c2_n"),
+    )
+    cum = (
+        grid.join(
+            counts.withColumnRenamed("n", "n_batch"),
+            ["chunk", "cell_id"],
+            "left",
+        )
+        .join(
+            c2,
+            (F.col("c2_cell") == F.col("cell_id"))
+            & (F.col("c2_chunk") <= F.col("chunk")),
+            "left",
+        )
+        .groupBy("chunk", "cell_id", "n_batch")
+        .agg(F.coalesce(F.sum("c2_n"), F.lit(0)).alias("cum_n"))
+        .select(
+            "chunk",
+            "cell_id",
+            F.coalesce("n_batch", F.lit(0)).cast("bigint").alias("n_batch"),
+            F.col("cum_n").cast("bigint").alias("cum_n"),
+        )
+        .filter(F.col("cum_n") > 0)
+    )
+    w = Window.partitionBy("chunk").orderBy(F.desc("cum_n"), "cell_id")
+    return cum.withColumn(
+        "split_candidate",
+        F.when(F.row_number().over(w) <= IVF_SPLIT_TOP, 1)
+        .otherwise(0)
+        .cast("bigint"),
+    )

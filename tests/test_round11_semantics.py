@@ -159,3 +159,37 @@ def test_ivf_rebalance_conserves_and_splits(spark, queries):
         for c in chs:
             assert 0 < c.n_members < before[parent]
     assert sum(r.n_members for r in rows) == sum(before.values())
+
+
+def test_rebalance_trigger_final_chunk_matches_batch_split(spark, queries):
+    """The trigger's operational claim: at the FINAL trigger (all
+    chunks ingested, cumulative == the full corpus) its
+    split-candidate set must be EXACTLY the cells the batch rebalance
+    splits — the stream decides, the batch acts, same frozen-quantizer
+    arithmetic. Also: per-chunk cum_n telescopes (cum at chunk c ==
+    cum at c-1 + n_batch at c) and exactly IVF_SPLIT_TOP candidates
+    are flagged per chunk."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import IVF_SPLIT_TOP
+
+    rows = queries["str_ivf_rebalance_trigger"](spark, SF).collect()
+    by_chunk = defaultdict(dict)
+    flagged = defaultdict(set)
+    for r in rows:
+        by_chunk[r.chunk][r.cell_id] = (r.n_batch, r.cum_n)
+        if r.split_candidate == 1:
+            flagged[r.chunk].add(r.cell_id)
+    chunks = sorted(by_chunk)
+    for c in chunks:
+        assert len(flagged[c]) == IVF_SPLIT_TOP
+        for cell, (nb, cum) in by_chunk[c].items():
+            prev = by_chunk.get(c - 1, {}).get(cell, (0, 0))[1]
+            assert cum == prev + nb
+
+    split_parents = {
+        r.parent_cell_id
+        for r in queries["llm_ivf_cell_rebalance"](spark, SF).collect()
+        if r.was_split == 1
+    }
+    assert flagged[chunks[-1]] == split_parents

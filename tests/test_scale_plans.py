@@ -418,6 +418,10 @@ _BNLJ_ALLOWED = {
                                    # parent_cell_id either way
     "str_ivf_index_append",        # 16-row seed side (base build +
                                    # per-batch routing)
+    "str_ivf_rebalance_trigger",   # 16-row seed side per trigger + the
+                                   # cumulative chunk<=chunk theta join
+                                   # over the |chunks|x|cells| store
+                                   # frame — both plan-constant sides
 }
 
 
