@@ -4056,3 +4056,280 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+_IVFPQ_GRADED_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), corpus_assign AS (
+        SELECT vec_id, cell_id
+        FROM (
+            SELECT ei.vec_id, s.cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+            WHERE ei.snap = 0
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), cb_src AS (
+        SELECT vec_id AS cb_id, a
+        FROM ei WHERE snap = 0
+        ORDER BY md5('pqcb:' || vec_id), vec_id
+        LIMIT {PQ_K}
+    ), cb AS (
+        SELECT m, cb_id,
+               list_transform(range(1, {PQ_SUB_DIM} + 1),
+                   i -> a[m * {PQ_SUB_DIM} + i]) AS c
+        FROM cb_src, (SELECT unnest(range({PQ_M})) AS m)
+    ), enc AS (
+        SELECT vec_id, m, cb_id
+        FROM (
+            SELECT ms.vec_id, ms.m, cb.cb_id,
+                   list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
+                       i -> (ms.x[i] - cb.c[i]) * (ms.x[i] - cb.c[i])
+                   ))::BIGINT AS dist
+            FROM (
+                SELECT vec_id, m,
+                       list_transform(range(1, {PQ_SUB_DIM} + 1),
+                           i -> a[m * {PQ_SUB_DIM} + i]) AS x
+                FROM ei, (SELECT unnest(range({PQ_M})) AS m)
+                WHERE snap = 0
+            ) ms JOIN cb ON cb.m = ms.m
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, m ORDER BY dist, cb_id) = 1
+    ), queries AS (
+        SELECT vec_id AS query_id, a
+        FROM ei WHERE snap = 1
+        ORDER BY md5('ivfp:' || vec_id), vec_id
+        LIMIT {IVF_PROBE_Q}
+    ), query_cells AS (
+        SELECT query_id, cell_id
+        FROM (
+            SELECT q.query_id, s.cell_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY CASE WHEN d.dot >= 0
+                                     THEN (d.dot * d.dot) // s.nn
+                                     ELSE -((d.dot * d.dot) // s.nn) END
+                                DESC, s.cell_id) AS cell_rank
+            FROM queries q CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(q.a) + 1), i -> q.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        WHERE cell_rank <= {IVF_NPROBE}
+    ), qtab AS (
+        SELECT q.query_id, cb.m, cb.cb_id,
+               list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
+                   i -> (q.a[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
+                        * (q.a[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
+               ))::BIGINT AS qdist
+        FROM queries q CROSS JOIN cb
+    ), adc AS (
+        SELECT qc.query_id, ca.cell_id, ca.vec_id AS nbr_id,
+               SUM(t.qdist)::BIGINT AS adc_dist
+        FROM query_cells qc
+        JOIN corpus_assign ca ON ca.cell_id = qc.cell_id
+        JOIN enc e ON e.vec_id = ca.vec_id
+        JOIN qtab t ON t.query_id = qc.query_id
+                   AND t.m = e.m AND t.cb_id = e.cb_id
+        GROUP BY qc.query_id, ca.cell_id, ca.vec_id
+    ), topk AS (
+        SELECT query_id, cell_id, nbr_id, adc_dist
+        FROM adc
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, nbr_id
+        ) <= {IVF_PROBE_K}
+    )
+    SELECT t.query_id, t.cell_id, t.nbr_id, t.adc_dist,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(d.qq AS DOUBLE)) * SQRT(CAST(d.cc AS DOUBLE))),
+                 6) AS cos_sim
+    FROM topk t
+    JOIN queries q ON q.query_id = t.query_id
+    JOIN ei n ON n.vec_id = t.nbr_id
+    CROSS JOIN LATERAL (SELECT
+        list_sum(list_transform(range(1, len(q.a) + 1),
+            i -> q.a[i] * n.a[i]))::HUGEINT AS dot,
+        list_sum(list_transform(q.a, x -> x * x))::HUGEINT AS qq,
+        list_sum(list_transform(n.a, x -> x * x))::HUGEINT AS cc) d
+"""
+
+
+@query(
+    "llm_ivfpq_graded_topk",
+    survey_id="LLM-5/LLM-4",
+    oracle=_IVFPQ_GRADED_ORACLE,
+)
+def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ serving stack, EXACTLY graded — the capstone of
+    the two conversions: frozen-cell nprobe=4 routing bounds the
+    candidate set (llm_ivf_cell_probe_nprobe's structural restriction)
+    and md5-sampled PQ codebooks score it asymmetrically
+    (llm_pq_adc_topk's bit-exact ADC), then the k winners get the
+    exact integer-cosine refine. This is the billion-scale production
+    shape — cells bound I/O, 8-byte codes bound memory, ADC bounds
+    compute, refine touches k raw vectors — with every stage
+    deterministic and hash-graded, unlike the trained rows-only
+    llm_ivfpq_ann_topk twin (which keeps the recall claim; see the
+    PQ-ADC recall-ceiling note — sampled codebooks grade arithmetic,
+    not recall).
+
+    Plan: ADC runs AFTER the cell restriction — the (query, member)
+    candidate frame is nprobe/|cells| of the corpus BEFORE the 8-row
+    per-member code join, so the per-query ADC work is
+    O(nprobe·|corpus|/|cells|·M) table lookups, the IVF-PQ scaling
+    law. Routing and codebooks broadcast; every join is an equi-join;
+    the one window ranks candidate frames per query."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei)
+    corpus_assign = _ivf_assign_cells(
+        ei.filter(F.col("snap") == 0), seeds
+    ).select("vec_id", "cell_id")
+
+    cb_rows = (
+        ei.filter(F.col("snap") == 0)
+        .select(F.col("vec_id").alias("cb_id"), "a")
+        .orderBy(
+            F.md5(F.concat(F.lit("pqcb:"), F.col("cb_id").cast("string"))),
+            "cb_id",
+        )
+        .limit(PQ_K)
+        .collect()
+    )
+    cb = spark.createDataFrame(
+        [
+            (m, r.cb_id, r.a[m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM])
+            for r in cb_rows
+            for m in range(PQ_M)
+        ],
+        "m int, cb_id bigint, c array<bigint>",
+    )
+    subs = F.array(
+        *[
+            F.slice("a", m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+            for m in range(PQ_M)
+        ]
+    )
+    sqdist = F.expr(
+        "aggregate(zip_with(x, c, (p, q) -> (p - q) * (p - q)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    enc = (
+        ei.filter(F.col("snap") == 0)
+        .select("vec_id", F.posexplode(subs).alias("m", "x"))
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cb_id", sqdist.alias("dist"))
+        .groupBy("vec_id", "m")
+        .agg(F.expr("min_by(cb_id, struct(dist, cb_id))").alias("cb_id"))
+    )
+    queries = (
+        ei.filter(F.col("snap") == 1)
+        .select(F.col("vec_id").alias("query_id"), "a")
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("ivfp:"), F.col("query_id").cast("string"))
+            ),
+            "query_id",
+        )
+        .limit(IVF_PROBE_Q)
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "cell_id",
+            F.expr(
+                "aggregate(zip_with(a, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "nn",
+        )
+        .withColumn(
+            "ns",
+            F.expr(
+                "cast(case when dot >= 0 then -((dot * dot) div nn)"
+                " else (dot * dot) div nn end as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(struct(ns, cell_id))),"
+                f" 1, {IVF_NPROBE})"
+            ).alias("cells")
+        )
+        .select(
+            "query_id",
+            F.explode("cells.cell_id").alias("cell_id"),
+        )
+    )
+    qtab = (
+        queries.select("query_id", F.posexplode(subs).alias("m", "x"))
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "cb_id", sqdist.alias("qdist"))
+    )
+    # cell restriction FIRST, then the per-member code join + ADC
+    cand = corpus_assign.join(F.broadcast(routed), "cell_id").select(
+        "query_id", "cell_id", F.col("vec_id").alias("nbr_id")
+    )
+    adc = (
+        cand.join(enc.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "cb_id"])
+        .groupBy("query_id", "cell_id", "nbr_id")
+        .agg(F.sum("qdist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "nbr_id")
+    topk = (
+        adc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_PROBE_K)
+        .select("query_id", "cell_id", "nbr_id", "adc_dist")
+    )
+    nrm = (
+        "aggregate(transform(a, x -> x * x),"
+        " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+    )
+    qvec = queries.select(
+        "query_id", F.col("a").alias("q"), F.expr(nrm).alias("qq")
+    )
+    nvec = ei.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("a").alias("c"),
+        F.expr(nrm).alias("cc"),
+    )
+    return (
+        topk.join(F.broadcast(qvec), "query_id")
+        .join(nvec, "nbr_id")
+        .select(
+            "query_id",
+            "cell_id",
+            "nbr_id",
+            "adc_dist",
+            F.round(
+                F.expr(
+                    "cast(aggregate(zip_with(q, c, (x, y) -> x * y),"
+                    " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+                    " as double)"
+                )
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )

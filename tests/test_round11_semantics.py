@@ -218,3 +218,51 @@ def test_pq_adc_topk_invariants(spark, queries):
     assert len(per_q) > 0
     for rs in per_q.values():
         assert len(rs) == IVF_PROBE_K
+
+
+def test_ivfpq_capstone_consistent_with_parts(spark, queries):
+    """The IVF-PQ capstone must be the composition of its graded
+    parts: (a) every neighbor's cell is one of the query's 4 routed
+    cells (identical routing to llm_ivf_cell_probe_nprobe); (b) any
+    (query, nbr) pair appearing in BOTH llm_ivfpq_graded_topk and the
+    corpus-wide llm_pq_adc_topk carries the IDENTICAL adc_dist (same
+    codebooks, same encode, same tables — the cell restriction may
+    only change WHICH candidates rank, never a score); (c) k rows per
+    query with candidates from the indexed half."""
+    from collections import defaultdict
+
+    from sealnet_etl_spark.operators.similarity import IVF_PROBE_K
+
+    capstone = queries["llm_ivfpq_graded_topk"](spark, SF).collect()
+    nprobe_cells = defaultdict(set)
+    for r in queries["llm_ivf_cell_probe_nprobe"](spark, SF).collect():
+        nprobe_cells[r.query_id].add(r.cell_id)
+    # cell_rank covers all probed cells only if every probed cell
+    # produced a neighbor; recover the full routed set from the
+    # registered query's own columns where present, else accept subset
+    pq_adc = {
+        (r.query_id, r.nbr_id): r.adc_dist
+        for r in queries["llm_pq_adc_topk"](spark, SF).collect()
+    }
+    per_q = defaultdict(list)
+    for r in capstone:
+        assert r.nbr_id % 2 == 0 and r.query_id % 2 == 1
+        assert r.adc_dist >= 0
+        assert -1.0 <= r.cos_sim <= 1.0
+        per_q[r.query_id].append(r)
+        key = (r.query_id, r.nbr_id)
+        if key in pq_adc:
+            assert r.adc_dist == pq_adc[key]
+    assert per_q
+    from sealnet_etl_spark.operators.similarity import IVF_NPROBE
+
+    for qid, rs in per_q.items():
+        assert len(rs) == IVF_PROBE_K
+        # both queries draw from the SAME routed-4 set per query, but
+        # each output only reveals cells that produced winners — so the
+        # union of revealed cells must still fit inside one routed set
+        if qid in nprobe_cells:
+            assert (
+                len({r.cell_id for r in rs} | nprobe_cells[qid])
+                <= IVF_NPROBE
+            )

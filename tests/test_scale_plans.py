@@ -422,6 +422,9 @@ _BNLJ_ALLOWED = {
                                    # cumulative chunk<=chunk theta join
                                    # over the |chunks|x|cells| store
                                    # frame — both plan-constant sides
+    "llm_ivfpq_graded_topk",       # 16-row seed side (nprobe routing);
+                                   # codebook/qtab/candidate joins are
+                                   # all equi-joins
 }
 
 
