@@ -93,15 +93,20 @@ from . import registry as _registry
 #:   collected seed rows and every downstream plan are argued
 #:   identical, but touched code regrades first — the r10 template):
 #:   llm_ivf_index_refresh, llm_ivf_cell_probe, str_ivf_ingest_monitor.
+#: ROUND-12 tier 0 (all 8 round-11 entries re-certified green in
+#: CORRECTNESS_r11 and dropped):
+#: - llm_ivfpq_graded_topk: the residual-encoding rewrite (VERDICT r11
+#:   #4) changed the capstone's plan at every scale — members encode
+#:   residuals to their cell seed, codebooks sample residual space,
+#:   query tables are per-probed-cell. Values verified hash-green
+#:   locally at sf0.01/sf0.001; regrades first per the r10 template.
+#: - str_streaming_near_dup: apply_runtime_confs() now runs on the
+#:   isolated stream session before the scan overrides (ADVICE r11) —
+#:   below the size gate the plan is byte-identical, but the code path
+#:   that builds the stream changed after its r11 grade.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_decontaminate",
-    "llm_contamination_report",
-    "str_contamination_monitor",
-    "str_contamination_monitor_fixed",
+    "llm_ivfpq_graded_topk",
     "str_streaming_near_dup",
-    "llm_ivf_index_refresh",
-    "llm_ivf_cell_probe",
-    "str_ivf_ingest_monitor",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -4071,9 +4071,9 @@ _IVFPQ_GRADED_ORACLE = f"""
         ORDER BY md5('ivfr:' || vec_id), vec_id
         LIMIT {IVF_REFRESH_CELLS}
     ), corpus_assign AS (
-        SELECT vec_id, cell_id
+        SELECT vec_id, cell_id, a
         FROM (
-            SELECT ei.vec_id, s.cell_id,
+            SELECT ei.vec_id, s.cell_id, ei.a,
                    CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
                         ELSE -((d.dot * d.dot) // s.nn) END AS score
             FROM ei CROSS JOIN seeds s
@@ -4084,9 +4084,14 @@ _IVFPQ_GRADED_ORACLE = f"""
         )
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), res AS (
+        SELECT ca.vec_id, ca.cell_id,
+               list_transform(range(1, len(ca.a) + 1),
+                   i -> ca.a[i] - s.b[i]) AS r
+        FROM corpus_assign ca JOIN seeds s ON s.cell_id = ca.cell_id
     ), cb_src AS (
-        SELECT vec_id AS cb_id, a
-        FROM ei WHERE snap = 0
+        SELECT vec_id AS cb_id, r AS a
+        FROM res
         ORDER BY md5('pqcb:' || vec_id), vec_id
         LIMIT {PQ_K}
     ), cb AS (
@@ -4104,9 +4109,8 @@ _IVFPQ_GRADED_ORACLE = f"""
             FROM (
                 SELECT vec_id, m,
                        list_transform(range(1, {PQ_SUB_DIM} + 1),
-                           i -> a[m * {PQ_SUB_DIM} + i]) AS x
-                FROM ei, (SELECT unnest(range({PQ_M})) AS m)
-                WHERE snap = 0
+                           i -> r[m * {PQ_SUB_DIM} + i]) AS x
+                FROM res, (SELECT unnest(range({PQ_M})) AS m)
             ) ms JOIN cb ON cb.m = ms.m
         )
         QUALIFY ROW_NUMBER() OVER (
@@ -4117,9 +4121,9 @@ _IVFPQ_GRADED_ORACLE = f"""
         ORDER BY md5('ivfp:' || vec_id), vec_id
         LIMIT {IVF_PROBE_Q}
     ), query_cells AS (
-        SELECT query_id, cell_id
+        SELECT query_id, cell_id, a
         FROM (
-            SELECT q.query_id, s.cell_id,
+            SELECT q.query_id, s.cell_id, q.a,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.query_id
                        ORDER BY CASE WHEN d.dot >= 0
@@ -4132,13 +4136,18 @@ _IVFPQ_GRADED_ORACLE = f"""
                 AS dot) d
         )
         WHERE cell_rank <= {IVF_NPROBE}
+    ), qres AS (
+        SELECT qc.query_id, qc.cell_id,
+               list_transform(range(1, len(qc.a) + 1),
+                   i -> qc.a[i] - s.b[i]) AS qr
+        FROM query_cells qc JOIN seeds s ON s.cell_id = qc.cell_id
     ), qtab AS (
-        SELECT q.query_id, cb.m, cb.cb_id,
+        SELECT qr.query_id, qr.cell_id, cb.m, cb.cb_id,
                list_sum(list_transform(range(1, {PQ_SUB_DIM} + 1),
-                   i -> (q.a[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
-                        * (q.a[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
+                   i -> (qr.qr[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
+                        * (qr.qr[cb.m * {PQ_SUB_DIM} + i] - cb.c[i])
                ))::BIGINT AS qdist
-        FROM queries q CROSS JOIN cb
+        FROM qres qr CROSS JOIN cb
     ), adc AS (
         SELECT qc.query_id, ca.cell_id, ca.vec_id AS nbr_id,
                SUM(t.qdist)::BIGINT AS adc_dist
@@ -4146,6 +4155,7 @@ _IVFPQ_GRADED_ORACLE = f"""
         JOIN corpus_assign ca ON ca.cell_id = qc.cell_id
         JOIN enc e ON e.vec_id = ca.vec_id
         JOIN qtab t ON t.query_id = qc.query_id
+                   AND t.cell_id = qc.cell_id
                    AND t.m = e.m AND t.cb_id = e.cb_id
         GROUP BY qc.query_id, ca.cell_id, ca.vec_id
     ), topk AS (
@@ -4176,34 +4186,54 @@ _IVFPQ_GRADED_ORACLE = f"""
     oracle=_IVFPQ_GRADED_ORACLE,
 )
 def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full IVF-PQ serving stack, EXACTLY graded — the capstone of
-    the two conversions: frozen-cell nprobe=4 routing bounds the
-    candidate set (llm_ivf_cell_probe_nprobe's structural restriction)
-    and md5-sampled PQ codebooks score it asymmetrically
-    (llm_pq_adc_topk's bit-exact ADC), then the k winners get the
-    exact integer-cosine refine. This is the billion-scale production
-    shape — cells bound I/O, 8-byte codes bound memory, ADC bounds
-    compute, refine touches k raw vectors — with every stage
+    """The full IVF-PQ serving stack, EXACTLY graded — now with
+    RESIDUAL encoding (VERDICT r11 #4), the real algorithm: each
+    member is PQ-encoded not on its raw vector but on its residual to
+    its cell's seed (r = a - b_cell — exactly representable, the seeds
+    are integer vectors, so the subtraction stays bit-exact on both
+    engines), codebooks are the md5-first PQ_K members' RESIDUALS
+    ('pqcb:' salt, the frozen-quantizer discipline applied to residual
+    space), and each query builds a PER-PROBED-CELL distance table
+    over its own residual q - b_cell — the classic IVF-ADC identity
+    ||q - x||² ≈ ||(q - b_c) - r̂_x||² inside cell c. Residuals are
+    what gives production IVF-PQ its recall: they concentrate the
+    quantized distribution around 0 so a fixed codebook budget spends
+    its codewords where the members actually are (measured lift over
+    the r11 raw-vector ADC in SCALE.md's round-12 recall row). Frozen
+    nprobe=4 routing bounds the candidate set, ADC scores it, the k
+    winners get the exact integer-cosine refine — every stage
     deterministic and hash-graded, unlike the trained rows-only
-    llm_ivfpq_ann_topk twin (which keeps the recall claim; see the
-    PQ-ADC recall-ceiling note — sampled codebooks grade arithmetic,
-    not recall).
+    llm_ivfpq_ann_topk twin (which keeps the absolute recall claim).
 
     Plan: ADC runs AFTER the cell restriction — the (query, member)
     candidate frame is nprobe/|cells| of the corpus BEFORE the 8-row
     per-member code join, so the per-query ADC work is
     O(nprobe·|corpus|/|cells|·M) table lookups, the IVF-PQ scaling
-    law. Routing and codebooks broadcast; every join is an equi-join;
-    the one window ranks candidate frames per query."""
+    law. The residual upgrade adds ZERO per-member cost at serve time
+    (residuals are encoded at build time; the per-cell query tables
+    are |queries|·nprobe·M·K = 4096 rows, still a broadcast); routing
+    and codebooks broadcast; every join is an equi-join; the one
+    window ranks candidate frames per query."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
     corpus_assign = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds
     ).select("vec_id", "cell_id")
 
+    # member residuals to the assigned cell's integer seed — the encode-
+    # time frame (at 100 TB this is the one-time index build; 8 bytes/
+    # vector persist, residuals are never stored)
+    res = (
+        corpus_assign.join(ei.select("vec_id", "a"), "vec_id")
+        .join(F.broadcast(seeds.select("cell_id", "b")), "cell_id")
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr("zip_with(a, b, (x, y) -> x - y)").alias("r"),
+        )
+    )
     cb_rows = (
-        ei.filter(F.col("snap") == 0)
-        .select(F.col("vec_id").alias("cb_id"), "a")
+        res.select(F.col("vec_id").alias("cb_id"), F.col("r").alias("a"))
         .orderBy(
             F.md5(F.concat(F.lit("pqcb:"), F.col("cb_id").cast("string"))),
             "cb_id",
@@ -4219,19 +4249,21 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "m int, cb_id bigint, c array<bigint>",
     )
-    subs = F.array(
-        *[
-            F.slice("a", m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
-            for m in range(PQ_M)
-        ]
-    )
+
+    def subs(col: str):
+        return F.array(
+            *[
+                F.slice(col, m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                for m in range(PQ_M)
+            ]
+        )
+
     sqdist = F.expr(
         "aggregate(zip_with(x, c, (p, q) -> (p - q) * (p - q)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
     enc = (
-        ei.filter(F.col("snap") == 0)
-        .select("vec_id", F.posexplode(subs).alias("m", "x"))
+        res.select("vec_id", F.posexplode(subs("r")).alias("m", "x"))
         .join(F.broadcast(cb), "m")
         .select("vec_id", "m", "cb_id", sqdist.alias("dist"))
         .groupBy("vec_id", "m")
@@ -4278,10 +4310,20 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("cells.cell_id").alias("cell_id"),
         )
     )
+    # per-(query, probed cell) residual distance tables — 4096 rows
     qtab = (
-        queries.select("query_id", F.posexplode(subs).alias("m", "x"))
+        routed.join(F.broadcast(seeds.select("cell_id", "b")), "cell_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "cell_id",
+            F.expr("zip_with(a, b, (x, y) -> x - y)").alias("qr"),
+        )
+        .select(
+            "query_id", "cell_id", F.posexplode(subs("qr")).alias("m", "x")
+        )
         .join(F.broadcast(cb), "m")
-        .select("query_id", "m", "cb_id", sqdist.alias("qdist"))
+        .select("query_id", "cell_id", "m", "cb_id", sqdist.alias("qdist"))
     )
     # cell restriction FIRST, then the per-member code join + ADC
     cand = corpus_assign.join(F.broadcast(routed), "cell_id").select(
@@ -4289,7 +4331,7 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adc = (
         cand.join(enc.withColumnRenamed("vec_id", "nbr_id"), "nbr_id")
-        .join(F.broadcast(qtab), ["query_id", "m", "cb_id"])
+        .join(F.broadcast(qtab), ["query_id", "cell_id", "m", "cb_id"])
         .groupBy("query_id", "cell_id", "nbr_id")
         .agg(F.sum("qdist").cast("bigint").alias("adc_dist"))
     )
@@ -4325,6 +4367,380 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
                     " as double)"
                 )
+                / (
+                    F.sqrt(F.col("qq").cast("double"))
+                    * F.sqrt(F.col("cc").cast("double"))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+
+
+_IVF_PROBE_REBAL_ORACLE = f"""
+    WITH ei AS (
+        SELECT vec_id, vec_id % 2 AS snap,
+               list_transform(embedding::DOUBLE[],
+                   x -> CAST(floor(x * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), seeds AS (
+        SELECT vec_id AS cell_id, a AS b,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS nn
+        FROM ei WHERE snap = 0
+        ORDER BY md5('ivfr:' || vec_id), vec_id
+        LIMIT {IVF_REFRESH_CELLS}
+    ), assigned AS (
+        SELECT vec_id, cell_id, a
+        FROM (
+            SELECT ei.vec_id, s.cell_id, ei.a,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // s.nn
+                        ELSE -((d.dot * d.dot) // s.nn) END AS score
+            FROM ei CROSS JOIN seeds s
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(ei.a) + 1), i -> ei.a[i] * s.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, cell_id) = 1
+    ), occ AS (
+        SELECT cell_id, COUNT(*) AS n FROM assigned GROUP BY cell_id
+    ), hot AS (
+        SELECT cell_id, n FROM occ
+        QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, cell_id)
+            <= {IVF_SPLIT_TOP}
+    ), sub_seeds AS (
+        SELECT a.cell_id AS parent_cell_id, a.vec_id AS sub_cell_id,
+               a.a AS b,
+               list_sum(list_transform(a.a, x -> x * x))::HUGEINT AS nn
+        FROM assigned a JOIN hot h ON a.cell_id = h.cell_id
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.cell_id
+            ORDER BY md5('ivfs:' || a.vec_id), a.vec_id
+        ) <= {IVF_SPLIT_WAYS}
+    ), reassigned AS (
+        SELECT vec_id, parent_cell_id, sub_cell_id
+        FROM (
+            SELECT m.vec_id, ss.parent_cell_id, ss.sub_cell_id,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // ss.nn
+                        ELSE -((d.dot * d.dot) // ss.nn) END AS score
+            FROM (SELECT a.vec_id, a.cell_id, a.a
+                  FROM assigned a JOIN hot h ON a.cell_id = h.cell_id) m
+            JOIN sub_seeds ss ON ss.parent_cell_id = m.cell_id
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(m.a) + 1), i -> m.a[i] * ss.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY score DESC, sub_cell_id) = 1
+    ), post_seeds AS (
+        SELECT s.cell_id, s.cell_id AS parent_cell_id, s.b, s.nn,
+               0 AS was_split
+        FROM seeds s WHERE s.cell_id NOT IN (SELECT cell_id FROM hot)
+        UNION ALL
+        SELECT ss.sub_cell_id AS cell_id, ss.parent_cell_id, ss.b, ss.nn,
+               1 AS was_split
+        FROM sub_seeds ss
+    ), new_assign AS (
+        SELECT a.vec_id, a.cell_id FROM assigned a
+        WHERE a.cell_id NOT IN (SELECT cell_id FROM hot)
+        UNION ALL
+        SELECT r.vec_id, r.sub_cell_id AS cell_id FROM reassigned r
+    ), members AS (
+        SELECT na.vec_id AS nbr_id, na.cell_id, ei.a AS c,
+               list_sum(list_transform(ei.a, x -> x * x))::HUGEINT AS cc
+        FROM new_assign na JOIN ei ON ei.vec_id = na.vec_id
+    ), queries AS (
+        SELECT vec_id AS query_id, a,
+               list_sum(list_transform(a, x -> x * x))::HUGEINT AS qq
+        FROM ei WHERE snap = 1
+        ORDER BY md5('ivfp:' || vec_id), vec_id
+        LIMIT {IVF_PROBE_Q}
+    ), query_cells AS (
+        SELECT query_id, cell_id, parent_cell_id, was_split, a, qq
+        FROM (
+            SELECT q.query_id, p.cell_id, p.parent_cell_id, p.was_split,
+                   q.a, q.qq,
+                   CASE WHEN d.dot >= 0 THEN (d.dot * d.dot) // p.nn
+                        ELSE -((d.dot * d.dot) // p.nn) END AS score
+            FROM queries q CROSS JOIN post_seeds p
+            CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+                range(1, len(q.a) + 1), i -> q.a[i] * p.b[i]))::HUGEINT
+                AS dot) d
+        )
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY score DESC, cell_id, parent_cell_id) = 1
+    ), scored AS (
+        SELECT qc.query_id, qc.cell_id, qc.parent_cell_id, qc.was_split,
+               m.nbr_id, d.dot, m.cc, qc.qq
+        FROM query_cells qc
+        JOIN members m ON m.cell_id = qc.cell_id
+        CROSS JOIN LATERAL (SELECT list_sum(list_transform(
+            range(1, len(qc.a) + 1), i -> qc.a[i] * m.c[i]))::HUGEINT
+            AS dot) d
+        WHERE m.nbr_id <> qc.query_id
+    )
+    SELECT query_id, cell_id, parent_cell_id,
+           CAST(was_split AS BIGINT) AS was_split, nbr_id,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(qq AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE))),
+                 6) AS cos_sim
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY CASE WHEN dot >= 0 THEN (dot * dot) // cc
+                      ELSE -((dot * dot) // cc) END DESC,
+                 nbr_id
+    ) <= {IVF_PROBE_K}
+"""
+
+
+def _ivf_rebalanced_layout(
+    spark: SparkSession, ei: DataFrame, seeds: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The POST-rebalance index layout shared by llm_ivf_probe_rebalanced
+    and the recall ladder's rebalanced row: re-derives the rebalance's
+    split (hot-cell choice, 'ivfs:' sub-seed draw, exact-integer
+    re-route — the llm_ivf_cell_rebalance frame verbatim) and returns
+
+    - post_seeds: the post-split quantizer — the IVF_REFRESH_CELLS -
+      IVF_SPLIT_TOP surviving seeds (parent = self, was_split = 0)
+      UNION the IVF_SPLIT_TOP x IVF_SPLIT_WAYS sub-seeds (parent = the
+      retired hot cell, was_split = 1); (cell_id, parent_cell_id) is
+      unique across the union, which is what makes the routing argmax a
+      total order even in the theoretical case of a sub-seed id
+      colliding with a survivor id.
+    - new_assign: (vec_id, cell_id) over the FULL corpus — cold cells'
+      members pass through untouched (the frozen-quantizer discipline:
+      a rebalance only re-touches what it splits), hot cells' members
+      carry their re-routed sub-cell.
+
+    Work: O(corpus) for the one occupancy count + pass-through filter,
+    O(hot members x IVF_SPLIT_WAYS) for the re-route — never corpus x
+    anything. Both sub-seed and survivor sides stay |cells|-bounded
+    broadcasts."""
+    assigned = _ivf_assign_cells(ei, seeds).select("vec_id", "cell_id")
+    occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    hot = occ.orderBy(F.desc("n"), "cell_id").limit(IVF_SPLIT_TOP)
+
+    with_vec = assigned.join(
+        F.broadcast(hot.select("cell_id")), "cell_id"
+    ).join(ei.select("vec_id", "a"), "vec_id")
+    w_seed = Window.partitionBy("cell_id").orderBy(
+        F.md5(F.concat(F.lit("ivfs:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    sub_seeds = (
+        with_vec.withColumn("__rk", F.row_number().over(w_seed))
+        .filter(F.col("__rk") <= IVF_SPLIT_WAYS)
+        .select(
+            F.col("cell_id").alias("parent_cell_id"),
+            F.col("vec_id").alias("sub_cell_id"),
+            F.col("a").alias("b"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("nn"),
+        )
+    )
+    reassigned = (
+        with_vec.select(
+            "vec_id", F.col("cell_id").alias("parent_cell_id"), "a"
+        )
+        .join(F.broadcast(sub_seeds), "parent_cell_id")
+        .select(
+            "vec_id",
+            "sub_cell_id",
+            "nn",
+            F.expr(
+                "aggregate(zip_with(a, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div nn"
+                " else -((dot * dot) div nn) end as bigint)"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(sub_cell_id, struct(score, -sub_cell_id))")
+            .alias("cell_id")
+        )
+    )
+    post_seeds = (
+        seeds.join(F.broadcast(hot.select("cell_id")), "cell_id", "left_anti")
+        .select(
+            "cell_id",
+            F.col("cell_id").alias("parent_cell_id"),
+            "b",
+            "nn",
+            F.lit(0).cast("bigint").alias("was_split"),
+        )
+        .unionByName(
+            sub_seeds.select(
+                F.col("sub_cell_id").alias("cell_id"),
+                "parent_cell_id",
+                "b",
+                "nn",
+                F.lit(1).cast("bigint").alias("was_split"),
+            )
+        )
+    )
+    new_assign = (
+        assigned.join(
+            F.broadcast(hot.select("cell_id")), "cell_id", "left_anti"
+        )
+        .select("vec_id", "cell_id")
+        .unionByName(reassigned.select("vec_id", "cell_id"))
+    )
+    return post_seeds, new_assign
+
+
+@query(
+    "llm_ivf_probe_rebalanced",
+    survey_id="LLM-5/LLM-4/ETL-6",
+    oracle=_IVF_PROBE_REBAL_ORACLE,
+)
+def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve AFTER the rebalance (VERDICT r11 #1) — the missing arc in
+    the index maintenance loop: llm_ivf_cell_rebalance computes the
+    post-split cell map, and this probe actually SERVES against it.
+    Queries (the family's md5-first IVF_PROBE_Q odd-half batch) are
+    routed over the 20-cell post-rebalance quantizer — the 12 surviving
+    seeds plus the 8 sub-seeds — by the same exact-integer
+    sign(dot)·(dot² div nn) argmax (ties (cell_id, parent_cell_id) —
+    unique across the union), and searched against ONLY the routed
+    cell's post-rebalance members: cold members unchanged, hot members
+    re-routed to their sub-cell, exactly the assignment the rebalance
+    persisted. Self-matches are excluded (the full corpus is indexed —
+    the serve_accumulated rule). Output carries the probed cell's
+    lineage (parent_cell_id, was_split) so recall accounting can
+    separate hot-region queries from cold.
+
+    Still EXACTLY hash-graded — hot choice, sub-seed draw, re-route,
+    routing, and within-cell ranking are all md5/exact-integer total
+    orders, so the DuckDB brute-force twin recomputes the identical
+    frame bit-for-bit: closing build → refresh → append → serve →
+    monitor → rebalance → RE-SERVE with every arc graded.
+
+    Scale: the split work is O(hot members), the probe work is
+    nprobe=1 against cells whose expected size DROPPED by the split
+    (the point of rebalancing: post-split hot-region probes touch
+    ~1/IVF_SPLIT_WAYS of the pre-split candidates — measured in the
+    recall ladder's rebalanced rows); seeds, sub-seeds, hot set, and
+    query batch all broadcast at any corpus size."""
+    ei = _ivf_int_vectors(spark, sf_dir)
+    seeds = _ivf_frozen_seeds(spark, ei)
+    post_seeds, new_assign = _ivf_rebalanced_layout(spark, ei, seeds)
+
+    members = new_assign.join(ei.select("vec_id", "a"), "vec_id").select(
+        F.col("vec_id").alias("nbr_id"),
+        "cell_id",
+        F.col("a").alias("c"),
+        F.expr(
+            "aggregate(transform(a, x -> x * x),"
+            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+        ).alias("cc"),
+    )
+    queries = (
+        ei.filter(F.col("snap") == 1)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("a").alias("q"),
+            F.expr(
+                "aggregate(transform(a, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("qq"),
+        )
+        .orderBy(
+            F.md5(
+                F.concat(F.lit("ivfp:"), F.col("query_id").cast("string"))
+            ),
+            "query_id",
+        )
+        .limit(IVF_PROBE_Q)
+    )
+    routed = (
+        queries.crossJoin(F.broadcast(post_seeds))
+        .select(
+            "query_id",
+            "q",
+            "qq",
+            "cell_id",
+            "parent_cell_id",
+            "was_split",
+            "nn",
+            F.expr(
+                "aggregate(zip_with(q, b, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div nn"
+                " else -((dot * dot) div nn) end as bigint)"
+            ),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "max_by(struct(cell_id, parent_cell_id, was_split),"
+                " struct(score, -cell_id, -parent_cell_id))"
+            ).alias("win"),
+            F.first("q").alias("q"),
+            F.first("qq").alias("qq"),
+        )
+        .select(
+            "query_id",
+            F.col("win.cell_id").alias("cell_id"),
+            F.col("win.parent_cell_id").alias("parent_cell_id"),
+            F.col("win.was_split").alias("was_split"),
+            "q",
+            "qq",
+        )
+    )
+    scored = (
+        members.join(F.broadcast(routed), "cell_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell_id",
+            "parent_cell_id",
+            "was_split",
+            "nbr_id",
+            "qq",
+            "cc",
+            F.expr(
+                "aggregate(zip_with(q, c, (x, y) -> x * y),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("dot"),
+        )
+        .withColumn(
+            "rank_score",
+            F.expr(
+                "cast(case when dot >= 0 then (dot * dot) div cc"
+                " else -((dot * dot) div cc) end as bigint)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rank_score"), "nbr_id"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= IVF_PROBE_K)
+        .select(
+            "query_id",
+            "cell_id",
+            "parent_cell_id",
+            "was_split",
+            "nbr_id",
+            F.round(
+                F.col("dot").cast("double")
                 / (
                     F.sqrt(F.col("qq").cast("double"))
                     * F.sqrt(F.col("cc").cast("double"))

@@ -113,8 +113,12 @@ def test_ivf_nprobe_probe_dominates_single_cell(spark, queries):
         # sorted cos_sim of single, elementwise (superset pool)
         ms = sorted((r.cos_sim for r in rs), reverse=True)
         ss = sorted((r.cos_sim for r in per_q_single[qid]), reverse=True)
+        # The dominance guarantee is on the exact integer rank_score; the
+        # emitted cos_sim is rounded to 6 dp, so two candidates inside one
+        # floor-div quantum can straddle a rounding boundary. 1.1e-6 covers
+        # one rounding quantum without weakening the check (ADVICE r11).
         for m, s in zip(ms, ss):
-            assert m >= s - 1e-9
+            assert m >= s - 1.1e-6
 
 
 def test_ivf_rebalance_conserves_and_splits(spark, queries):

@@ -425,6 +425,11 @@ _BNLJ_ALLOWED = {
     "llm_ivfpq_graded_topk",       # 16-row seed side (nprobe routing);
                                    # codebook/qtab/candidate joins are
                                    # all equi-joins
+    # round 12 — the same bounded frozen-quantizer shapes
+    "llm_ivf_probe_rebalanced",    # 16-row seed side (corpus assign +
+                                   # split re-derivation) + the 20-row
+                                   # post-rebalance quantizer side for
+                                   # query routing — both plan-constant
 }
 
 

