@@ -46,7 +46,6 @@ def headline_queries() -> list[str]:
         "llm_dedup_clusters",
         # round-3 additions: the NTZ-fixed events/window family, so a
         # regression there shows up as a number, not a -1.0 sentinel
-        "wn_lag_gap",
         "wn_range_frame",
         # round-3 training-data ops: narrow scan-speed filters + the
         # boilerplate hot-set join — cheap, but tracked so a UDF fallback
@@ -63,7 +62,6 @@ def headline_queries() -> list[str]:
         # asof attribution) — tracked so a regression to a range self-join
         # or a global window shows up as a number
         "jn_interval_overlap",
-        "wn_attribution_last_touch",
         # round-3 continuation, batches 5-10: the grid-blocked spatial
         # self-join (cell-replication cost), the bloom build+probe path,
         # and the map-side-combined CMS — tracked so a lost broadcast or
@@ -91,7 +89,6 @@ def headline_queries() -> list[str]:
         "jn_interval_containment",
         # round-5 semantic changes: the two-sided asof (tie-rule rework)
         # and the 3-regex PII scrub pass — tracked from their change round
-        "jn_asof_nearest",
         # round-5 new operators: duplicate-substring detection (positioned
         # shingle explode + distinct-doc agg + islands window) and its
         # apply rewrite (span join + positional higher-order cut)
@@ -178,7 +175,22 @@ def headline_queries() -> list[str]:
         "llm_ivf_cell_probe_nprobe",
         "str_ivf_index_append",
         "llm_ivf_cell_rebalance",
+        # round 12: the three new maintenance-loop plans — the
+        # post-split probe (rebalance re-derivation + 20-cell serve),
+        # the cell-major append-store compaction (one posting-key
+        # exchange + file-per-cell rewrite + filesystem audit), and
+        # the tombstone/delete leg (base + 3-trigger append+tombstone
+        # stream + anti-join + physical-drop compaction) — tracked
+        # from their change round
+        "llm_ivf_probe_rebalanced",
+        "llm_ivf_store_compact",
+        "str_ivf_index_delete",
     ]
+    # round 12: three stable rows retired to fund the three new
+    # round-12 rows inside the 2.0 kB tail window (wn_lag_gap
+    # 0.46/0.58, jn_asof_nearest 0.46/0.58, wn_attribution_last_touch
+    # 0.52/0.59 over r10/r11 - all flat narrow window/asof passes;
+    # still driver-graded via CORRECTNESS).
     # round 11: five stable rows retired to fund the three new
     # round-11 rows inside the 2.0 kB tail window (llm_tokenizer_fertility
     # 0.17/0.18, llm_pack_efficiency 0.36/0.41, llm_vocab_growth

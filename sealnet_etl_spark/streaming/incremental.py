@@ -1951,7 +1951,13 @@ def llm_ivf_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_store)
     )
 
-    src = spark.read.parquet(src_store)
+    # explicit schemas on both read-backs: a partitionBy write of an
+    # EMPTY frame creates no schema-bearing files (only _SUCCESS), and
+    # schema inference would throw on the empty-corpus path the empty-
+    # input gate exercises
+    src = spark.read.schema("vec_id bigint, cell_id bigint, chunk int").parquet(
+        src_store
+    )
     # cell-major rewrite: one exchange on the posting key, vec_id-sorted
     # within each cell file, one file per cell (repartition by cell_id
     # puts each cell in exactly one task; partitionBy splits the task's
@@ -1969,7 +1975,9 @@ def llm_ivf_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_before"),
         F.countDistinct("chunk").alias("n_chunks_before"),
     )
-    compacted = spark.read.parquet(dst_store)
+    compacted = spark.read.schema("vec_id bigint, cell_id bigint").parquet(
+        dst_store
+    )
     after = compacted.groupBy("cell_id").agg(
         F.count(F.lit(1)).alias("n_after"),
         F.min("vec_id").alias("min_vec_id"),
@@ -2165,10 +2173,21 @@ def str_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not _os.path.isdir(append_store):
         return spark.createDataFrame([], empty)
+    # explicit schemas on every store read-back: chunk-partitioned and
+    # partitionBy writes of EMPTY frames leave no schema-bearing files,
+    # and inference would throw on the empty-corpus path (the empty-
+    # input gate's hardened class)
     indexed = spark.read.parquet(base_store).unionByName(
-        spark.read.parquet(append_store).select("vec_id", "cell_id")
+        spark.read.schema("vec_id bigint, cell_id bigint, chunk int")
+        .parquet(append_store)
+        .select("vec_id", "cell_id")
     )
-    tombs = spark.read.parquet(tomb_store).select("vec_id").distinct()
+    tombs = (
+        spark.read.schema("vec_id bigint, chunk int")
+        .parquet(tomb_store)
+        .select("vec_id")
+        .distinct()
+    )
     live = indexed.join(tombs, "vec_id", "left_anti")
 
     # compaction physically drops tombstoned rows: the anti-join runs
@@ -2191,7 +2210,8 @@ def str_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_live"),
     )
     compacted = (
-        spark.read.parquet(live_store)
+        spark.read.schema("vec_id bigint, cell_id bigint")
+        .parquet(live_store)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_compacted"))
     )
