@@ -227,12 +227,17 @@ def test_pq_adc_topk_invariants(spark, queries):
 def test_ivfpq_capstone_consistent_with_parts(spark, queries):
     """The IVF-PQ capstone must be the composition of its graded
     parts: (a) every neighbor's cell is one of the query's 4 routed
-    cells (identical routing to llm_ivf_cell_probe_nprobe); (b) any
-    (query, nbr) pair appearing in BOTH llm_ivfpq_graded_topk and the
-    corpus-wide llm_pq_adc_topk carries the IDENTICAL adc_dist (same
-    codebooks, same encode, same tables — the cell restriction may
-    only change WHICH candidates rank, never a score); (c) k rows per
-    query with candidates from the indexed half."""
+    cells (identical routing to llm_ivf_cell_probe_nprobe); (b) k rows
+    per query with candidates from the indexed half.
+
+    (Round 12: the former cross-query assertion that a (query, nbr)
+    pair appearing in BOTH llm_ivfpq_graded_topk and the corpus-wide
+    llm_pq_adc_topk carries the identical adc_dist is GONE by design —
+    the residual rewrite (VERDICT r11 #4) moved the capstone's encode,
+    codebooks and query tables into residual space (r = a - b_cell),
+    while llm_pq_adc_topk stays the raw-vector ADC, so the two scores
+    now live in different spaces. Each query's own arithmetic remains
+    exactly hash-graded against its DuckDB oracle.)"""
     from collections import defaultdict
 
     from sealnet_etl_spark.operators.similarity import IVF_PROBE_K
@@ -244,19 +249,12 @@ def test_ivfpq_capstone_consistent_with_parts(spark, queries):
     # cell_rank covers all probed cells only if every probed cell
     # produced a neighbor; recover the full routed set from the
     # registered query's own columns where present, else accept subset
-    pq_adc = {
-        (r.query_id, r.nbr_id): r.adc_dist
-        for r in queries["llm_pq_adc_topk"](spark, SF).collect()
-    }
     per_q = defaultdict(list)
     for r in capstone:
         assert r.nbr_id % 2 == 0 and r.query_id % 2 == 1
         assert r.adc_dist >= 0
         assert -1.0 <= r.cos_sim <= 1.0
         per_q[r.query_id].append(r)
-        key = (r.query_id, r.nbr_id)
-        if key in pq_adc:
-            assert r.adc_dist == pq_adc[key]
     assert per_q
     from sealnet_etl_spark.operators.similarity import IVF_NPROBE
 
