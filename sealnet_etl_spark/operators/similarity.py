@@ -2788,7 +2788,9 @@ def _ivf_frozen_seeds(spark: SparkSession, ei: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
+def _ivf_assign_cells(
+    df: DataFrame, seeds: DataFrame, keep_vec: bool = False
+) -> DataFrame:
     """Assign each vector to its best seed cell by EXACT integer cosine
     ranking: comparing cos(a, b_i) across seeds with a shared |a| factor
     reduces to comparing dot²/nn with dot's sign — computed as the exact
@@ -2804,12 +2806,24 @@ def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
     struct(score, -cell_id) on exact integers is a total order — but
     the aggregate partial-combines MAP-SIDE, so the x|cells| fanout
     collapses back to one row per vector before any exchange, while a
-    window would shuffle the whole fanned-out stream just to rank it."""
+    window would shuffle the whole fanned-out stream just to rank it.
+
+    ``keep_vec=True`` (round 12, guide §2.3/§2.4) carries the vector
+    ``a`` through the argmax (``first(a)`` — every fanout row of a
+    vec_id holds the identical array, so the winner is deterministic)
+    for consumers that need (cell_id, a) together: the r11 shape
+    re-joined the assignment back to ``ei`` on vec_id, which shuffled
+    BOTH sides (the corpus-with-arrays side twice over the graded
+    family). Carrying ``a`` makes the one aggregate exchange ~540 B/row
+    instead of 32 B but deletes a 2-exchange sort-merge join and a scan
+    per consumer — measured net win on every probe/rebalance plan
+    (OPTIMIZATION_r12.md), and output-identical by construction."""
     scored = df.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "snap",
         "cell_id",
         "nn",
+        *(["a"] if keep_vec else []),
         F.expr(
             "aggregate(zip_with(a, b, (x, y) -> x * y),"
             " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
@@ -2822,14 +2836,15 @@ def _ivf_assign_cells(df: DataFrame, seeds: DataFrame) -> DataFrame:
             " else -((dot * dot) div nn) end as bigint)"
         ),
     )
+    aggs = [
+        F.expr("max_by(cell_id, struct(score, -cell_id))").alias("cell_id")
+    ]
+    if keep_vec:
+        aggs.append(F.first("a").alias("a"))
     return (
         scored.groupBy("vec_id", "snap")
-        .agg(
-            F.expr("max_by(cell_id, struct(score, -cell_id))").alias(
-                "cell_id"
-            )
-        )
-        .select("vec_id", "snap", "cell_id")
+        .agg(*aggs)
+        .select("vec_id", "snap", "cell_id", *(["a"] if keep_vec else []))
     )
 
 
@@ -3020,11 +3035,11 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is that serve returns exactly the top-k OF THE PROBED CELL."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    corpus_assign = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds
-    ).select("vec_id", "cell_id")
-    members = corpus_assign.join(
-        ei.select(F.col("vec_id"), F.col("a")), "vec_id"
+    # keep_vec carries `a` through the argmax: the r11 vec_id re-join to
+    # ei (a 2-exchange sort-merge over the corpus-with-arrays side) is
+    # gone — round-12 optimization, output-identical (see kernel doc)
+    members = _ivf_assign_cells(
+        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
@@ -3225,11 +3240,10 @@ def _ivf_probe_frame(
     unique)."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    corpus_assign = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds
-    ).select("vec_id", "cell_id")
-    members = corpus_assign.join(
-        ei.select(F.col("vec_id"), F.col("a")), "vec_id"
+    # keep_vec: assignment carries `a`, deleting the r11 vec_id re-join
+    # (round-12 optimization, output-identical — see kernel doc)
+    members = _ivf_assign_cells(
+        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
@@ -3502,14 +3516,18 @@ def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_ivf_rebalance_conserves_and_splits."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    assigned = _ivf_assign_cells(ei, seeds).select("vec_id", "cell_id")
+    # keep_vec: the hot members' vectors ride the assignment instead of
+    # a corpus-wide vec_id re-join (round-12 optimization; occ's count
+    # agg prunes `a` before its exchange, so the occupancy pass is
+    # unchanged)
+    assigned = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+        "vec_id", "cell_id", "a"
+    )
     occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
     total = occ.agg(F.sum("n").cast("bigint").alias("total"))
     hot = occ.orderBy(F.desc("n"), "cell_id").limit(IVF_SPLIT_TOP)
 
-    with_vec = assigned.join(
-        F.broadcast(hot.select("cell_id")), "cell_id"
-    ).join(ei.select("vec_id", "a"), "vec_id")
+    with_vec = assigned.join(F.broadcast(hot.select("cell_id")), "cell_id")
 
     w_seed = Window.partitionBy("cell_id").orderBy(
         F.md5(F.concat(F.lit("ivfs:"), F.col("vec_id").cast("string"))),
@@ -3695,8 +3713,9 @@ def llm_ivf_serve_accumulated(
     every SF."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    corpus_assign = _ivf_assign_cells(ei, seeds).select(
-        "vec_id", "snap", "cell_id"
+    # keep_vec: the serve path skips the vec_id re-join (round 12)
+    corpus_assign = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+        "vec_id", "snap", "cell_id", "a"
     )
     return _ivf_serve_topk(ei, seeds, corpus_assign)
 
@@ -3708,11 +3727,15 @@ def _ivf_serve_topk(
     test can feed it the PERSISTED base+append assignments instead of
     the batch recomputation and assert frame equality (the docstring
     contract of llm_ivf_serve_accumulated). corpus_assign: (vec_id,
-    snap, cell_id) — from any source that routed through the same
-    frozen quantizer."""
-    members = corpus_assign.join(
-        ei.select("vec_id", "a"), "vec_id"
-    ).select(
+    snap, cell_id[, a]) — from any source that routed through the same
+    frozen quantizer. When the caller already carries the vector (the
+    keep_vec assignment path), the vec_id re-join is skipped; the
+    store-parity path (persisted assignments, no vectors) keeps it."""
+    if "a" not in corpus_assign.columns:
+        corpus_assign = corpus_assign.join(
+            ei.select("vec_id", "a"), "vec_id"
+        )
+    members = corpus_assign.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("snap").cast("bigint").alias("from_stream"),
         "cell_id",
@@ -4216,15 +4239,17 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ranks candidate frames per query."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
+    # keep_vec: the residual encode consumes (cell_id, a) straight off
+    # the assignment argmax — the r11 vec_id re-join is gone (round 12)
     corpus_assign = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds
-    ).select("vec_id", "cell_id")
+        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
+    ).select("vec_id", "cell_id", "a")
 
     # member residuals to the assigned cell's integer seed — the encode-
     # time frame (at 100 TB this is the one-time index build; 8 bytes/
     # vector persist, residuals are never stored)
     res = (
-        corpus_assign.join(ei.select("vec_id", "a"), "vec_id")
+        corpus_assign
         .join(F.broadcast(seeds.select("cell_id", "b")), "cell_id")
         .select(
             "vec_id",
@@ -4518,14 +4543,19 @@ def _ivf_rebalanced_layout(
     Work: O(corpus) for the one occupancy count + pass-through filter,
     O(hot members x IVF_SPLIT_WAYS) for the re-route — never corpus x
     anything. Both sub-seed and survivor sides stay |cells|-bounded
-    broadcasts."""
-    assigned = _ivf_assign_cells(ei, seeds).select("vec_id", "cell_id")
+    broadcasts.
+
+    Round 12: keep_vec carries `a` through the assignment argmax and the
+    re-route, so new_assign is directly servable — the r11 form's TWO
+    corpus-wide vec_id re-joins (hot members, then the members frame)
+    are gone; output-identical by construction."""
+    assigned = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+        "vec_id", "cell_id", "a"
+    )
     occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
     hot = occ.orderBy(F.desc("n"), "cell_id").limit(IVF_SPLIT_TOP)
 
-    with_vec = assigned.join(
-        F.broadcast(hot.select("cell_id")), "cell_id"
-    ).join(ei.select("vec_id", "a"), "vec_id")
+    with_vec = assigned.join(F.broadcast(hot.select("cell_id")), "cell_id")
     w_seed = Window.partitionBy("cell_id").orderBy(
         F.md5(F.concat(F.lit("ivfs:"), F.col("vec_id").cast("string"))),
         "vec_id",
@@ -4552,6 +4582,7 @@ def _ivf_rebalanced_layout(
             "vec_id",
             "sub_cell_id",
             "nn",
+            "a",
             F.expr(
                 "aggregate(zip_with(a, b, (x, y) -> x * y),"
                 " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
@@ -4567,7 +4598,8 @@ def _ivf_rebalanced_layout(
         .groupBy("vec_id")
         .agg(
             F.expr("max_by(sub_cell_id, struct(score, -sub_cell_id))")
-            .alias("cell_id")
+            .alias("cell_id"),
+            F.first("a").alias("a"),
         )
     )
     post_seeds = (
@@ -4593,8 +4625,8 @@ def _ivf_rebalanced_layout(
         assigned.join(
             F.broadcast(hot.select("cell_id")), "cell_id", "left_anti"
         )
-        .select("vec_id", "cell_id")
-        .unionByName(reassigned.select("vec_id", "cell_id"))
+        .select("vec_id", "cell_id", "a")
+        .unionByName(reassigned.select("vec_id", "cell_id", "a"))
     )
     return post_seeds, new_assign
 
@@ -4636,7 +4668,8 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _ivf_frozen_seeds(spark, ei)
     post_seeds, new_assign = _ivf_rebalanced_layout(spark, ei, seeds)
 
-    members = new_assign.join(ei.select("vec_id", "a"), "vec_id").select(
+    # new_assign carries `a` (keep_vec) — directly servable, no re-join
+    members = new_assign.select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),

@@ -209,7 +209,7 @@ from ..operators.dedup import (  # noqa: E402
     SHINGLE_K,
     jaccard,
     minhash_band_keys,
-    minhash_signature_cols,
+    minhash_signatures_arrow,
     normalized_words,
     shingle_base_hashes,
     shingle_postings,
@@ -379,9 +379,11 @@ def str_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("__base", shingle_base_hashes(F.col("shingles")))
             .localCheckpoint()
         )
-        keys = shingled.select(
-            "doc_id", *minhash_signature_cols(F.col("__base"))
-        ).select("doc_id", F.explode(minhash_band_keys()).alias("band_key"))
+        # round 12: signatures via the Arrow kernel (3.8x on the
+        # signature->banding stage — tools/ab_minhash_kernel.py)
+        keys = minhash_signatures_arrow(shingled).select(
+            "doc_id", F.explode(minhash_band_keys()).alias("band_key")
+        )
         # Write the chunk's band keys BEFORE probing and read them back for
         # the probe side (r7 itemization): `keys` used to feed both the
         # candidate join and the index write, and each consumer recomputed

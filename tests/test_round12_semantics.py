@@ -20,6 +20,35 @@ def queries():
     return all_queries()
 
 
+def test_minhash_arrow_kernel_matches_catalyst_fold(spark):
+    """The round-12 Arrow signature kernel must reproduce the Catalyst
+    64-fold bit-for-bit (same (doc_id, sig_0..sig_63) multiset) — the
+    optimization-round exactness gate for every MinHash consumer's
+    unchanged DuckDB hash. Checked on the full sf0.01 corpus, both
+    directions of exceptAll."""
+    from pyspark.sql import functions as F
+
+    from sealnet_etl_spark.operators.dedup import (
+        SHINGLE_K,
+        _docs_with_shingles,
+        minhash_signature_cols,
+        minhash_signatures_arrow,
+        shingle_base_hashes,
+    )
+
+    shingled = (
+        _docs_with_shingles(spark, SF, SHINGLE_K)
+        .withColumn("__base", shingle_base_hashes(F.col("shingles")))
+        .localCheckpoint()
+    )
+    catalyst = shingled.select(
+        "doc_id", *minhash_signature_cols(F.col("__base"))
+    )
+    arrow = minhash_signatures_arrow(shingled)
+    assert catalyst.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(catalyst).count() == 0
+
+
 def test_probe_rebalanced_routes_over_post_split_quantizer(spark, queries):
     """Invariants the hash oracle can't state ACROSS queries: (a) every
     routed cell is a member of the 20-cell post-rebalance quantizer the
