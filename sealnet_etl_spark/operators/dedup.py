@@ -2443,22 +2443,47 @@ def llm_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 015/10 533 duplicate anchors merging into bounded span lists."""
     docs = load_table(spark, sf_dir, "documents")
     k = SUBSTR_K
-    words = normalized_words(F.col("text"))
-    sh = (
-        docs.withColumn("__w", words)
-        .filter(F.size("__w") >= k)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__w") - k),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice(F.col("__w"), i + 1, k))
-                    ),
-                )
-            ).alias("pos", "h"),
+
+    # round 12: positioned shingles via a mapInPandas kernel (the
+    # shingle_postings precedent — the interpreted transform+slice+
+    # concat_ws HOF measured 0.69 s vs 0.50 s for the identical rows at
+    # sf0.1; md5 stays JVM-side codegen on the exploded rows), and the
+    # frame is lineage-truncated because BOTH the anchor aggregate and
+    # the hits semi-join consumed it — the r5 plan re-ran the whole
+    # positioned-shingle pass twice. Exactness: same re.ASCII split /
+    # lower / ' '.join as shingle_postings (equivalence checked by
+    # exceptAll both ways at sf0.1; oracles unchanged).
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def rows(batches):
+        for pdf in batches:
+            ids, poss, shs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                w = ws.split(text.lower())
+                n = len(w)
+                if n < k:
+                    continue
+                for i in range(n - k + 1):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    shs.append(" ".join(w[i : i + k]))
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "sh": shs})
+
+    par = spark.sparkContext.defaultParallelism
+    src = docs.select("doc_id", "text")
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    if _documents_bytes(sf_dir) // max_split < par:
+        src = src.repartition(par)
+    sh = _truncate_lineage(
+        src.mapInPandas(rows, "doc_id long, pos long, sh string").select(
+            "doc_id", "pos", F.md5("sh").alias("h")
         )
-        .withColumn("pos", F.col("pos").cast("long"))
     )
     anchors = (
         sh.groupBy("h")
@@ -2615,31 +2640,53 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes perfectly per doc."""
     docs = load_table(spark, sf_dir, "documents")
     k, wlen = WINNOW_K, WINNOW_W
-    words = normalized_words(F.col("text"))
-    sh = (
-        docs.withColumn("__w", words)
-        .filter(F.size("__w") >= k + wlen - 1)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("__w") - k),
-                    lambda i: F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(" ", F.slice(F.col("__w"), i + 1, k))
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint"),
-                )
-            ).alias("pos", "h"),
-        )
-        .withColumn("pos", F.col("pos").cast("long"))
+
+    # round 12: positioned k-gram hashes via a mapInPandas kernel (the
+    # llm_substring_dedup_spans rewrite applied here — the interpreted
+    # transform built 1M+ md5s per corpus pass). hashlib.md5 over the
+    # UTF-8 bytes reproduces F.md5 bit-for-bit, and int(hex[:8], 16)
+    # IS conv(substring(md5, 1, 8), 16, 10) for 8 hex digits (< 2^32,
+    # int64-safe) — equivalence pinned by
+    # test_winnowing_kernel_matches_catalyst_form; the min-over-
+    # struct window pass downstream is unchanged.
+    import hashlib as _hashlib
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    min_words = k + wlen - 1
+
+    def rows(batches):
+        md5 = _hashlib.md5
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                w = ws.split(text.lower())
+                n = len(w)
+                if n < min_words:
+                    continue
+                for i in range(n - k + 1):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    hs.append(
+                        int(
+                            md5(
+                                " ".join(w[i : i + k]).encode("utf-8")
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "h": hs})
+
+    par = spark.sparkContext.defaultParallelism
+    src = docs.select("doc_id", "text")
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
     )
+    if _documents_bytes(sf_dir) // max_split < par:
+        src = src.repartition(par)
+    sh = src.mapInPandas(rows, "doc_id long, pos long, h bigint")
     frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
     rightmost_min = F.min(
         F.struct(F.col("h"), (-F.col("pos")).alias("np"))

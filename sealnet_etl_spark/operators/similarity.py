@@ -3517,11 +3517,13 @@ def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec: the hot members' vectors ride the assignment instead of
-    # a corpus-wide vec_id re-join (round-12 optimization; occ's count
-    # agg prunes `a` before its exchange, so the occupancy pass is
-    # unchanged)
-    assigned = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
-        "vec_id", "cell_id", "a"
+    # a corpus-wide vec_id re-join; lineage-truncated because BOTH the
+    # occupancy count and the hot-member window otherwise re-run the
+    # full corpus x 16 argmax pass (round-12 optimization)
+    assigned = _truncate_lineage(
+        _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+            "vec_id", "cell_id", "a"
+        )
     )
     occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
     total = occ.agg(F.sum("n").cast("bigint").alias("total"))
@@ -4240,10 +4242,15 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec: the residual encode consumes (cell_id, a) straight off
-    # the assignment argmax — the r11 vec_id re-join is gone (round 12)
-    corpus_assign = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
-    ).select("vec_id", "cell_id", "a")
+    # the assignment argmax — the r11 vec_id re-join is gone; lineage-
+    # truncated because the assignment feeds FOUR consumers (codebook
+    # collect, encode frame, candidate restriction, and the enc join's
+    # probe side), each of which re-ran the corpus x 16 argmax (round 12)
+    corpus_assign = _truncate_lineage(
+        _ivf_assign_cells(
+            ei.filter(F.col("snap") == 0), seeds, keep_vec=True
+        ).select("vec_id", "cell_id", "a")
+    )
 
     # member residuals to the assigned cell's integer seed — the encode-
     # time frame (at 100 TB this is the one-time index build; 8 bytes/
@@ -4548,9 +4555,15 @@ def _ivf_rebalanced_layout(
     Round 12: keep_vec carries `a` through the assignment argmax and the
     re-route, so new_assign is directly servable — the r11 form's TWO
     corpus-wide vec_id re-joins (hot members, then the members frame)
-    are gone; output-identical by construction."""
-    assigned = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
-        "vec_id", "cell_id", "a"
+    are gone; output-identical by construction. The assignment is
+    lineage-truncated: its THREE consumers (occupancy count, hot-member
+    re-route, cold pass-through) each re-ran the full corpus x 16 argmax
+    pass in the r11 plan — one materialized pass serves all three
+    (the _truncate_lineage persist-multi-consumer rule)."""
+    assigned = _truncate_lineage(
+        _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+            "vec_id", "cell_id", "a"
+        )
     )
     occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
     hot = occ.orderBy(F.desc("n"), "cell_id").limit(IVF_SPLIT_TOP)

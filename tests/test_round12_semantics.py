@@ -49,6 +49,76 @@ def test_minhash_arrow_kernel_matches_catalyst_fold(spark):
     assert arrow.exceptAll(catalyst).count() == 0
 
 
+def test_winnowing_kernel_matches_catalyst_form(spark):
+    """The round-12 positioned-k-gram kernel in
+    llm_winnowing_fingerprints must reproduce the Catalyst
+    transform+md5+conv stage bit-for-bit: hashlib.md5 over UTF-8 bytes
+    == F.md5, int(hex[:8], 16) == conv(substring(md5,1,8),16,10).
+    Checked as the registered query's full-frame equality against the
+    pre-rewrite Catalyst form on sf0.01."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sealnet_etl_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        normalized_words,
+    )
+    from sealnet_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    k, wlen = WINNOW_K, WINNOW_W
+    words = normalized_words(F.col("text"))
+    sh = (
+        docs.withColumn("__w", words)
+        .filter(F.size("__w") >= k + wlen - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__w") - k),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ", F.slice(F.col("__w"), i + 1, k)
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                )
+            ).alias("pos", "h"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
+    )
+    rightmost_min = F.min(
+        F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+    ).over(frame)
+    catalyst = (
+        sh.withColumn("m", rightmost_min)
+        .withColumn("nf", F.count("h").over(frame))
+        .filter(F.col("nf") == wlen)
+        .select(
+            "doc_id",
+            (-F.col("m.np")).alias("fp_pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+    from sealnet_etl_spark.registry import all_queries
+
+    kernel = all_queries()["llm_winnowing_fingerprints"](spark, SF)
+    assert kernel.exceptAll(catalyst).count() == 0
+    assert catalyst.exceptAll(kernel).count() == 0
+
+
 def test_probe_rebalanced_routes_over_post_split_quantizer(spark, queries):
     """Invariants the hash oracle can't state ACROSS queries: (a) every
     routed cell is a member of the 20-cell post-rebalance quantizer the
