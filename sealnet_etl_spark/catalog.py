@@ -101,12 +101,57 @@ from . import registry as _registry
 #:   query tables are per-probed-cell. Values verified hash-green
 #:   locally at sf0.01/sf0.001; regrades first per the r10 template.
 #: - str_streaming_near_dup: apply_runtime_confs() now runs on the
-#:   isolated stream session before the scan overrides (ADVICE r11) —
-#:   below the size gate the plan is byte-identical, but the code path
-#:   that builds the stream changed after its r11 grade.
+#:   isolated stream session before the scan overrides (ADVICE r11),
+#:   AND the per-batch signature stage now runs through the round-12
+#:   minhash Arrow kernel.
+#: - the minhash-signature Arrow kernel (round-12 optimization,
+#:   OPTIMIZATION_r12.md) replaced the 64 per-permutation aggregate
+#:   folds with one numpy pass — bit-identical minima (pinned by
+#:   test_minhash_arrow_kernel_matches_catalyst_fold), but the plan changed
+#:   at every scale for every consumer of minhash_near_dup_pairs:
+#:   llm_minhash_near_dup_pairs, llm_dedup_clusters,
+#:   llm_dedup_cluster_size_histogram, llm_dedup_rate_trend,
+#:   llm_incremental_near_dup, llm_dedup_degree_report,
+#:   llm_cross_source_dup_matrix, llm_triangle_count, llm_pagerank,
+#:   llm_cross_source_overlap, llm_dedup_audit_report,
+#:   llm_dedup_threshold_sweep, llm_quality_dedup_crosstab,
+#:   llm_effective_tokens.
+#: - the IVF keep_vec argmax (carry `a` through the assignment
+#:   aggregate, deleting the vec_id re-join) + assignment lineage
+#:   truncation changed the probe/rebalance/serve family's plans:
+#:   llm_ivf_cell_probe, llm_ivf_cell_probe_nprobe,
+#:   llm_ivf_cell_rebalance, llm_ivf_serve_accumulated (keep_vec=False
+#:   callers — refresh, ingest monitor, append/delete/compact/trigger —
+#:   kept byte-identical assignment plans).
+#: - the positioned-shingle mapInPandas kernels replaced the
+#:   interpreted transform+slice stages of llm_substring_dedup_spans,
+#:   llm_substring_dedup_apply, llm_winnowing_fingerprints; and
+#:   llm_boilerplate_ngrams now reuses the shingle_postings kernel.
 _REGRADE_FIRST: tuple[str, ...] = (
     "llm_ivfpq_graded_topk",
     "str_streaming_near_dup",
+    "llm_minhash_near_dup_pairs",
+    "llm_dedup_clusters",
+    "llm_dedup_cluster_size_histogram",
+    "llm_dedup_rate_trend",
+    "llm_incremental_near_dup",
+    "llm_substring_dedup_spans",
+    "llm_substring_dedup_apply",
+    "llm_winnowing_fingerprints",
+    "llm_boilerplate_ngrams",
+    "llm_ivf_cell_probe",
+    "llm_ivf_cell_probe_nprobe",
+    "llm_ivf_cell_rebalance",
+    "llm_ivf_serve_accumulated",
+    "llm_dedup_degree_report",
+    "llm_cross_source_dup_matrix",
+    "llm_triangle_count",
+    "llm_pagerank",
+    "llm_cross_source_overlap",
+    "llm_dedup_audit_report",
+    "llm_dedup_threshold_sweep",
+    "llm_quality_dedup_crosstab",
+    "llm_effective_tokens",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

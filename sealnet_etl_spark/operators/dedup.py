@@ -2641,24 +2641,23 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k, wlen = WINNOW_K, WINNOW_W
 
-    # round 12: positioned k-gram hashes via a mapInPandas kernel (the
-    # llm_substring_dedup_spans rewrite applied here — the interpreted
-    # transform built 1M+ md5s per corpus pass). hashlib.md5 over the
-    # UTF-8 bytes reproduces F.md5 bit-for-bit, and int(hex[:8], 16)
-    # IS conv(substring(md5, 1, 8), 16, 10) for 8 hex digits (< 2^32,
-    # int64-safe) — equivalence pinned by
-    # test_winnowing_kernel_matches_catalyst_form; the min-over-
-    # struct window pass downstream is unchanged.
-    import hashlib as _hashlib
+    # round 12: positioned k-gram SHINGLES via a mapInPandas kernel (the
+    # llm_substring_dedup_spans pattern exactly: the kernel only splits/
+    # lowers/joins — md5 + conv stay JVM codegen on the exploded rows).
+    # A first draft computed hashlib.md5 + int(hex[:8], 16) inside the
+    # kernel; bit-identical (pinned by
+    # test_winnowing_kernel_matches_catalyst_form) but the per-shingle
+    # Python md5 loop regressed the sf1 decade 2.89 s -> 7.32 s, so the
+    # hash went back to the JVM where it vectorizes; the min-over-struct
+    # window pass downstream is unchanged.
     import re as _re
 
     ws = _re.compile(r"\s+", _re.ASCII)
     min_words = k + wlen - 1
 
     def rows(batches):
-        md5 = _hashlib.md5
         for pdf in batches:
-            ids, poss, hs = [], [], []
+            ids, poss, shs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
@@ -2669,15 +2668,8 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(n - k + 1):
                     ids.append(doc_id)
                     poss.append(i)
-                    hs.append(
-                        int(
-                            md5(
-                                " ".join(w[i : i + k]).encode("utf-8")
-                            ).hexdigest()[:8],
-                            16,
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "h": hs})
+                    shs.append(" ".join(w[i : i + k]))
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "sh": shs})
 
     par = spark.sparkContext.defaultParallelism
     src = docs.select("doc_id", "text")
@@ -2686,7 +2678,11 @@ def llm_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if _documents_bytes(sf_dir) // max_split < par:
         src = src.repartition(par)
-    sh = src.mapInPandas(rows, "doc_id long, pos long, h bigint")
+    sh = src.mapInPandas(rows, "doc_id long, pos long, sh string").select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
     frame = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, wlen - 1)
     rightmost_min = F.min(
         F.struct(F.col("h"), (-F.col("pos")).alias("np"))

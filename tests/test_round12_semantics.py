@@ -50,12 +50,11 @@ def test_minhash_arrow_kernel_matches_catalyst_fold(spark):
 
 
 def test_winnowing_kernel_matches_catalyst_form(spark):
-    """The round-12 positioned-k-gram kernel in
-    llm_winnowing_fingerprints must reproduce the Catalyst
-    transform+md5+conv stage bit-for-bit: hashlib.md5 over UTF-8 bytes
-    == F.md5, int(hex[:8], 16) == conv(substring(md5,1,8),16,10).
-    Checked as the registered query's full-frame equality against the
-    pre-rewrite Catalyst form on sf0.01."""
+    """The round-12 positioned-shingle kernel in
+    llm_winnowing_fingerprints (kernel splits/joins the k-grams, md5 +
+    conv stay JVM-side) must reproduce the pre-rewrite single-stage
+    Catalyst transform+md5+conv form bit-for-bit. Checked as the
+    registered query's full-frame equality on sf0.01."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
