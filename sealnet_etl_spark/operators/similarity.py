@@ -3037,17 +3037,17 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec carries `a` through the argmax: the r11 vec_id re-join to
     # ei (a 2-exchange sort-merge over the corpus-with-arrays side) is
-    # gone — round-12 optimization, output-identical (see kernel doc)
+    # gone — round-12 optimization, output-identical (see kernel doc).
+    # The member-norm fold (cc) moved ABOVE the routed-cell join (round
+    # 12, guide §2.3 project-late): it was computed for EVERY corpus
+    # member here, then the broadcast join dropped all but the probed
+    # cells' rows — now only candidates pay the 64-term decimal fold.
     members = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
-        F.expr(
-            "aggregate(transform(a, x -> x * x),"
-            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-        ).alias("cc"),
     )
     queries = (
         ei.filter(F.col("snap") == 1)
@@ -3103,7 +3103,10 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id",
             "nbr_id",
             "qq",
-            "cc",
+            F.expr(
+                "aggregate(transform(c, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("cc"),
             F.expr(
                 "aggregate(zip_with(q, c, (x, y) -> x * y),"
                 " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
@@ -3241,17 +3244,15 @@ def _ivf_probe_frame(
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec: assignment carries `a`, deleting the r11 vec_id re-join
-    # (round-12 optimization, output-identical — see kernel doc)
+    # (round-12 optimization, output-identical — see kernel doc); the
+    # cc fold moved above the routed-cell join (round 12, see
+    # llm_ivf_cell_probe) so only the nprobe cells' members pay it
     members = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
-        F.expr(
-            "aggregate(transform(a, x -> x * x),"
-            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-        ).alias("cc"),
     )
     queries = (
         ei.filter(F.col("snap") == 1)
@@ -3322,7 +3323,10 @@ def _ivf_probe_frame(
             "cell_rank",
             "nbr_id",
             "qq",
-            "cc",
+            F.expr(
+                "aggregate(transform(c, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("cc"),
             F.expr(
                 "aggregate(zip_with(q, c, (x, y) -> x * y),"
                 " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
@@ -3737,15 +3741,13 @@ def _ivf_serve_topk(
         corpus_assign = corpus_assign.join(
             ei.select("vec_id", "a"), "vec_id"
         )
+    # member-norm fold moved above the routed-cell join (round 12, see
+    # llm_ivf_cell_probe): only probed cells' members pay it
     members = corpus_assign.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("snap").cast("bigint").alias("from_stream"),
         "cell_id",
         F.col("a").alias("c"),
-        F.expr(
-            "aggregate(transform(a, x -> x * x),"
-            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-        ).alias("cc"),
     )
     queries = (
         ei.filter(F.col("snap") == 1)
@@ -3818,7 +3820,10 @@ def _ivf_serve_topk(
             "nbr_id",
             "from_stream",
             "qq",
-            "cc",
+            F.expr(
+                "aggregate(transform(c, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("cc"),
             F.expr(
                 "aggregate(zip_with(q, c, (x, y) -> x * y),"
                 " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
@@ -4681,15 +4686,13 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _ivf_frozen_seeds(spark, ei)
     post_seeds, new_assign = _ivf_rebalanced_layout(spark, ei, seeds)
 
-    # new_assign carries `a` (keep_vec) — directly servable, no re-join
+    # new_assign carries `a` (keep_vec) — directly servable, no re-join;
+    # the cc fold moved above the routed-cell join (round 12, see
+    # llm_ivf_cell_probe) so only probed cells' members pay it
     members = new_assign.select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
-        F.expr(
-            "aggregate(transform(a, x -> x * x),"
-            " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-        ).alias("cc"),
     )
     queries = (
         ei.filter(F.col("snap") == 1)
@@ -4759,7 +4762,10 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_split",
             "nbr_id",
             "qq",
-            "cc",
+            F.expr(
+                "aggregate(transform(c, x -> x * x),"
+                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
+            ).alias("cc"),
             F.expr(
                 "aggregate(zip_with(q, c, (x, y) -> x * y),"
                 " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
