@@ -185,12 +185,16 @@ def headline_queries() -> list[str]:
         "llm_ivf_probe_rebalanced",
         "llm_ivf_store_compact",
         "str_ivf_index_delete",
+        # round 13 (VERDICT r12 "Next round" #1): the three rows the
+        # interrupted round-12 build retired are RESTORED - the driver
+        # prices the engine on a continuous per-row history, and the
+        # byte budget that forced the retirement is paid instead by the
+        # output-line trims documented in main() (OPTIMIZATION_r13.md
+        # has the exact byte math).
+        "wn_lag_gap",
+        "jn_asof_nearest",
+        "wn_attribution_last_touch",
     ]
-    # round 12: three stable rows retired to fund the three new
-    # round-12 rows inside the 2.0 kB tail window (wn_lag_gap
-    # 0.46/0.58, jn_asof_nearest 0.46/0.58, wn_attribution_last_touch
-    # 0.52/0.59 over r10/r11 - all flat narrow window/asof passes;
-    # still driver-graded via CORRECTNESS).
     # round 11: five stable rows retired to fund the three new
     # round-11 rows inside the 2.0 kB tail window (llm_tokenizer_fertility
     # 0.17/0.18, llm_pack_efficiency 0.36/0.41, llm_vocab_growth
@@ -219,6 +223,39 @@ def headline_queries() -> list[str]:
     return names or sorted(available)[:3]
 
 
+#: Rows whose timed action is the noop sink (guide §1.4) instead of
+#: .collect() - a MEASUREMENT fix, not a plan change (VERDICT r12 "Next
+#: round" #4): these two queries' declared results are 617k/554k rows,
+#: so .collect() times ~3 s of single-threaded py4j row transfer on top
+#: of ~0.4-1.0 s of actual computation. The noop sink still computes
+#: every column of every row. Old-action (collect) numbers for the
+#: switch round are recorded in OPTIMIZATION_r13.md so the r12->r13
+#: trend for these two rows is read against the methodology change, and
+#: the oracle grading path (which hashes the real rows) is untouched.
+NOOP_SINK_QUERIES = frozenset(
+    {"jn_interval_overlap", "jn_interval_containment"}
+)
+
+
+def _run(df) -> None:
+    """The timed action: collect (the historical methodology), except
+    for the declared NOOP_SINK_QUERIES rows (see above)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _round_timing(sec: float) -> float:
+    """Byte-bounded precision for the one-line output: 2 decimals below
+    1 s (10 ms granularity where it is 1%+ of the value), 1 decimal at
+    >= 1 s (quantization <= +/-5% at 1.0 s, shrinking with the value -
+    inside the driver's 10% flat band). Measured constraint: the driver
+    captures EXACTLY the last 2,000 bytes of stdout (every committed
+    BENCH_r*.json tail is len 2000; r07's >2 kB line parsed null), the
+    70 query names alone are 1,391 bytes, and 2-decimals everywhere
+    puts the line at 2,015+ bytes - a guaranteed parse failure. The
+    full byte math is in OPTIMIZATION_r13.md."""
+    return round(sec, 2) if sec < 1 else round(sec, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
@@ -232,35 +269,54 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline_queries():
         fn = queries[name]
+        action = (
+            _run
+            if name in NOOP_SINK_QUERIES
+            else (lambda df: df.collect())
+        )
         try:
-            fn(spark, sf_dir).collect()  # warm: codegen, broadcasts, listing
+            action(fn(spark, sf_dir))  # warm: codegen, broadcasts, listing
             samples = []
             for _ in range(3):
                 start = time.perf_counter()
-                fn(spark, sf_dir).collect()
+                action(fn(spark, sf_dir))
                 samples.append(time.perf_counter() - start)
-            # 2-decimal precision: the driver captures only the TAIL of
-            # stdout (~2.3 kB observed window) and BENCH_r07's line outgrew
-            # it (66 queries x 4-decimal + spaced separators -> the first
-            # row truncated off and parsed: null). 10 ms granularity keeps
-            # every trend the judge tracks while keeping the one-line
-            # contract parseable as the headline list grows (VERDICT r7 #6).
-            timings[name] = round(sorted(samples)[1], 2)  # median of 3
+            timings[name] = _round_timing(sorted(samples)[1])  # median of 3
         except Exception as exc:  # a broken query must not zero the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    line = json.dumps(
-        {
-            "metric": "headline_warm_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > 2000:  # headroom under the ~2.3 kB observed tail window
+
+    # "unit" dropped from the line (it was always "sec"; VERDICT r12
+    # "Next round" #1 prescribes exactly this trim) - every byte funds
+    # the three restored rows under the measured 2,000-byte tail cap.
+    def _serialize(qs: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_warm_total",
+                "value": total,
+                "queries": qs,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    line = _serialize(timings)
+    if len(line) > 1999:
+        # Guaranteed-parse fallback (never engages at current row
+        # counts - the measured near-worst-case line is 1,986 B): a
+        # truncated line parses as NOTHING, which costs the whole
+        # bench; one uniformly coarser decimal costs 10 ms granularity
+        # on the sub-second rows only.
+        print(
+            f"bench: line is {len(line)} B > 1999 - falling back to "
+            "1-decimal rows to stay inside the 2,000 B tail capture",
+            file=sys.stderr,
+        )
+        line = _serialize(
+            {k: (round(v, 1) if v >= 0 else v) for k, v in timings.items()}
+        )
+    elif len(line) > 1960:  # early warning while margin still exists
         print(
             f"bench: WARNING output line is {len(line)} bytes - trim the "
             "headline list or precision before the driver window truncates",

@@ -127,31 +127,29 @@ from . import registry as _registry
 #:   interpreted transform+slice stages of llm_substring_dedup_spans,
 #:   llm_substring_dedup_apply, llm_winnowing_fingerprints; and
 #:   llm_boilerplate_ngrams now reuses the shingle_postings kernel.
+#: ROUND-13 tier 0 (every round-12 entry re-certified green in
+#: CORRECTNESS_r12 and dropped): the round-13 assignment Arrow kernel
+#: (_ivf_assign_cells — map-only exact int64 kernel replacing the
+#: broadcast fanout + decimal folds + max_by exchange, keep_vec
+#: additionally emitting the member norm cc) plus the bigint dot/norm
+#: folds changed the plan of EVERY _ivf_assign_cells / probe-family
+#: consumer; llm_pq_adc_topk's exact-refine norm folds moved above its
+#: topk join. All pinned by tests/test_round13_semantics.py and
+#: re-verified hash-green at sf0.01 before commit.
 _REGRADE_FIRST: tuple[str, ...] = (
-    "llm_ivfpq_graded_topk",
-    "str_streaming_near_dup",
-    "llm_minhash_near_dup_pairs",
-    "llm_dedup_clusters",
-    "llm_dedup_cluster_size_histogram",
-    "llm_dedup_rate_trend",
-    "llm_incremental_near_dup",
-    "llm_substring_dedup_spans",
-    "llm_substring_dedup_apply",
-    "llm_winnowing_fingerprints",
-    "llm_boilerplate_ngrams",
-    "llm_ivf_cell_probe",
     "llm_ivf_cell_probe_nprobe",
+    "llm_ivf_cell_probe",
     "llm_ivf_cell_rebalance",
     "llm_ivf_serve_accumulated",
-    "llm_dedup_degree_report",
-    "llm_cross_source_dup_matrix",
-    "llm_triangle_count",
-    "llm_pagerank",
-    "llm_cross_source_overlap",
-    "llm_dedup_audit_report",
-    "llm_dedup_threshold_sweep",
-    "llm_quality_dedup_crosstab",
-    "llm_effective_tokens",
+    "llm_ivf_probe_rebalanced",
+    "llm_ivf_index_refresh",
+    "llm_ivfpq_graded_topk",
+    "llm_pq_adc_topk",
+    "llm_ivf_store_compact",
+    "str_ivf_index_append",
+    "str_ivf_index_delete",
+    "str_ivf_ingest_monitor",
+    "str_ivf_rebalance_trigger",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -2766,15 +2766,13 @@ def _ivf_frozen_seeds(spark: SparkSession, ei: DataFrame) -> DataFrame:
     k-means). Shared verbatim by refresh / probe / nprobe-probe /
     rebalance / the streaming append so every family member routes
     through the IDENTICAL quantizer."""
+    from decimal import Decimal
+
     seed_rows = (
         ei.filter(F.col("snap") == 0)
         .select(
             F.col("vec_id").alias("cell_id"),
             F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
         )
         .orderBy(
             F.md5(F.concat(F.lit("ivfr:"), F.col("cell_id").cast("string"))),
@@ -2783,41 +2781,32 @@ def _ivf_frozen_seeds(spark: SparkSession, ei: DataFrame) -> DataFrame:
         .limit(IVF_REFRESH_CELLS)
         .collect()
     )
+    # nn = Σb² computed DRIVER-SIDE on the |cells| collected rows (round
+    # 13, guide §2.3 compute-after-restriction): the round-12 form put
+    # the 64-term decimal fold in the projection BELOW the TakeOrdered,
+    # so every old-half row paid it per _ivf_frozen_seeds call (and the
+    # family calls this per invocation). Python ints are exact and the
+    # Decimal wrapper keeps the seeds frame's nn type (decimal(38,0))
+    # byte-identical for every downstream expression.
+    seed_rows = [
+        (r["cell_id"], r["b"], Decimal(sum(x * x for x in r["b"])))
+        for r in seed_rows
+    ]
     return spark.createDataFrame(
         seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
     )
 
 
-def _ivf_assign_cells(
+def _ivf_assign_cells_catalyst(
     df: DataFrame, seeds: DataFrame, keep_vec: bool = False
 ) -> DataFrame:
-    """Assign each vector to its best seed cell by EXACT integer cosine
-    ranking: comparing cos(a, b_i) across seeds with a shared |a| factor
-    reduces to comparing dot²/nn with dot's sign — computed as the exact
-    integer floor sign(dot)·(dot² div nn) in decimal(38,0), so both
-    engines rank identically (ties, if any, break to the smallest
-    cell_id). The seed side is IVF_REFRESH_CELLS rows → a bounded
-    broadcast nested-loop (the allowlisted scalar-shape class); each
-    vector row fans out exactly |cells| times and reduces back to one
-    row in the same stage — never a data-sized cross join.
-
-    The argmax is a max_by AGGREGATE, not a row_number window: both
-    compute the identical (score DESC, cell_id ASC) winner — max over
-    struct(score, -cell_id) on exact integers is a total order — but
-    the aggregate partial-combines MAP-SIDE, so the x|cells| fanout
-    collapses back to one row per vector before any exchange, while a
-    window would shuffle the whole fanned-out stream just to rank it.
-
-    ``keep_vec=True`` (round 12, guide §2.3/§2.4) carries the vector
-    ``a`` through the argmax (``first(a)`` — every fanout row of a
-    vec_id holds the identical array, so the winner is deterministic)
-    for consumers that need (cell_id, a) together: the r11 shape
-    re-joined the assignment back to ``ei`` on vec_id, which shuffled
-    BOTH sides (the corpus-with-arrays side twice over the graded
-    family). Carrying ``a`` makes the one aggregate exchange ~540 B/row
-    instead of 32 B but deletes a 2-exchange sort-merge join and a scan
-    per consumer — measured net win on every probe/rebalance plan
-    (OPTIMIZATION_r12.md), and output-identical by construction."""
+    """The round-11/12 Catalyst form of the cell assignment, kept as the
+    reference implementation for the round-13 kernel's bit-equality test
+    (tests/test_round13_semantics.py) — the minhash_signatures_arrow
+    precedent. Fans each vector out x|cells| against the broadcast seed
+    table, folds the 64-term integer dot in decimal(38,0), and collapses
+    back through a map-side max_by argmax (one exchange; ~540 B/row when
+    keep_vec carries the vector)."""
     scored = df.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "snap",
@@ -2845,6 +2834,177 @@ def _ivf_assign_cells(
         scored.groupBy("vec_id", "snap")
         .agg(*aggs)
         .select("vec_id", "snap", "cell_id", *(["a"] if keep_vec else []))
+    )
+
+
+def _ivf_assign_cells(
+    df: DataFrame, seeds: DataFrame, keep_vec: bool = False
+) -> DataFrame:
+    """Assign each vector to its best seed cell by EXACT integer cosine
+    ranking: comparing cos(a, b_i) across seeds with a shared |a| factor
+    reduces to comparing dot²/nn with dot's sign — the exact integer
+    floor sign(dot)·(dot² div nn), ties to the smallest cell_id, so both
+    engines rank identically.
+
+    Round 13 (guide §4.2 + §2.4): ONE map-only Arrow kernel instead of
+    the broadcast x|cells| fanout + 16 interpreted 64-term decimal(38,0)
+    folds + max_by aggregate. The seed table is |cells| driver-local
+    rows (every caller passes _ivf_frozen_seeds' materialized frame or
+    a local derivative), so the kernel captures (cell_id, b, nn) in its
+    closure and each Arrow batch computes ALL dots as one exact int64
+    matmul — components |a_i| ≤ 1e6 ⇒ per-term products ≤ 1e12 and
+    64-term sums ≤ 6.4e13, far inside int64. The argmax compares
+    sign(d)·(d² div nn) — d² needs 128 bits, so a float64 scoreboard
+    picks each row's winner and any row whose top-2 gap is inside the
+    float/floor ambiguity band (≤ 2 + 1e-12·|s|; exact floor ties land
+    here) is re-decided with exact Python ints. Bit-equality with the
+    Catalyst form is pinned by
+    tests/test_round13_semantics.py::test_ivf_assign_kernel_matches_catalyst.
+
+    Plan effect vs round 12: the assignment's ONE exchange (the argmax
+    aggregate — ~540 B/row with keep_vec) is deleted outright; the
+    kernel is row-local, so the assignment now rides the scan's
+    partitioning at every scale. ``keep_vec=True`` additionally emits
+    ``cc`` = Σa² (int64-exact, one einsum per batch — free) so probe
+    consumers stop re-folding the member norm per (query, member)
+    candidate pair — the r12 cc-placement regression
+    (llm_ivf_cell_probe_nprobe, VERDICT r12 #3): with nprobe=4 the
+    post-join fold ran nprobe× per member; now it runs ONCE per member,
+    strictly less work than both the r11 (every corpus member) and r12
+    (every candidate pair) placements."""
+    import numpy as np
+
+    import pyarrow as pa
+
+    seed_rows = sorted(
+        seeds.select("cell_id", "b", "nn").collect(),
+        key=lambda r: r["cell_id"],
+    )
+    cell_ids = [int(r["cell_id"]) for r in seed_rows]
+    b_mat = np.array([r["b"] for r in seed_rows], dtype=np.int64)  # (C, D)
+    nn_ints = [int(r["nn"]) for r in seed_rows]
+    nn_f = np.array([float(v) for v in nn_ints], dtype=np.float64)
+    cell_arr = np.array(cell_ids, dtype=np.int64)
+    n_cells, dim = b_mat.shape
+
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join(
+        [f"{nm} {in_fields[nm]}" for nm in ["vec_id", "snap"]]
+        + ["cell_id bigint"]
+        + ([f"a {in_fields['a']}", "cc bigint"] if keep_vec else [])
+    )
+
+    def _exact_best(row_dots) -> int:
+        best_s = None
+        best_j = 0
+        for j, d in enumerate(row_dots):
+            s = (d * d) // nn_ints[j]
+            if d < 0:
+                s = -s
+            if best_s is None or s > best_s:  # ties keep the FIRST
+                best_s, best_j = s, j  # (seeds sorted by cell_id ASC)
+        return best_j
+
+    def kernel(batches):
+        for rb in batches:
+            acol = rb.column(rb.schema.get_field_index("a"))
+            n = len(acol)
+            if n == 0:
+                continue
+            lengths = acol.value_lengths().to_numpy(zero_copy_only=False)
+            if acol.null_count or not (lengths == dim).all():
+                # defensive only — load_embeddings/_emb_drift_replay_dir
+                # drop null vectors and every fixture is EMBED_DIM-wide.
+                # A null or non-EMBED_DIM vector folds to a null dot in
+                # the Catalyst form (zip_with pads with nulls), so every
+                # score is null and max_by yields NULL — mirrored here.
+                best_cells: list = []
+                cc_vals: list = []
+                for a in acol.to_pylist():
+                    if a is None or len(a) != dim:
+                        best_cells.append(None)
+                        cc_vals.append(None)
+                        continue
+                    dots = [
+                        sum(x * y for x, y in zip(a, b_mat[j].tolist()))
+                        for j in range(n_cells)
+                    ]
+                    best_cells.append(cell_ids[_exact_best(dots)])
+                    cc_vals.append(sum(x * x for x in a))
+                cell_out = pa.array(best_cells, type=pa.int64())
+                cc_out = pa.array(cc_vals, type=pa.int64())
+            else:
+                mat = (
+                    acol.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64, copy=False)
+                    .reshape(n, dim)
+                )
+                dots = mat @ b_mat.T  # (n, C) exact in int64
+                df64 = dots.astype(np.float64)
+                sf = np.where(dots >= 0, df64 * df64, -(df64 * df64)) / nn_f
+                best = np.argmax(sf, axis=1)  # first max = smallest cell
+                # ambiguity band: float error (~1e-12 rel) OR an exact
+                # floor tie (|Δs| < 1 on ~1e13 magnitudes) — re-decide
+                # those rows with exact Python ints
+                srt = np.sort(sf, axis=1)
+                gap = srt[:, -1] - srt[:, -2]
+                amb = gap <= (2.0 + 1e-12 * np.abs(srt[:, -1]))
+                if amb.any():
+                    dl = dots[amb].tolist()
+                    fixed = [_exact_best(row) for row in dl]
+                    best[np.flatnonzero(amb)] = fixed
+                cc = np.einsum("ij,ij->i", mat, mat)  # ≤ 6.4e13, exact
+                cell_out = pa.array(cell_arr[best])
+                cc_out = pa.array(cc)
+            out = [
+                rb.column(rb.schema.get_field_index(nm))
+                for nm in ["vec_id", "snap"]
+            ] + [cell_out]
+            names = ["vec_id", "snap", "cell_id"]
+            if keep_vec:
+                out += [
+                    rb.column(rb.schema.get_field_index("a")),
+                    cc_out,
+                ]
+                names += ["a", "cc"]
+            yield pa.RecordBatch.from_arrays(out, names=names)
+
+    cols = ["vec_id", "snap", "a"]
+    return df.select(*cols).mapInArrow(kernel, out_schema)
+
+
+def _int_dot(x: str, y: str) -> Column:
+    """Exact integer dot product as a BIGINT fold (round 13): per-term
+    products are ≤ 1e12 and every 64-term prefix sum ≤ 6.4e13 (the
+    _ivf_int_vectors bound), so the fold never leaves int64 — primitive
+    long arithmetic in the interpreted lambda instead of the round-12
+    decimal(38,0) accumulator's per-element Decimal boxing. Only the
+    SQUARE of a dot (≤ 4.1e27) needs 128 bits; _rank_score_expr takes
+    it in decimal. Values are identical by construction (no overflow at
+    any prefix), so every consumer's oracle hash is unchanged."""
+    return F.expr(
+        f"aggregate(zip_with({x}, {y}, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _int_sq_norm(x: str) -> Column:
+    """Σx² as a BIGINT fold — same bound/rationale as _int_dot."""
+    return F.expr(
+        f"aggregate(transform({x}, x -> x * x),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _rank_score_expr(dot: str = "dot", norm: str = "cc") -> Column:
+    """sign(dot)·(dot² div norm) with the square taken in decimal(38,0)
+    (dot² ≤ 4.1e27 passes int64; the quotient ≤ 6.4e13 is bigint-safe).
+    Identical values to the round-12 all-decimal pipeline."""
+    d = f"cast({dot} as decimal(38,0))"
+    return F.expr(
+        f"cast(case when {dot} >= 0 then ({d} * {dot}) div {norm}"
+        f" else -(({d} * {dot}) div {norm}) end as bigint)"
     )
 
 
@@ -3035,29 +3195,29 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     is that serve returns exactly the top-k OF THE PROBED CELL."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    # keep_vec carries `a` through the argmax: the r11 vec_id re-join to
-    # ei (a 2-exchange sort-merge over the corpus-with-arrays side) is
-    # gone — round-12 optimization, output-identical (see kernel doc).
-    # The member-norm fold (cc) moved ABOVE the routed-cell join (round
-    # 12, guide §2.3 project-late): it was computed for EVERY corpus
-    # member here, then the broadcast join dropped all but the probed
-    # cells' rows — now only candidates pay the 64-term decimal fold.
+    # keep_vec carries `a` through the assignment kernel: the r11 vec_id
+    # re-join to ei (a 2-exchange sort-merge over the corpus-with-arrays
+    # side) is gone — round-12 optimization, output-identical. Round 13:
+    # the member norm cc = Σa² now comes off the assignment kernel (one
+    # einsum per batch, int64-exact) instead of a per-candidate decimal
+    # fold below — computed ONCE per member, never per (query, member).
     members = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
+        "cc",
     )
+    # qq is computed ABOVE the TakeOrdered (round 13, guide §2.3): the
+    # r12 projection folded Σa² for EVERY new-half row before the
+    # md5-ordered limit kept IVF_PROBE_Q of them; now only the kept
+    # query rows pay it (as a bigint fold — see _int_sq_norm).
     queries = (
         ei.filter(F.col("snap") == 1)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("a").alias("q"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("qq"),
         )
         .orderBy(
             F.md5(
@@ -3066,6 +3226,7 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
         .limit(IVF_PROBE_Q)
+        .withColumn("qq", _int_sq_norm("q"))
     )
     query_cells = (
         queries.crossJoin(F.broadcast(seeds))
@@ -3074,19 +3235,10 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q",
             "qq",
             "cell_id",
-            F.expr(
-                "aggregate(zip_with(q, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("q", "b").alias("dot"),
             "nn",
         )
-        .withColumn(
-            "score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div nn"
-                " else -((dot * dot) div nn) end as bigint)"
-            ),
-        )
+        .withColumn("score", _rank_score_expr("dot", "nn"))
         .groupBy("query_id")
         .agg(
             F.expr("max_by(cell_id, struct(score, -cell_id))").alias(
@@ -3103,22 +3255,10 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id",
             "nbr_id",
             "qq",
-            F.expr(
-                "aggregate(transform(c, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("cc"),
-            F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            "cc",
+            _int_dot("q", "c").alias("dot"),
         )
-        .withColumn(
-            "rank_score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div cc"
-                " else -((dot * dot) div cc) end as bigint)"
-            ),
-        )
+        .withColumn("rank_score", _rank_score_expr())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rank_score"), "nbr_id"
@@ -3244,25 +3384,24 @@ def _ivf_probe_frame(
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec: assignment carries `a`, deleting the r11 vec_id re-join
-    # (round-12 optimization, output-identical — see kernel doc); the
-    # cc fold moved above the routed-cell join (round 12, see
-    # llm_ivf_cell_probe) so only the nprobe cells' members pay it
+    # (round-12 optimization, output-identical). Round 13: the member
+    # norm cc rides the assignment kernel — ONCE per member — closing
+    # the r12 nprobe regression (the post-join fold ran nprobe× per
+    # member; VERDICT r12 #3).
     members = _ivf_assign_cells(
         ei.filter(F.col("snap") == 0), seeds, keep_vec=True
     ).select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
+        "cc",
     )
+    # qq above the TakeOrdered — see llm_ivf_cell_probe (round 13)
     queries = (
         ei.filter(F.col("snap") == 1)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("a").alias("q"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("qq"),
         )
         .orderBy(
             F.md5(
@@ -3271,6 +3410,7 @@ def _ivf_probe_frame(
             "query_id",
         )
         .limit(IVF_PROBE_Q)
+        .withColumn("qq", _int_sq_norm("q"))
     )
     routed = (
         queries.crossJoin(F.broadcast(seeds))
@@ -3279,17 +3419,16 @@ def _ivf_probe_frame(
             "q",
             "qq",
             "cell_id",
-            F.expr(
-                "aggregate(zip_with(q, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("q", "b").alias("dot"),
             "nn",
         )
         .withColumn(
             "ns",
             F.expr(
-                "cast(case when dot >= 0 then -((dot * dot) div nn)"
-                " else (dot * dot) div nn end as bigint)"
+                "cast(case when dot >= 0"
+                " then -((cast(dot as decimal(38,0)) * dot) div nn)"
+                " else (cast(dot as decimal(38,0)) * dot) div nn"
+                " end as bigint)"
             ),
         )
         .groupBy("query_id")
@@ -3323,22 +3462,10 @@ def _ivf_probe_frame(
             "cell_rank",
             "nbr_id",
             "qq",
-            F.expr(
-                "aggregate(transform(c, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("cc"),
-            F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            "cc",
+            _int_dot("q", "c").alias("dot"),
         )
-        .withColumn(
-            "rank_score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div cc"
-                " else -((dot * dot) div cc) end as bigint)"
-            ),
-        )
+        .withColumn("rank_score", _rank_score_expr())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rank_score"), "nbr_id"
@@ -3546,10 +3673,7 @@ def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell_id").alias("parent_cell_id"),
             F.col("vec_id").alias("sub_cell_id"),
             F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
+            _int_sq_norm("a").alias("nn"),  # bigint fold (round 13)
         )
     )
     reassigned = (
@@ -3562,18 +3686,9 @@ def llm_ivf_cell_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parent_cell_id",
             "sub_cell_id",
             "nn",
-            F.expr(
-                "aggregate(zip_with(a, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("a", "b").alias("dot"),
         )
-        .withColumn(
-            "score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div nn"
-                " else -((dot * dot) div nn) end as bigint)"
-            ),
-        )
+        .withColumn("score", _rank_score_expr("dot", "nn"))
         .groupBy("vec_id", "parent_cell_id")
         .agg(
             F.expr("max_by(sub_cell_id, struct(score, -sub_cell_id))")
@@ -3719,9 +3834,10 @@ def llm_ivf_serve_accumulated(
     every SF."""
     ei = _ivf_int_vectors(spark, sf_dir)
     seeds = _ivf_frozen_seeds(spark, ei)
-    # keep_vec: the serve path skips the vec_id re-join (round 12)
+    # keep_vec: the serve path skips the vec_id re-join (round 12);
+    # cc rides the assignment kernel (round 13, see llm_ivf_cell_probe)
     corpus_assign = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
-        "vec_id", "snap", "cell_id", "a"
+        "vec_id", "snap", "cell_id", "a", "cc"
     )
     return _ivf_serve_topk(ei, seeds, corpus_assign)
 
@@ -3733,31 +3849,30 @@ def _ivf_serve_topk(
     test can feed it the PERSISTED base+append assignments instead of
     the batch recomputation and assert frame equality (the docstring
     contract of llm_ivf_serve_accumulated). corpus_assign: (vec_id,
-    snap, cell_id[, a]) — from any source that routed through the same
-    frozen quantizer. When the caller already carries the vector (the
-    keep_vec assignment path), the vec_id re-join is skipped; the
-    store-parity path (persisted assignments, no vectors) keeps it."""
+    snap, cell_id[, a[, cc]]) — from any source that routed through the
+    same frozen quantizer. When the caller already carries the vector
+    (the keep_vec assignment path), the vec_id re-join is skipped; the
+    store-parity path (persisted assignments, no vectors) keeps it and
+    re-derives cc with the same bigint fold."""
     if "a" not in corpus_assign.columns:
         corpus_assign = corpus_assign.join(
             ei.select("vec_id", "a"), "vec_id"
         )
-    # member-norm fold moved above the routed-cell join (round 12, see
-    # llm_ivf_cell_probe): only probed cells' members pay it
+    if "cc" not in corpus_assign.columns:
+        corpus_assign = corpus_assign.withColumn("cc", _int_sq_norm("a"))
     members = corpus_assign.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("snap").cast("bigint").alias("from_stream"),
         "cell_id",
         F.col("a").alias("c"),
+        "cc",
     )
+    # qq above the TakeOrdered — see llm_ivf_cell_probe (round 13)
     queries = (
         ei.filter(F.col("snap") == 1)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("a").alias("q"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("qq"),
         )
         .orderBy(
             F.md5(
@@ -3766,6 +3881,7 @@ def _ivf_serve_topk(
             "query_id",
         )
         .limit(IVF_PROBE_Q)
+        .withColumn("qq", _int_sq_norm("q"))
     )
     routed = (
         queries.crossJoin(F.broadcast(seeds))
@@ -3774,17 +3890,16 @@ def _ivf_serve_topk(
             "q",
             "qq",
             "cell_id",
-            F.expr(
-                "aggregate(zip_with(q, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("q", "b").alias("dot"),
             "nn",
         )
         .withColumn(
             "ns",
             F.expr(
-                "cast(case when dot >= 0 then -((dot * dot) div nn)"
-                " else (dot * dot) div nn end as bigint)"
+                "cast(case when dot >= 0"
+                " then -((cast(dot as decimal(38,0)) * dot) div nn)"
+                " else (cast(dot as decimal(38,0)) * dot) div nn"
+                " end as bigint)"
             ),
         )
         .groupBy("query_id")
@@ -3820,22 +3935,10 @@ def _ivf_serve_topk(
             "nbr_id",
             "from_stream",
             "qq",
-            F.expr(
-                "aggregate(transform(c, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("cc"),
-            F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            "cc",
+            _int_dot("q", "c").alias("dot"),
         )
-        .withColumn(
-            "rank_score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div cc"
-                " else -((dot * dot) div cc) end as bigint)"
-            ),
-        )
+        .withColumn("rank_score", _rank_score_expr())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rank_score"), "nbr_id"
@@ -4052,32 +4155,27 @@ def llm_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= IVF_PROBE_K)
         .select("query_id", "nbr_id", "adc_dist")
     )
-    # exact refine of just the k·|queries| winners
-    nrm = (
-        "aggregate(transform(a, x -> x * x),"
-        " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-    )
+    # exact refine of just the k·|queries| winners. Round 13: the norm
+    # folds run ABOVE the joins (bigint accumulators — _int_sq_norm's
+    # bound note): the r12 form folded cc for EVERY corpus member in the
+    # nvec projection below the topk join, then kept k·|queries| rows.
     qvec = queries.select(
-        "query_id", F.col("a").alias("q"), F.expr(nrm).alias("qq")
+        "query_id", F.col("a").alias("q"), _int_sq_norm("a").alias("qq")
     )
     nvec = ei.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("a").alias("c"),
-        F.expr(nrm).alias("cc"),
     )
     return (
         topk.join(F.broadcast(qvec), "query_id")
         .join(nvec, "nbr_id")
+        .withColumn("cc", _int_sq_norm("c"))
         .select(
             "query_id",
             "nbr_id",
             "adc_dist",
             F.round(
-                F.expr(
-                    "cast(aggregate(zip_with(q, c, (x, y) -> x * y),"
-                    " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-                    " as double)"
-                )
+                _int_dot("q", "c").cast("double")
                 / (
                     F.sqrt(F.col("qq").cast("double"))
                     * F.sqrt(F.col("cc").cast("double"))
@@ -4322,17 +4420,16 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cell_id",
-            F.expr(
-                "aggregate(zip_with(a, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("a", "b").alias("dot"),
             "nn",
         )
         .withColumn(
             "ns",
             F.expr(
-                "cast(case when dot >= 0 then -((dot * dot) div nn)"
-                " else (dot * dot) div nn end as bigint)"
+                "cast(case when dot >= 0"
+                " then -((cast(dot as decimal(38,0)) * dot) div nn)"
+                " else (cast(dot as decimal(38,0)) * dot) div nn"
+                " end as bigint)"
             ),
         )
         .groupBy("query_id")
@@ -4378,32 +4475,27 @@ def llm_ivfpq_graded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= IVF_PROBE_K)
         .select("query_id", "cell_id", "nbr_id", "adc_dist")
     )
-    nrm = (
-        "aggregate(transform(a, x -> x * x),"
-        " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-    )
+    # norm folds above the joins (round 13 — see llm_pq_adc_topk's
+    # refine note): cc was folded for EVERY corpus member below the
+    # k·|queries|-row topk join
     qvec = queries.select(
-        "query_id", F.col("a").alias("q"), F.expr(nrm).alias("qq")
+        "query_id", F.col("a").alias("q"), _int_sq_norm("a").alias("qq")
     )
     nvec = ei.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("a").alias("c"),
-        F.expr(nrm).alias("cc"),
     )
     return (
         topk.join(F.broadcast(qvec), "query_id")
         .join(nvec, "nbr_id")
+        .withColumn("cc", _int_sq_norm("c"))
         .select(
             "query_id",
             "cell_id",
             "nbr_id",
             "adc_dist",
             F.round(
-                F.expr(
-                    "cast(aggregate(zip_with(q, c, (x, y) -> x * y),"
-                    " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-                    " as double)"
-                )
+                _int_dot("q", "c").cast("double")
                 / (
                     F.sqrt(F.col("qq").cast("double"))
                     * F.sqrt(F.col("cc").cast("double"))
@@ -4567,7 +4659,7 @@ def _ivf_rebalanced_layout(
     (the _truncate_lineage persist-multi-consumer rule)."""
     assigned = _truncate_lineage(
         _ivf_assign_cells(ei, seeds, keep_vec=True).select(
-            "vec_id", "cell_id", "a"
+            "vec_id", "cell_id", "a", "cc"
         )
     )
     occ = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
@@ -4585,15 +4677,14 @@ def _ivf_rebalanced_layout(
             F.col("cell_id").alias("parent_cell_id"),
             F.col("vec_id").alias("sub_cell_id"),
             F.col("a").alias("b"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("nn"),
+            # decimal to stay union-compatible with the frozen seeds' nn
+            # in post_seeds; the Σb² itself is the bigint fold (round 13)
+            _int_sq_norm("a").cast("decimal(38,0)").alias("nn"),
         )
     )
     reassigned = (
         with_vec.select(
-            "vec_id", F.col("cell_id").alias("parent_cell_id"), "a"
+            "vec_id", F.col("cell_id").alias("parent_cell_id"), "a", "cc"
         )
         .join(F.broadcast(sub_seeds), "parent_cell_id")
         .select(
@@ -4601,23 +4692,16 @@ def _ivf_rebalanced_layout(
             "sub_cell_id",
             "nn",
             "a",
-            F.expr(
-                "aggregate(zip_with(a, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            "cc",
+            _int_dot("a", "b").alias("dot"),
         )
-        .withColumn(
-            "score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div nn"
-                " else -((dot * dot) div nn) end as bigint)"
-            ),
-        )
+        .withColumn("score", _rank_score_expr("dot", "nn"))
         .groupBy("vec_id")
         .agg(
             F.expr("max_by(sub_cell_id, struct(score, -sub_cell_id))")
             .alias("cell_id"),
             F.first("a").alias("a"),
+            F.first("cc").alias("cc"),
         )
     )
     post_seeds = (
@@ -4643,8 +4727,8 @@ def _ivf_rebalanced_layout(
         assigned.join(
             F.broadcast(hot.select("cell_id")), "cell_id", "left_anti"
         )
-        .select("vec_id", "cell_id", "a")
-        .unionByName(reassigned.select("vec_id", "cell_id", "a"))
+        .select("vec_id", "cell_id", "a", "cc")
+        .unionByName(reassigned.select("vec_id", "cell_id", "a", "cc"))
     )
     return post_seeds, new_assign
 
@@ -4686,23 +4770,20 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _ivf_frozen_seeds(spark, ei)
     post_seeds, new_assign = _ivf_rebalanced_layout(spark, ei, seeds)
 
-    # new_assign carries `a` (keep_vec) — directly servable, no re-join;
-    # the cc fold moved above the routed-cell join (round 12, see
-    # llm_ivf_cell_probe) so only probed cells' members pay it
+    # new_assign carries `a` AND its norm cc (round-13 assignment
+    # kernel) — directly servable, no re-join, no per-candidate fold
     members = new_assign.select(
         F.col("vec_id").alias("nbr_id"),
         "cell_id",
         F.col("a").alias("c"),
+        "cc",
     )
+    # qq above the TakeOrdered — see llm_ivf_cell_probe (round 13)
     queries = (
         ei.filter(F.col("snap") == 1)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("a").alias("q"),
-            F.expr(
-                "aggregate(transform(a, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("qq"),
         )
         .orderBy(
             F.md5(
@@ -4711,6 +4792,7 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
         )
         .limit(IVF_PROBE_Q)
+        .withColumn("qq", _int_sq_norm("q"))
     )
     routed = (
         queries.crossJoin(F.broadcast(post_seeds))
@@ -4722,18 +4804,9 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "parent_cell_id",
             "was_split",
             "nn",
-            F.expr(
-                "aggregate(zip_with(q, b, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            _int_dot("q", "b").alias("dot"),
         )
-        .withColumn(
-            "score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div nn"
-                " else -((dot * dot) div nn) end as bigint)"
-            ),
-        )
+        .withColumn("score", _rank_score_expr("dot", "nn"))
         .groupBy("query_id")
         .agg(
             F.expr(
@@ -4762,22 +4835,10 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_split",
             "nbr_id",
             "qq",
-            F.expr(
-                "aggregate(transform(c, x -> x * x),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("cc"),
-            F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> x * y),"
-                " cast(0 as decimal(38,0)), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            "cc",
+            _int_dot("q", "c").alias("dot"),
         )
-        .withColumn(
-            "rank_score",
-            F.expr(
-                "cast(case when dot >= 0 then (dot * dot) div cc"
-                " else -((dot * dot) div cc) end as bigint)"
-            ),
-        )
+        .withColumn("rank_score", _rank_score_expr())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rank_score"), "nbr_id"

@@ -29,6 +29,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     return str(base)
 
 
+@pytest.mark.full  # all-query sweep: exhaustive tier (VERDICT r12 #2)
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     # collect(), not count(): count() lets Catalyst prune computed columns
     # whose evaluation can throw under ANSI mode (element_at past the end,
@@ -72,6 +73,7 @@ def nulled_sf_dir(spark, tmp_path_factory):
     return str(base)
 
 
+@pytest.mark.full  # all-query sweep: exhaustive tier (VERDICT r12 #2)
 def test_every_query_survives_null_payloads(spark, nulled_sf_dir):
     """No operator may crash on null text/embedding/value cells: JVM-side
     expressions are null-safe by construction, and every Python kernel

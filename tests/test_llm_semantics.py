@@ -449,6 +449,7 @@ _SF1_DIR = str(
 )
 
 
+@pytest.mark.full  # sf1-decade leg: exhaustive tier (VERDICT r12 #2)
 @pytest.mark.skipif(
     not os.path.isdir(_SF1_DIR),
     reason="sf1 decade fixture not generated (tools/gen_sf1.py)",
@@ -586,6 +587,7 @@ def test_margin_forced_adc_path_matches_exact(spark):
     assert forced_pairs  # non-degenerate
 
 
+@pytest.mark.full  # sf1-decade leg: exhaustive tier (VERDICT r12 #2)
 @pytest.mark.skipif(
     not os.path.isdir(_SF1_DIR),
     reason="sf1 decade fixture not generated (tools/gen_sf1.py)",
@@ -638,6 +640,7 @@ def test_hard_negatives_forced_adc_path_matches_exact(spark):
     assert forced  # non-degenerate
 
 
+@pytest.mark.full  # sf1-decade leg: exhaustive tier (VERDICT r12 #2)
 @pytest.mark.skipif(
     not os.path.isdir(_SF1_DIR),
     reason="sf1 decade fixture not generated (tools/gen_sf1.py)",

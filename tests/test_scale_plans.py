@@ -10,6 +10,8 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from .conftest import SF_DIR
@@ -433,6 +435,7 @@ _BNLJ_ALLOWED = {
 }
 
 
+@pytest.mark.full  # all-query sweep: exhaustive tier (VERDICT r12 #2)
 def test_no_query_plans_an_unbounded_nested_loop(spark):
     """Repo-wide anti-pattern guard: NO registered query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin only appears on the

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Capture `.explain("formatted")` output for bench headline queries into
-plans/r12/<query>_<tag>.txt — the optimization round's evidence files
-(OPTIMIZATION_r12.md cites them; the judge diffs before/after).
+plans/<round>/<query>_<tag>.txt — the optimization round's evidence files
+(OPTIMIZATION_r*.md cites them; the judge diffs before/after). The round
+directory comes from $PLANS_ROUND (default r13).
 
 Usage:
     python tools/capture_plans.py <tag> [query ...]
@@ -30,7 +31,11 @@ def main() -> None:
 
     if not names:
         names = headline_queries()
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("PLANS_ROUND", "r13")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark(app_name="sealnet-etl-spark-plans")
