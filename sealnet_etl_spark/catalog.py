@@ -150,6 +150,9 @@ _REGRADE_FIRST: tuple[str, ...] = (
     "str_ivf_index_delete",
     "str_ivf_ingest_monitor",
     "str_ivf_rebalance_trigger",
+    # round-13 LSH probe-side fan-out gate (rows-only class; the plan
+    # changed, so it regrades first all the same)
+    "llm_lsh_ann_topk",
 )
 
 #: ROUND-10 STATE: the never-driver-graded tail remains EMPTY — all 322

@@ -965,8 +965,25 @@ def llm_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _pq_adc_topk(spark, emb, sf_dir)
     base = _write_corpus_tiles(spark, emb, sf_dir, n_tiles=1)
     n_bits, n_tables = _lsh_params_for(n_vectors)
+    # Size-gated fan-out of the probe side's INPUT rows (round 13, the
+    # IVF members gate's twin): the corpus side broadcasts, so the
+    # bucket join, the ~1.5M-pair candidate stream, and the distinct's
+    # MAP-SIDE partial dedup all run on the PROBE side's partitioning —
+    # one scan split at bench scale, i.e. single-core. Fanning out the
+    # SOURCE rows (not the emitted keys) keeps each src's (table, probe)
+    # keys co-partitioned, so the ~19% map-side pair dedup the partial
+    # aggregate achieves is preserved. The exchange moves ~550 B/vector
+    # only while the scan under-fills the cores; at 100 TB the branch
+    # is a no-op by construction.
+    probe_src = _ivf_members_fan_out(spark, sf_dir, emb)
     candidates = (
-        _lsh_keyed(emb, probe=True, out="src_id", n_bits=n_bits, n_tables=n_tables)
+        _lsh_keyed(
+            probe_src,
+            probe=True,
+            out="src_id",
+            n_bits=n_bits,
+            n_tables=n_tables,
+        )
         .join(
             _lsh_keyed(
                 emb, probe=False, out="nbr_id", n_bits=n_bits, n_tables=n_tables
@@ -2792,9 +2809,16 @@ def _ivf_frozen_seeds(spark: SparkSession, ei: DataFrame) -> DataFrame:
         (r["cell_id"], r["b"], Decimal(sum(x * x for x in r["b"])))
         for r in seed_rows
     ]
-    return spark.createDataFrame(
+    seeds = spark.createDataFrame(
         seed_rows, "cell_id bigint, b array<bigint>, nn decimal(38,0)"
     )
+    # Stash the driver-local rows on the frame so the assignment kernel
+    # captures them without a per-call collect() py4j round trip (the
+    # frame IS these rows — see _ivf_assign_cells).
+    seeds._seal_seed_rows = [
+        {"cell_id": c, "b": b, "nn": nn} for c, b, nn in seed_rows
+    ]
+    return seeds
 
 
 def _ivf_assign_cells_catalyst(
@@ -2876,8 +2900,11 @@ def _ivf_assign_cells(
 
     import pyarrow as pa
 
+    stashed = getattr(seeds, "_seal_seed_rows", None)
     seed_rows = sorted(
-        seeds.select("cell_id", "b", "nn").collect(),
+        stashed
+        if stashed is not None
+        else seeds.select("cell_id", "b", "nn").collect(),
         key=lambda r: r["cell_id"],
     )
     cell_ids = [int(r["cell_id"]) for r in seed_rows]
@@ -2972,6 +2999,47 @@ def _ivf_assign_cells(
 
     cols = ["vec_id", "snap", "a"]
     return df.select(*cols).mapInArrow(kernel, out_schema)
+
+
+def _embeddings_bytes(sf_dir: str) -> int:
+    """On-disk bytes of the embeddings parquet (file or directory)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+    return total
+
+
+def _ivf_members_fan_out(
+    spark: SparkSession, sf_dir: str, members: DataFrame
+) -> DataFrame:
+    """Size-gated fan-out for the probe family's members side (the
+    shingle-kernel gate idiom, dedup.py). The round-13 assignment
+    kernel is map-only, so its output rides the SCAN's partitioning —
+    at bench scale the embeddings scan is ONE split, which serialized
+    the downstream candidate join + per-pair dot folds that the
+    round-12 aggregate's exchange used to spread over every core
+    (measured: nprobe probe 1.55 → 2.0 s after the kernel landed,
+    recovered by this gate). The exchange exists ONLY while the scan
+    under-fills the cores (bytes/maxPartitionBytes < defaultParallelism)
+    — at 100 TB the scan itself provides the parallelism and the branch
+    is a no-op by construction."""
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    )
+    if _embeddings_bytes(sf_dir) // max_split < par:
+        return members.repartition(par)
+    return members
 
 
 def _int_dot(x: str, y: str) -> Column:
@@ -3201,13 +3269,17 @@ def llm_ivf_cell_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the member norm cc = Σa² now comes off the assignment kernel (one
     # einsum per batch, int64-exact) instead of a per-candidate decimal
     # fold below — computed ONCE per member, never per (query, member).
-    members = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
-    ).select(
-        F.col("vec_id").alias("nbr_id"),
-        "cell_id",
-        F.col("a").alias("c"),
-        "cc",
+    members = _ivf_members_fan_out(
+        spark,
+        sf_dir,
+        _ivf_assign_cells(
+            ei.filter(F.col("snap") == 0), seeds, keep_vec=True
+        ).select(
+            F.col("vec_id").alias("nbr_id"),
+            "cell_id",
+            F.col("a").alias("c"),
+            "cc",
+        ),
     )
     # qq is computed ABOVE the TakeOrdered (round 13, guide §2.3): the
     # r12 projection folded Σa² for EVERY new-half row before the
@@ -3388,13 +3460,17 @@ def _ivf_probe_frame(
     # norm cc rides the assignment kernel — ONCE per member — closing
     # the r12 nprobe regression (the post-join fold ran nprobe× per
     # member; VERDICT r12 #3).
-    members = _ivf_assign_cells(
-        ei.filter(F.col("snap") == 0), seeds, keep_vec=True
-    ).select(
-        F.col("vec_id").alias("nbr_id"),
-        "cell_id",
-        F.col("a").alias("c"),
-        "cc",
+    members = _ivf_members_fan_out(
+        spark,
+        sf_dir,
+        _ivf_assign_cells(
+            ei.filter(F.col("snap") == 0), seeds, keep_vec=True
+        ).select(
+            F.col("vec_id").alias("nbr_id"),
+            "cell_id",
+            F.col("a").alias("c"),
+            "cc",
+        ),
     )
     # qq above the TakeOrdered — see llm_ivf_cell_probe (round 13)
     queries = (
@@ -3836,8 +3912,12 @@ def llm_ivf_serve_accumulated(
     seeds = _ivf_frozen_seeds(spark, ei)
     # keep_vec: the serve path skips the vec_id re-join (round 12);
     # cc rides the assignment kernel (round 13, see llm_ivf_cell_probe)
-    corpus_assign = _ivf_assign_cells(ei, seeds, keep_vec=True).select(
-        "vec_id", "snap", "cell_id", "a", "cc"
+    corpus_assign = _ivf_members_fan_out(
+        spark,
+        sf_dir,
+        _ivf_assign_cells(ei, seeds, keep_vec=True).select(
+            "vec_id", "snap", "cell_id", "a", "cc"
+        ),
     )
     return _ivf_serve_topk(ei, seeds, corpus_assign)
 
@@ -4772,11 +4852,15 @@ def llm_ivf_probe_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # new_assign carries `a` AND its norm cc (round-13 assignment
     # kernel) — directly servable, no re-join, no per-candidate fold
-    members = new_assign.select(
-        F.col("vec_id").alias("nbr_id"),
-        "cell_id",
-        F.col("a").alias("c"),
-        "cc",
+    members = _ivf_members_fan_out(
+        spark,
+        sf_dir,
+        new_assign.select(
+            F.col("vec_id").alias("nbr_id"),
+            "cell_id",
+            F.col("a").alias("c"),
+            "cc",
+        ),
     )
     # qq above the TakeOrdered — see llm_ivf_cell_probe (round 13)
     queries = (
