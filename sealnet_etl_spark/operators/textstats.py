@@ -1834,6 +1834,15 @@ def _bm25_topk(
     # the full-corpus regex tokenization (review finding; same pattern
     # as the dedup pipeline's shingled.cache())
     dl = w.select("doc_id", F.size("w").alias("dl")).cache()
+    # tf is deliberately NOT cached (round-13 A/B): its two consumers
+    # (df aggregate, score join) re-run the tokenize+explode pass, but
+    # caching it measured WORSE end-to-end at sf0.1 (bm25/ndcg/rbo
+    # medians drifted +0.3-0.9 s across 4 interleaved runs) — the
+    # InMemoryRelation materialization + first-use job outweighs the
+    # ~0.15 s query-term-filtered pass it saves at this corpus size.
+    # At decade SFs the dl cache above already carries the
+    # corpus-proportional reuse story; revisit tf only with a measured
+    # win (OPTIMIZATION_r13.md "measured non-changes").
     tf = (
         w.select("doc_id", F.explode("w").alias("term"))
         .filter(F.col("term").isin(*terms))

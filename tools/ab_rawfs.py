@@ -50,6 +50,8 @@ def child(mode: str, name: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:  # ADVICE r12: usage instead of IndexError
+        sys.exit(__doc__)
     if sys.argv[1] == "--child":
         child(sys.argv[2], sys.argv[3])
         return
@@ -59,7 +61,16 @@ def main() -> None:
         for mode in ("default", "raw", "default", "raw"):
             env = dict(os.environ)
             if mode == "raw":
-                env["PYSPARK_SUBMIT_ARGS"] = f"--conf {RAW_CONF} pyspark-shell"
+                # ADVICE r12: append to any pre-existing submit args so
+                # the raw leg differs from the default leg by EXACTLY
+                # this one conf (replacing wholesale dropped e.g.
+                # --packages and skewed the A/B)
+                prev = env.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+                env["PYSPARK_SUBMIT_ARGS"] = prev.replace(
+                    "pyspark-shell", f"--conf {RAW_CONF} pyspark-shell"
+                ) if "pyspark-shell" in prev else (
+                    f"{prev} --conf {RAW_CONF} pyspark-shell"
+                )
             out = subprocess.run(
                 [sys.executable, __file__, "--child", mode, name],
                 capture_output=True, text=True, check=False, env=env,

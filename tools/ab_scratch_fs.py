@@ -22,11 +22,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-DISK_ROOT = "/root/repo/.scratch"
+# ADVICE r12: derive from the repo root (already computed for sys.path)
+# and honor SPARK_GRAFT_SF_DIR like profile_build_time.py does
+DISK_ROOT = str(Path(__file__).resolve().parent.parent / ".scratch")
 TMPFS_ROOT = "/dev/shm/sealnet-etl-scratch-ab"
 
 
 def child(root: str, name: str) -> None:
+    import os
+
     import sealnet_etl_spark.sources.ingest as ingest
 
     ingest.SCRATCH_DIR = root
@@ -35,7 +39,7 @@ def child(root: str, name: str) -> None:
 
     spark = get_spark(app_name=f"ab-scratch-{name}")
     fn = all_queries()[name]
-    sf_dir = "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.sparkContext.setJobDescription(f"ab_scratch warm {name}")
     fn(spark, sf_dir).collect()
     samples = []
@@ -50,9 +54,16 @@ def child(root: str, name: str) -> None:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:  # ADVICE r12: usage instead of IndexError
+        sys.exit(__doc__)
     if sys.argv[1] == "--child":
         child(sys.argv[2], sys.argv[3])
         return
+    import shutil
+
+    # ADVICE r12: stale tmpfs state from a prior invocation must not
+    # leak into this run's warm pass
+    shutil.rmtree(TMPFS_ROOT, ignore_errors=True)
     for name in sys.argv[1:]:
         for root in (DISK_ROOT, TMPFS_ROOT, DISK_ROOT, TMPFS_ROOT):
             out = subprocess.run(
